@@ -1,0 +1,277 @@
+package graft.schema
+
+import scala.collection.immutable.ListMap
+import java.util.IdentityHashMap
+
+/** Driver-side data validation + normalization against a schema — the analog
+  * of the reference's `validate` (reference: frontend.lua:740–938 copy_data)
+  * with the same error contract (reference: runtime.lua:275–336):
+  * `path/to/field: Expecting STR, encountered LONG`.
+  *
+  * The DataFrame-scale variant lives in [[graft.ops.Validate]]; this pure
+  * version backs default-value validation at schema-create time and the
+  * golden-corpus tests.
+  */
+object ValidateValue {
+
+  /** Rendered MsgPack-ish type token of a runtime value
+    * (reference: runtime.lua:193–197 typenames).
+    */
+  def typeToken(v: Any): String = v match {
+    case null => "NIL"
+    case false => "FALSE"
+    case true => "TRUE"
+    case _: Int | _: Long | _: Short | _: Byte | _: BigInt => "LONG"
+    case _: Float => "FLOAT"
+    case _: Double => "DOUBLE"
+    case _: String => "STR"
+    case _: Array[Byte] => "BIN"
+    case _: Seq[_] => "ARRAY"
+    case _: Map[_, _] => "MAP"
+    case _ => "EXT"
+  }
+
+  private def quote(s: String): String = "\"" + s + "\""
+
+  final class Ctx(val schema: AvroSchema) {
+    val path = scala.collection.mutable.ArrayBuffer.empty[String]
+    val visiting = new IdentityHashMap[AnyRef, AnyRef]()
+    def fail(msg: String): Nothing = {
+      val p = path.mkString("/")
+      throw new ValidationFailure(if (p.isEmpty) msg else s"$p: $msg")
+    }
+    def in[A](seg: String)(body: => A): A = {
+      path += seg
+      try body finally path.remove(path.length - 1)
+    }
+  }
+
+  final class ValidationFailure(val msg: String) extends RuntimeException(msg)
+
+  /** JSON value → runtime value (for defaults and JSON-ingested data). */
+  def fromJson(j: JValue): Any = j match {
+    case JNull => null
+    case JBool(b) => b
+    case JLong(n) => n
+    case JDouble(d) => d
+    case JString(s) => s
+    case JArray(items) => items.map(fromJson)
+    case JObject(fields) =>
+      ListMap(fields.map { case (k, v) => k -> fromJson(v) }: _*)
+  }
+
+  def validate(schema: AvroSchema, data: Any): Either[String, Any] = {
+    val ctx = new Ctx(schema)
+    try Right(check(ctx, schema.root, data))
+    catch { case e: ValidationFailure => Left(e.msg) }
+  }
+
+  /** Default values are given in first-branch form for unions
+    * (reference: frontend.lua:974–987).
+    */
+  def validateDefault(schema: AvroSchema, t: AvroType,
+      default: JValue): Either[String, Any] = {
+    val ctx = new Ctx(schema)
+    try Right(schema.resolve(t) match {
+      case u: UnionType => check(ctx, u.branches.head, fromJson(default))
+      case resolved if resolved.nullable && default == JNull => null
+      case resolved => check(ctx, resolved, fromJson(default))
+    })
+    catch { case e: ValidationFailure => Left(e.msg) }
+  }
+
+  private def intInRange(v: Long): Boolean =
+    v >= Int.MinValue && v <= Int.MaxValue
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  def check(ctx: Ctx, tpe: AvroType, data: Any): Any = {
+    val t = ctx.schema.resolve(tpe)
+    if (data == null) {
+      t match {
+        case PrimitiveType("null", _) => return null
+        case _ if t.nullable => return null
+        case u: UnionType if u.branches.exists(_.typeName == "null") =>
+          return null
+        case PrimitiveType("any", _) => return null
+        case _ => ctx.fail(s"Expecting ${expectedToken(t)}, encountered NIL")
+      }
+    }
+    t match {
+      case PrimitiveType("null", _) =>
+        ctx.fail(s"Expecting NIL, encountered ${typeToken(data)}")
+      case PrimitiveType("any", _) => data
+      case PrimitiveType("boolean", _) => data match {
+        case b: Boolean => b
+        case _ => ctx.fail(s"Expecting BOOL, encountered ${typeToken(data)}")
+      }
+      case PrimitiveType("int", _) => asLong(data) match {
+        case Some(v) if intInRange(v) => v
+        case Some(v) => ctx.fail(s"Value exceeds INT range: $v")
+        case None => ctx.fail(s"Expecting INT, encountered ${typeToken(data)}")
+      }
+      case PrimitiveType("long", _) => asLong(data) match {
+        case Some(v) => v
+        case None => ctx.fail(s"Expecting LONG, encountered ${typeToken(data)}")
+      }
+      case PrimitiveType("float", _) => data match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case other => asLong(other) match {
+          case Some(v) => v.toDouble // long→float auto-repair
+          case None =>
+            ctx.fail(s"Expecting FLOAT, encountered ${typeToken(data)}")
+        }
+      }
+      case PrimitiveType("double", _) => data match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case other => asLong(other) match {
+          case Some(v) => v.toDouble // long→double auto-repair
+          case None =>
+            ctx.fail(s"Expecting DOUBLE, encountered ${typeToken(data)}")
+        }
+      }
+      case PrimitiveType("string", _) => data match {
+        case s: String => s
+        case _ => ctx.fail(s"Expecting STR, encountered ${typeToken(data)}")
+      }
+      case PrimitiveType("bytes", _) => data match {
+        case b: Array[Byte] => b
+        case s: String => s
+        case _ => ctx.fail(s"Expecting BIN, encountered ${typeToken(data)}")
+      }
+      case f: FixedType =>
+        val len = data match {
+          case b: Array[Byte] => b.length
+          case s: String => s.length
+          case _ =>
+            ctx.fail(s"Expecting BIN, encountered ${typeToken(data)}")
+        }
+        if (len != f.size) ctx.fail(
+          s"Expecting BIN of length ${f.size}. Encountered BIN of length $len.")
+        data
+      case e: EnumType => data match {
+        case s: String if e.symbolIndex.contains(s) => s
+        case s: String => ctx.fail(s"Bad value: ${quote(s)}")
+        case _ => ctx.fail(s"Expecting STR, encountered ${typeToken(data)}")
+      }
+      case a: ArrayType => data match {
+        case xs: Seq[_] => cycleGuard(ctx, xs) {
+          xs.zipWithIndex.map { case (x, i) =>
+            ctx.in((i + 1).toString)(check(ctx, a.items, x))
+          }
+        }
+        case _ => ctx.fail(s"Expecting ARRAY, encountered ${typeToken(data)}")
+      }
+      case m: MapType => data match {
+        case kv: Map[_, _] => cycleGuard(ctx, kv) {
+          ListMap(kv.toSeq.map {
+            case (k: String, v) => k -> ctx.in(k)(check(ctx, m.values, v))
+            case _ => ctx.fail("Non-string key")
+          }: _*)
+        }
+        case _ => ctx.fail(s"Expecting MAP, encountered ${typeToken(data)}")
+      }
+      case r: RecordType => data match {
+        case kv: Map[_, _] => cycleGuard(ctx, kv) {
+          val fieldsByName = r.fields.map(f => f.name -> f).toMap
+          val aliasTo = r.fields.flatMap(f => f.aliases.map(_ -> f.name)).toMap
+          kv.keys.foreach {
+            case k: String =>
+              if (!fieldsByName.contains(k) && !aliasTo.contains(k))
+                ctx.fail(s"Unknown key: ${quote(k)}")
+            case _ => ctx.fail("Non-string key")
+          }
+          val smap = kv.asInstanceOf[Map[String, Any]]
+          ListMap(r.fields.flatMap { f =>
+            val present = smap.get(f.name)
+              .orElse(f.aliases.collectFirst {
+                case a if smap.contains(a) => smap(a) })
+            present match {
+              case Some(v) => Some(f.name -> ctx.in(f.name)(check(ctx, f.tpe, v)))
+              case None => f.default match {
+                case Some(d) =>
+                  Some(f.name -> ctx.in(f.name)(defaultValue(ctx, f.tpe, d)))
+                case None =>
+                  val ft = ctx.schema.resolve(f.tpe)
+                  if (ft.nullable) Some(f.name -> null)
+                  else ft match {
+                    case u: UnionType
+                        if u.branches.exists(_.typeName == "null") =>
+                      Some(f.name -> null)
+                    case _ => ctx.fail(s"Key missing: ${quote(f.name)}")
+                  }
+              }
+            }
+          }: _*)
+        }
+        case _ => ctx.fail(s"Expecting MAP, encountered ${typeToken(data)}")
+      }
+      case u: UnionType => data match {
+        case kv: Map[_, _] =>
+          if (kv.size != 1) ctx.fail(
+            s"Expecting MAP of length 1. Encountered MAP of length ${kv.size}.")
+          val (k, v) = kv.head match {
+            case (k: String, v) => (k, v)
+            case _ => ctx.fail("Non-string key")
+          }
+          val branch = u.branches.find(b => branchTag(ctx.schema, b) == k)
+          branch match {
+            case Some(b) => ListMap(k -> ctx.in(k)(check(ctx, b, v)))
+            case None => ctx.fail(s"Unknown key: ${quote(k)}")
+          }
+        case _ => ctx.fail(s"Expecting MAP, encountered ${typeToken(data)}")
+      }
+      case ref: Reference => check(ctx, ctx.schema.resolve(ref), data)
+    }
+  }
+
+  private def defaultValue(ctx: Ctx, t: AvroType, d: JValue): Any =
+    ctx.schema.resolve(t) match {
+      case u: UnionType =>
+        if (d == JNull) null
+        else ListMap(branchTag(ctx.schema, u.branches.head) ->
+          check(ctx, u.branches.head, fromJson(d)))
+      case resolved if resolved.nullable && d == JNull => null
+      case resolved => check(ctx, resolved, fromJson(d))
+    }
+
+  /** Union branch discriminator (reference: frontend.lua:899–919 — the name
+    * for named types, the bare type name otherwise).
+    */
+  def branchTag(schema: AvroSchema, b: AvroType): String =
+    schema.resolve(b) match {
+      case n: NamedType => n.fullName
+      case other => other.typeName
+    }
+
+  private def expectedToken(t: AvroType): String = t match {
+    case PrimitiveType("null", _) => "NIL"
+    case PrimitiveType("boolean", _) => "BOOL"
+    case PrimitiveType("int", _) => "INT"
+    case PrimitiveType("long", _) => "LONG"
+    case PrimitiveType("float", _) => "FLOAT"
+    case PrimitiveType("double", _) => "DOUBLE"
+    case PrimitiveType("string", _) => "STR"
+    case PrimitiveType("bytes", _) => "BIN"
+    case _: FixedType => "BIN"
+    case _: EnumType => "STR"
+    case _: ArrayType => "ARRAY"
+    case _: MapType | _: RecordType => "MAP"
+    case _: UnionType => "MAP"
+    case _ => "?"
+  }
+
+  private def cycleGuard[A](ctx: Ctx, ref: AnyRef)(body: => A): A = {
+    if (ctx.visiting.containsKey(ref)) ctx.fail("Infinite loop detected in the data")
+    ctx.visiting.put(ref, ref)
+    try body finally ctx.visiting.remove(ref)
+  }
+}
