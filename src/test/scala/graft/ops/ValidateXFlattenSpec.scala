@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.schema._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class ValidateXFlattenSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("validate flags missing mandatory fields with reference message") {
+    val s = Avro.create("""{"name":"person","type":"record","fields":[
+      {"name":"FirstName","type":"string"},
+      {"name":"Age","type":"int"}]}""")
+    val df = Seq(("John", Some(33)), (null, Some(1)), ("Jane", None))
+      .toDF("FirstName", "Age")
+    val out = Validate(s, df).select("_valid", "_error").collect()
+    assert(out(0) == Row(true, null))
+    assert(out(1) == Row(false, "Key missing: \"FirstName\""))
+    assert(out(2) == Row(false, "Key missing: \"Age\""))
+  }
+
+  test("validate enum symbols and fixed length") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}},
+      {"name":"fx","type":{"type":"fixed","name":"F4","size":4}}]}""")
+    val df = Seq(
+      ("A", "abcd".getBytes), ("Z", "abcd".getBytes), ("B", "ab".getBytes))
+      .toDF("e", "fx")
+    val out = Validate(s, df).select("_error").collect()
+    assert(out(0) == Row(null))
+    assert(out(1) == Row("e: Bad value: \"Z\""))
+    assert(out(2) ==
+      Row("fx: Expecting BIN of length 4. Encountered BIN of length 2."))
+  }
+
+  test("validate nullable fields accept null") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"a","type":"string*"},
+      {"name":"b","type":["null","int"]},
+      {"name":"c","type":"int","default":7}]}""")
+    val df = Seq((null: String, None: Option[Int], None: Option[Int]))
+      .toDF("a", "b", "c")
+    val out = Validate(s, df).select("_valid").head()
+    assert(out == Row(true))
+  }
+
+  test("F1 xflatten: present fields → [\"=\", pos, value] ops") {
+    val s = Avro.create("""{"name":"person","type":"record","fields":[
+      {"name":"FirstName","type":"string"},{"name":"LastName","type":"string"},
+      {"name":"Age","type":"int"}]}""")
+    val c = FlattenOps.compile(s).toOption.get
+    // only LastName and Age present (FirstName NULL = absent)
+    val df = Seq((null: String, "Doe", 33)).toDF("FirstName", "LastName", "Age")
+    val ops = XFlatten(c, df).select("ops").head().getSeq[Row](0)
+    assert(ops == Seq(Row("=", 2, "Doe"), Row("=", 3, "33")))
+  }
+
+  test("xflatten union field emits tag + value ops (compiler.lua:1002)") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"u","type":["null","int"]},
+      {"name":"k","type":"int"}]}""")
+    val c = FlattenOps.compile(s).toOption.get
+    val df = Seq((Some(42), 7)).toDF("u", "k")
+    val ops = XFlatten(c, df).select("ops").head().getSeq[Row](0)
+    assert(ops == Seq(Row("=", 1, "1"), Row("=", 2, "42"), Row("=", 3, "7")))
+  }
+
+  test("xflatten with service fields offsets positions") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"a","type":"string"},{"name":"b","type":"int"}]}""")
+    val c = FlattenOps.compile(s, s, downgrade = false,
+      Seq(org.apache.spark.sql.types.StringType)).toOption.get
+    val df = Seq(("x", 1)).toDF("a", "b")
+    val ops = XFlatten(c, df).select("ops").head().getSeq[Row](0)
+    assert(ops == Seq(Row("=", 2, "x"), Row("=", 3, "1")))
+  }
+}
