@@ -1,6 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.ops.{FlattenOps, Validate}
+import graft.functions.AvroBinary
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Two families:
+  *  1. every SparkEntry query at SPARK_GRAFT_SF_DIR (full evaluation via
+  *     the noop sink — count() would let Catalyst prune the work away)
+  *  2. the BASELINE.md Person-schema protocol: validate / flatten /
+  *     unflatten / to_avro / from_avro as whole-DataFrame transforms over
+  *     generated rows (reference workload: benchmark.lua:3–44)
+  * Prints ONE JSON line and also writes it to BENCH_RESULT.json (sbt log
+  * prefixes make stdout parsing fragile).
+  */
 object Bench {
+
+  private val personJson = """{"name":"person","type":"record","fields":[
+    {"name":"FirstName","type":"string"},{"name":"LastName","type":"string"},
+    {"name":"Occupation","type":"string"},{"name":"Title","type":"string"},
+    {"name":"Age","type":"long"},
+    {"name":"Sex","type":{"type":"enum","name":"Sex",
+      "symbols":["FEMALE","MALE"]}},
+    {"name":"Stats","type":{"type":"record","name":"Stats","fields":[
+      {"name":"Strength","type":"long"},{"name":"Perception","type":"long"},
+      {"name":"Endurance","type":"long"},{"name":"Charisma","type":"long"},
+      {"name":"Intelligence","type":"long"},{"name":"Agility","type":"long"},
+      {"name":"Luck","type":"long"}]}},
+    {"name":"Journal","type":{"type":"array","items":"string"}}]}"""
+
+  private def personDf(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      concat(lit("First"), col("id")).as("FirstName"),
+      concat(lit("Last"), col("id")).as("LastName"),
+      lit("Engineer").as("Occupation"),
+      lit("Dr").as("Title"),
+      (col("id") % 80 + 18).as("Age"),
+      when(col("id") % 2 === 0, "FEMALE").otherwise("MALE").as("Sex"),
+      struct((1 to 7).map(i => (col("id") % (i * 10)).as(Seq("Strength",
+        "Perception", "Endurance", "Charisma", "Intelligence", "Agility",
+        "Luck")(i - 1))): _*).as("Stats"),
+      array(lit("entry one"), lit("entry two"), lit("entry three"),
+        lit("entry four"), lit("entry five"), lit("entry six")).as("Journal"))
+
+  private def sink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,18 +54,54 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // family 1: the declared queries, fully evaluated
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = try time(sink(fn(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 }
+    }
+
+    // family 2: Person protocol (BASELINE.md), n scaled with SF dir
+    val n: Long = if (sfDir.contains("0.001")) 20000L
+      else if (sfDir.contains("0.01")) 200000L else 2000000L
+    val schema = graft.schema.Avro.create(personJson)
+    val compiled = FlattenOps.compile(schema).fold(e => sys.error(e), identity)
+    val df = personDf(spark, n)
+    results("person_validate") = time(sink(Validate(schema, df)))
+    results("person_flatten") = time(sink(compiled.flatten(df)))
+    results("person_roundtrip") =
+      time(sink(compiled.unflatten(compiled.flatten(df))))
+    val allStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+    results("person_to_avro") =
+      time(sink(df.select(AvroBinary.toAvroBinary(allStruct, schema))))
+    results("person_avro_roundtrip") =
+      time(sink(df.select(AvroBinary.fromAvroBinary(
+        AvroBinary.toAvroBinary(allStruct, schema), schema))))
+    results("person_rows") = n.toDouble
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._1.startsWith("person_rows") == false)
+      .values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    System.err.println(json)
+    Files.writeString(Paths.get("BENCH_RESULT.json"), json + "\n")
     spark.stop()
   }
 }

@@ -1,0 +1,434 @@
+package graft
+
+import graft.schema._
+import graft.ops._
+import graft.functions.AvroBinary
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** The engine's demonstration queries with matching DuckDB oracle SQL.
+  *
+  * Determinism rules (driver hashes values with columns sorted by name):
+  *  - every query ends in an ORDER BY present in BOTH versions
+  *  - money sums go through `floor(x*100)::BIGINT` so both engines do the
+  *    same double arithmetic then exact integer math
+  *  - text metrics use only length/replace arithmetic (no regex divergence)
+  */
+object Queries {
+
+  // ---------------------------------------------------------------- schemas
+
+  val customerWriter: AvroSchema = Avro.create(
+    """{"name":"customer","type":"record","fields":[
+      {"name":"c_custkey","type":"long"},{"name":"c_name","type":"string"},
+      {"name":"c_nationkey","type":"int"},{"name":"c_acctbal","type":"double"},
+      {"name":"c_mktsegment","type":"string"}]}""")
+
+  val customerReader: AvroSchema = Avro.create(
+    """{"name":"customer","type":"record","fields":[
+      {"name":"segment","type":"string","aliases":["c_mktsegment"]},
+      {"name":"c_custkey","type":"long"},
+      {"name":"c_nationkey","type":"long"},
+      {"name":"c_acctbal","type":"double"},
+      {"name":"loyalty_tier","type":"string","default":"NONE"},
+      {"name":"c_name","type":"string"}]}""")
+
+  val partSchema: AvroSchema = Avro.create(
+    """{"name":"part","type":"record","fields":[
+      {"name":"p_partkey","type":"long"},{"name":"p_name","type":"string"},
+      {"name":"p_brand","type":"string"},{"name":"p_type","type":"string"},
+      {"name":"p_size","type":"int"},{"name":"p_retailprice","type":"double"}]}""")
+
+  val ordersEnumReader: AvroSchema = Avro.create(
+    """{"name":"orders","type":"record","fields":[
+      {"name":"o_orderkey","type":"long"},
+      {"name":"o_orderstatus","type":{"type":"enum","name":"Status",
+        "symbols":["F","O","P"]}},
+      {"name":"o_totalprice","type":"double"}]}""")
+
+  val ordersEnumWriter: AvroSchema = Avro.create(
+    """{"name":"orders","type":"record","fields":[
+      {"name":"o_orderkey","type":"long"},
+      {"name":"o_orderstatus","type":{"type":"enum","name":"Status",
+        "symbols":["F","O","P"]}},
+      {"name":"o_totalprice","type":"double"}]}""")
+
+  val eventsWriter: AvroSchema = Avro.create(
+    """{"name":"event","type":"record","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"event_type","type":"string"},
+      {"name":"value","type":"double"}]}""")
+
+  val eventsReader: AvroSchema = Avro.create(
+    """{"name":"event","type":"record","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"etype","type":"string","aliases":["event_type"]},
+      {"name":"value","type":"double"},
+      {"name":"source","type":"string","default":"stream"}]}""")
+
+  val eventsValidateSchema: AvroSchema = Avro.create(
+    """{"name":"event","type":"record","fields":[
+      {"name":"event_id","type":"long"},
+      {"name":"event_type","type":{"type":"enum","name":"EType",
+        "symbols":["click","view","purchase","signup"]}},
+      {"name":"value","type":"double"}]}""")
+
+  val propsSchema: AvroSchema = Avro.create(
+    """{"name":"update","type":"record","fields":[
+      {"name":"event_id","type":"long"},{"name":"k","type":"int"}]}""")
+
+  // -------------------------------------------------------------- helpers
+
+  def rd(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** documents ∪ exact copies (id+10000, every 10th) — planted dups shared
+    * by the Spark query and the oracle.
+    */
+  def docsWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = rd(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  val docsDupsSql: String =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id+10000, text FROM documents
+      | WHERE doc_id % 10 = 0""".stripMargin.replace("\n", " ")
+
+  /** documents ∪ near copies (id+20000, every 20th, 3 extra tokens). */
+  def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = rd(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text")))
+  }
+
+  val docsNearDupsSql: String =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id+20000, text || ' zz qq xx' FROM documents
+      | WHERE doc_id % 20 = 0""".stripMargin.replace("\n", " ")
+
+  /** Portable occurrence count (shared shape with TextAnalysis.occ). */
+  private def occSql(h: String, needle: String): String =
+    s"((length($h) - length(replace($h, '$needle', ''))) / ${needle.length})"
+
+  /** langId as SQL — generated from the same probe table as the Spark
+    * expression so the two can never drift.
+    */
+  def langIdSql(textExpr: String): String = {
+    val order = Seq("en", "de", "fr", "es", "it")
+    val scoreSql = order.map { l =>
+      l -> TextAnalysis.langProbes(l)
+        .map(p => occSql(s"lower($textExpr)", p)).mkString("(", " + ", ")")
+    }.toMap
+    val best = order.map(scoreSql).reduce((a, b) => s"greatest($a, $b)")
+    val cases = order.map(l =>
+      s"WHEN ${scoreSql(l)} = __best AND ${scoreSql(l)} > 0 THEN '$l'")
+      .mkString(" ")
+    // __best must be inlined (no lateral alias in a CASE within same select)
+    s"CASE ${cases.replace("__best", best)} ELSE 'und' END"
+  }
+
+  def tokenCountSql(textExpr: String): String =
+    s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
+      s"ELSE len(string_split(trim($textExpr), ' ')) END)"
+
+  // -------------------------------------------------------------- queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Vector[(String, Q, Option[String])] = Vector(
+
+    // ---- relational baseline (TPC-H Q1 shape) ----
+    ("q1_agg", ((s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_base_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }): Q, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem WHERE l_shipdate <= '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- flatten with evolution: reorder + alias rename + promotion +
+    //      default fill ----
+    ("flatten_customer", ((s: SparkSession, dir: String) => {
+      val c = FlattenOps.compile(customerWriter, customerReader)
+        .fold(e => sys.error(e), identity)
+      c.flatten(rd(s, dir, "customer")).orderBy("c_custkey")
+    }): Q, Some("""
+      SELECT c_mktsegment AS segment, c_custkey,
+             CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+             'NONE' AS loyalty_tier, c_name
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---- flatten→unflatten round-trip is the identity ----
+    ("unflatten_roundtrip_part", ((s: SparkSession, dir: String) => {
+      val c = FlattenOps.compile(partSchema).fold(e => sys.error(e), identity)
+      c.unflatten(c.flatten(rd(s, dir, "part"))).orderBy("p_partkey")
+    }): Q, Some("""
+      SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      FROM part ORDER BY p_partkey""")),
+
+    // ---- enum symbol → index (flat form) ----
+    ("enum_encode_orders", ((s: SparkSession, dir: String) => {
+      val c = FlattenOps.compile(ordersEnumWriter, ordersEnumReader)
+        .fold(e => sys.error(e), identity)
+      c.flatten(rd(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey,
+             CAST(CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1
+                  WHEN 'P' THEN 2 END AS INTEGER) AS o_orderstatus,
+             o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- batch validation with reference error strings ----
+    ("validate_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      Validate(eventsValidateSchema, ev)
+        .select("event_id", "_valid", "_error")
+        .orderBy("event_id")
+    }): Q, Some("""
+      SELECT event_id,
+             event_type IN ('click','view','purchase','signup') AS _valid,
+             CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                  THEN 'event_type: Bad value: "' || event_type || '"'
+             END AS _error
+      FROM events ORDER BY event_id""")),
+
+    // ---- xflatten: partial JSON update → positional ops ----
+    ("xflatten_events_props", ((s: SparkSession, dir: String) => {
+      val c = FlattenOps.compile(propsSchema).fold(e => sys.error(e), identity)
+      val ev = rd(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      XFlatten(c, ev)
+        .select(col("event_id"), explode(col("ops")).as("op_entry"))
+        .select(col("event_id"), col("op_entry.op"), col("op_entry.pos"),
+          col("op_entry.value"))
+        .orderBy("event_id", "pos")
+    }): Q, Some("""
+      WITH ops AS (
+        SELECT event_id, '=' AS op, 1 AS pos,
+               CAST(event_id AS VARCHAR) AS value FROM events
+        UNION ALL
+        SELECT event_id, '=', 2, json_extract_string(props, '$.k')
+        FROM events)
+      SELECT * FROM ops ORDER BY event_id, pos""")),
+
+    // ---- binary path: encode, decode with evolved reader ----
+    ("avro_roundtrip_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events").select("event_id", "event_type", "value")
+      val bin = ev.select(AvroBinary.toAvroBinary(
+        struct(col("event_id"), col("event_type"), col("value")),
+        eventsWriter).as("b"))
+      bin.select(AvroBinary.fromAvroBinary(col("b"), eventsWriter,
+        eventsReader).as("r"))
+        .select("r.*").orderBy("event_id")
+    }): Q, Some("""
+      SELECT event_id, event_type AS etype, value, 'stream' AS source
+      FROM events ORDER BY event_id""")),
+
+    // ---- schema toolbox: flat-order names/types (literal oracle) ----
+    ("get_names_types", ((s: SparkSession, dir: String) => {
+      val x = Avro.create("""{"type":"record","name":"X","fields":[
+        {"name":"x1","type":"string*"},
+        {"name":"x2","type":{"type":"record","name":"Y","fields":[
+          {"name":"y1","type":"string"},{"name":"y2","type":"long"}]}},
+        {"name":"x4","type":["int","string*"]},
+        {"name":"x6","type":{"type":"map","values":"float"}}]}""")
+      import s.implicits._
+      x.getNames().zip(x.getTypes()).zipWithIndex
+        .map { case ((n, t), i) => (i + 1, n, t) }
+        .toDF("ordinal", "name", "type").orderBy("ordinal")
+    }): Q, Some("""
+      SELECT * FROM (VALUES
+        (1, 'x1', 'string*'), (2, 'x2.y1', 'string'), (3, 'x2.y2', 'long'),
+        (4, 'x4.$type$', 'union_type'), (5, 'x4', 'union_value'),
+        (6, 'x6', 'map')) AS t(ordinal, name, type) ORDER BY ordinal""")),
+
+    // ---- exact dedup (planted dups; md5 grouping) ----
+    ("dedup_exact_documents", ((s: SparkSession, dir: String) => {
+      Dedup.exactGroups(docsWithExactDups(s, dir), "doc_id", "text")
+        .orderBy("keep_id")
+    }): Q, Some(s"""
+      WITH all_docs AS ($docsDupsSql)
+      SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
+      ORDER BY keep_id""")),
+
+    // ---- near-dup by exact n-gram Jaccard (length-blocked) ----
+    ("dedup_ngram_documents", ((s: SparkSession, dir: String) => {
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(s"""
+      WITH all_docs AS ($docsNearDupsSql),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE
+          WHEN len(string_split(lower(trim(text)), ' ')) < 3
+          THEN [array_to_string(string_split(lower(trim(text)), ' '), ' ')]
+          ELSE [array_to_string(string_split(lower(trim(text)), ' ')[i:i+2], ' ')
+                FOR i IN range(1, len(string_split(lower(trim(text)), ' ')) - 1)]
+          END) AS shingles
+        FROM all_docs)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+               AS jacc
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+      ORDER BY id_a, id_b""")),
+
+    // ---- text stats per language ----
+    ("text_stats_documents", ((s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }): Q, Some(s"""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- heuristic language-ID distribution ----
+    ("langid_documents", ((s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .groupBy(TextAnalysis.langId(col("text")).as("lang_detected"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_detected")
+    }): Q, Some(s"""
+      SELECT ${langIdSql("text")} AS lang_detected, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY lang_detected""")),
+
+    // ---- quality scoring distribution (integer buckets) ----
+    ("quality_documents", ((s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(floor(col("n_tokens") / 10).cast("int").as("token_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long"))
+          .as("bucket_tokens"))
+        .orderBy("token_bucket")
+    }): Q, Some(s"""
+      SELECT CAST(floor(${tokenCountSql("text")} / 10) AS INTEGER) AS token_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS bucket_tokens
+      FROM documents GROUP BY 1 ORDER BY token_bucket""")),
+
+    // ---- embedding near-dup pairs (LSH-bucketed; oracle = all-pairs) ----
+    ("embedding_dedup_pairs", ((s: SparkSession, dir: String) => {
+      val e = rd(s, dir, "embeddings")
+      val clones = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 5000).as("vec_id"),
+          transform(col("embedding"), x => x * 1.001f).as("embedding"))
+      val all = e.select("vec_id", "embedding").union(clones)
+      Dedup.embeddingPairs(all, "vec_id", "embedding", dim = 64,
+        threshold = 0.999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH all_vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 5000, CAST(list_transform(embedding,
+          x -> x * CAST(1.001 AS FLOAT)) AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 25 = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+      ORDER BY id_a, id_b""")),
+
+    // ---- ANN: brute-force top-k (ids + ranks; cosine is rank-internal) ----
+    ("similarity_topk", ((s: SparkSession, dir: String) => {
+      val e = rd(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5)
+        .select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- rows-only checks (Spark-specific hashing, no portable oracle) ----
+    ("minhash_pairs_documents", ((s: SparkSession, dir: String) => {
+      Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, None),
+
+    ("simhash_pairs_documents", ((s: SparkSession, dir: String) => {
+      Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b")
+    }): Q, None),
+
+    ("similarity_lsh_topk", ((s: SparkSession, dir: String) => {
+      val e = rd(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, dim = 64).select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    }): Q, None),
+
+    ("multimodal_features", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      val blobs = rd(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.asBlob(col("text"), "fake/image")
+          .as("blob"))
+      blobs.select(col("doc_id"),
+        col("blob.meta.n_bytes").as("n_bytes"),
+        col("blob.meta.width").as("width"),
+        col("blob.meta.height").as("height"),
+        Multimodal.featureColumn(col("blob"), 8).as("features"))
+        .orderBy("doc_id")
+    }): Q, None))
+
+  lazy val queries: Map[String, Q] =
+    all.map { case (n, q, _) => n -> q }.toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) =>
+      n -> sql.trim.replaceAll("\\s+", " ") }.toMap
+}

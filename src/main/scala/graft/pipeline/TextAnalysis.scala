@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Text-analysis operators for training-data pipelines over a `text` column.
+  * All pure Column expressions (codegen-friendly, no UDFs) and — by design —
+  * exactly replicable in ANSI SQL for the DuckDB oracle: integer arithmetic
+  * only, no regex classes with engine-specific semantics.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `needle` in `haystack` via length arithmetic — exact and
+    * portable across engines (plain `replace`, no regex).
+    */
+  def occ(h: Column, needle: String): Column =
+    ((length(h) - length(replaceLit(h, needle))) / needle.length)
+      .cast(IntegerType)
+
+  private def replaceLit(h: Column, needle: String): Column =
+    call_function("replace", h, lit(needle), lit(""))
+
+  /** Whitespace token count; 0 for empty/blank strings. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+      .cast(IntegerType)
+
+  /** Stopword-occurrence votes per language (space-delimited probes so
+    * substrings of bigger words don't count).
+    */
+  val langProbes: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " de la ", " los ", " es ", " y "),
+    "it" -> Seq(" il ", " di ", " che ", " e ", " la "))
+
+  def langScore(text: Column, lang: String): Column =
+    langProbes(lang).map(p => occ(lower(text), p))
+      .reduce(_ + _)
+
+  /** N-gram/stopword heuristic language ID with a deterministic tie order.
+    * Unknown ("und") when no probe fires.
+    */
+  def langId(text: Column): Column = {
+    val order = Seq("en", "de", "fr", "es", "it")
+    val scores = order.map(l => l -> langScore(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val winner = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight means earlier languages win ties (en > de > fr > es > it)
+    winner
+  }
+
+  /** Integer quality score 0..100 from length, alpha ratio and token stats:
+    *   40 * clamp(tokens/20) + 30 * alphaRatio + 30 * avgWordLen in [3,12].
+    * Pure integer arithmetic (portable to the oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val len = length(text)
+    val spaces = occ(text, " ")
+    val lenComponent = least(toks, lit(20)) * 2 // 0..40
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val alphaComponent = when(len > 0, letters * 30 / len)
+      .otherwise(lit(0)) // 0..30
+    val avgWordLen = when(toks > 0, (len - spaces) / toks).otherwise(lit(0))
+    val wordComponent = when(avgWordLen >= 3 && avgWordLen <= 12, lit(30))
+      .when(avgWordLen > 0, lit(10)).otherwise(lit(0))
+    (lenComponent + alphaComponent + wordComponent).cast(IntegerType)
+  }
+
+  /** 64-bit rolling document fingerprint over whitespace tokens:
+    * h' = xxhash64(h, token), left-to-right. Order-sensitive,
+    * whitespace-insensitive, overflow-free under ANSI mode.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(trim(text), "\\s+"), lit(0L),
+      (acc, tok) => xxhash64(acc, tok))
+
+  /** Per-language aggregate profile of a documents table. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(langId(col(textCol)).as("lang_detected"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast(LongType)).as("total_tokens"),
+        avg(qualityScore(col(textCol))).as("avg_quality"))
+}

@@ -210,6 +210,11 @@ final class AvroSchema private[schema] (
     out.result()
   }
 
+  /** A handle rooted at a subtree (e.g. one field's type), sharing this
+    * schema's named-type registry.
+    */
+  def subSchema(t: AvroType): AvroSchema = new AvroSchema(t, types, options)
+
   def exportJson: JValue = SchemaIO.exportSchema(this)
   def exportString: String = exportJson.render
 

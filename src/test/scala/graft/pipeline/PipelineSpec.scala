@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** documents + exact copies of every 10th + near-copies of every 20th. */
+  private lazy val docsWithDups: DataFrame = {
+    val exact = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val near = docs.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" zz qq xx")).as("text"))
+    docs.select("doc_id", "text").union(exact).union(near)
+  }
+
+  test("exact dedup finds planted duplicate groups") {
+    val groups = Dedup.exactGroups(docsWithDups, "doc_id", "text")
+    assert(groups.count() == 50) // every 10th of 500
+    val g0 = groups.filter($"keep_id" === 0).head()
+    assert(g0.getAs[Long]("n_copies") == 2)
+    val kept = Dedup.dropExactDuplicates(docsWithDups, "doc_id", "text")
+    assert(kept.count() == docsWithDups.count() - 50)
+    // keeper is always the min id
+    assert(kept.filter($"doc_id" >= 10000 && $"doc_id" < 20000).count() == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates, never all-pairs") {
+    val pairs = Dedup.minhashPairs(docsWithDups, "doc_id", "text",
+      threshold = 0.7)
+    val found = pairs.filter($"id_a" < 500 &&
+      $"id_b" === $"id_a" + 20000).count()
+    // near-copies (suffix of 3 tokens on ~100-token docs → J≈0.95)
+    assert(found >= 20, s"expected ≥20 of 25 planted near-dups, got $found")
+    // exact copies collide too (J=1.0)
+    assert(pairs.filter($"id_a" < 500 &&
+      $"id_b" === $"id_a" + 10000).count() == 50)
+    // plan check: the join is on band/bucket, not a cartesian product
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "minhash candidate join must be bucketed")
+  }
+
+  test("ngram-jaccard blocking matches brute force on a sample") {
+    val sample = docsWithDups.filter($"doc_id" % 5 === 0)
+    val blocked = Dedup.ngramJaccardPairs(sample, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sh = sample.select($"doc_id".as("id"),
+      Dedup.shingles($"text").as("sh"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.id" < $"b.id")
+      .withColumn("j", Dedup.jaccard($"a.sh", $"b.sh"))
+      .filter($"j" >= 0.8)
+      .select($"a.id", $"b.id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("simhash: identical → 0 hamming; near-dup found; bucketed join") {
+    val pairs = Dedup.simhashPairs(docsWithDups, "doc_id", "text",
+      maxHamming = 3)
+    assert(pairs.filter($"id_a" < 500 && $"id_b" === $"id_a" + 10000)
+      .filter($"hamming" === 0).count() == 50)
+    val near = pairs.filter($"id_a" < 500 &&
+      $"id_b" === $"id_a" + 20000).count()
+    assert(near >= 15, s"simhash should catch most 3-token edits, got $near")
+  }
+
+  private lazy val embs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val near = embs.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 5000).as("vec_id"),
+        transform($"embedding", x => x * 1.001f).as("embedding"))
+    val all = embs.select("vec_id", "embedding").union(near)
+    val pairs = Dedup.embeddingPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.999)
+    val found = pairs.filter($"id_b" === $"id_a" + 5000).count()
+    assert(found == 20, s"all 20 planted clones must be found, got $found")
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val topk = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+    val self = topk.filter($"query_id" === $"id").collect()
+    assert(self.length == 3)
+    assert(self.forall(r => r.getAs[Int]("rank") == 1))
+    assert(self.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    assert(topk.count() == 15)
+  }
+
+  test("LSH top-k finds self and mostly agrees with brute force") {
+    val queries = embs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val approx = Similarity.lshTopK(embs, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, dim = 64)
+    val self = approx.filter($"query_id" === $"id" && $"rank" === 1).count()
+    assert(self == 5, "each query's own vector must be its top hit")
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "LSH candidate generation must be a bucket join")
+  }
+
+  test("tokenCount / langId / qualityScore basics") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "der hund und die katze ist das tier",
+      "", "   ", "one").toDF("text")
+    val r = df.select(TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.qualityScore($"text").as("q")).collect()
+    assert(r(0).getInt(0) == 10 && r(0).getString(1) == "en")
+    assert(r(1).getInt(0) == 8 && r(1).getString(1) == "de")
+    assert(r(2).getInt(0) == 0 && r(2).getString(1) == "und")
+    assert(r(3).getInt(0) == 0)
+    assert(r(4).getInt(0) == 1)
+    assert(r.forall(x => x.getInt(2) >= 0 && x.getInt(2) <= 100))
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    val df = Seq(
+      ("a", "hello   world  "),
+      ("b", "hello world"),
+      ("c", "world hello")).toDF("id", "t")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"t").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("b") != fps("c"))
+  }
+
+  test("multimodal blob plumbing: schema, features, mapPartitions batch") {
+    val blobs = docs.limit(50).select($"doc_id",
+      Multimodal.asBlob($"text", "fake/image").as("blob"))
+    assert(blobs.schema("blob").dataType.simpleString ==
+      "struct<content:binary,meta:struct<format:string,n_bytes:bigint,width:int,height:int>>")
+    val meta = blobs.select($"blob.meta.n_bytes", $"blob.meta.width",
+      $"blob.meta.height").head()
+    assert(meta.getLong(0) > 0 && meta.getInt(1) >= 32 && meta.getInt(2) >= 32)
+    // expression featurizer
+    val f1 = blobs.select($"doc_id",
+      Multimodal.featureColumn($"blob", 8).as("features"))
+    assert(f1.head().getSeq[Float](1).length == 8)
+    // mapPartitions featurizer (the batch-UDF shape)
+    val f2 = Multimodal.extractFeatures(blobs, "blob", 8)
+    assert(f2.columns.contains("features"))
+    assert(f2.head().getSeq[Float](2).length == 8)
+    // determinism: same content → same features
+    val a = f2.filter($"doc_id" === 0).head().getSeq[Float](2)
+    val b = Multimodal.extractFeatures(blobs.filter($"doc_id" === 0),
+      "blob", 8).head().getSeq[Float](2)
+    assert(a == b)
+  }
+}
