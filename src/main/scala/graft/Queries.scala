@@ -390,6 +390,64 @@ object Queries {
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- broadcast join: revenue per market segment ----
+    ("join_orders_customers", ((s: SparkSession, dir: String) => {
+      val orders = rd(s, dir, "orders")
+      val cust = rd(s, dir, "customer")
+      orders.join(broadcast(cust),
+        orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }): Q, Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- two-level broadcast join: revenue per nation via customer ----
+    ("join_nation_revenue", ((s: SparkSession, dir: String) => {
+      val orders = rd(s, dir, "orders")
+      val cust = rd(s, dir, "customer")
+      val nation = rd(s, dir, "nation")
+      orders.join(broadcast(cust),
+        orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation),
+          cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("revenue_cents"))
+        .orderBy("n_name")
+    }): Q, Some("""
+      SELECT n_name,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- window function: top-3 orders per customer ----
+    ("window_top_orders", ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy("o_custkey", "rank")
+    }): Q, Some("""
+      SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders)
+      WHERE rank <= 3 ORDER BY o_custkey, rank""")),
+
     // ---- rows-only checks (Spark-specific hashing, no portable oracle) ----
     ("minhash_pairs_documents", ((s: SparkSession, dir: String) => {
       Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",

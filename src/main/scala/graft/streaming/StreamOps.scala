@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.schema.{AvroSchema}
+import graft.ops.{Compiled, Validate}
+import graft.functions.AvroBinary
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured Streaming surface: the same schema operators applied to
+  * unbounded data (`readStream` → transform → `writeStream`), plus the
+  * stateful building blocks a streaming ingest pipeline needs. The
+  * reference is batch-only (SURVEY §2.4) — this is net-new Spark-native
+  * capability, built on watermarks + windowed aggregation +
+  * `flatMapGroupsWithState`.
+  */
+object StreamOps {
+
+  /** Flatten a stream through a compiled (writer, reader) pair — identical
+    * Column tree to the batch path; Catalyst treats it the same.
+    */
+  def flattenStream(c: Compiled, stream: DataFrame): DataFrame =
+    stream.select(c.flattenColumns(name => stream(name)): _*)
+
+  /** Route a stream into (valid, quarantine) by schema validation. Returns
+    * the annotated stream; split with `.filter($"_valid")` /
+    * `.filter(!$"_valid")` into separate sinks.
+    */
+  def validateStream(schema: AvroSchema, stream: DataFrame): DataFrame =
+    Validate(schema, stream)
+
+  /** Decode an Avro-binary column on a stream with reader-schema evolution
+    * (the streaming ingest shape: bytes from a log/bus → typed columns).
+    */
+  def decodeStream(stream: DataFrame, binCol: String, writer: AvroSchema,
+      reader: AvroSchema): DataFrame =
+    stream.select(AvroBinary.fromAvroBinary(col(binCol), writer, reader)
+      .as("r")).select("r.*")
+
+  /** Windowed per-key event counts + value sums with a watermark — the
+    * canonical streaming aggregation (late data beyond `delay` dropped).
+    */
+  def windowedStats(stream: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String = "1 minute",
+      delay: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+
+  /** Per-key running session state via flatMapGroupsWithState: emits one
+    * update row per input batch per key (running count + sum). The custom
+    * state shape the reference's per-record pipeline would need when moved
+    * to a stream.
+    */
+  final case class KeyState(n: Long, sum: Double)
+  final case class KeyUpdate(key: Long, n: Long, sum: Double)
+
+  def runningPerKey(stream: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    val typed = stream.select(col(keyCol).cast("long").as("key"),
+      col(valueCol).cast("double").as("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, KeyUpdate](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(0L, 0.0))
+          var n = prev.n
+          var s = prev.sum
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update(KeyState(n, s))
+          Iterator(KeyUpdate(key, n, s))
+      }.toDF()
+  }
+}
