@@ -163,8 +163,9 @@ object AvroBinary {
       case _: EnumType =>
         v => if (v == null) null else UTF8String.fromString(v.toString)
       case _: FixedType =>
+        // clone: with datum reuse avro refills the same Fixed in place
         v => if (v == null) null
-          else v.asInstanceOf[GenericData.Fixed].bytes()
+          else v.asInstanceOf[GenericData.Fixed].bytes().clone()
       case a: graft.schema.ArrayType =>
         val dec = decoder(s, a.items, inner.getElementType)
         v => if (v == null) null else {
@@ -248,14 +249,18 @@ case class ToAvroBinary(child: Expression, schemaJson: String)
     AvroBinary.encoder(graftSchema, graftSchema.root, javaSchema)
   @transient private lazy val writer =
     new GenericDatumWriter[AnyRef](javaSchema)
-  @transient private lazy val tl =
-    ThreadLocal.withInitial[ByteArrayOutputStream](() =>
-      new ByteArrayOutputStream(256))
+  // per-thread reused stream + encoder: binaryEncoder() allocates a 2KiB
+  // buffer per call otherwise, which dominates the per-row cost
+  @transient private lazy val tl = ThreadLocal.withInitial[
+      (ByteArrayOutputStream, org.apache.avro.io.BinaryEncoder)](() => {
+    val out = new ByteArrayOutputStream(256)
+    (out, EncoderFactory.get().directBinaryEncoder(out, null))
+  })
 
   override def nullSafeEval(input: Any): Any = {
-    val out = tl.get()
+    val (out, reuse) = tl.get()
     out.reset()
-    val e = EncoderFactory.get().binaryEncoder(out, null)
+    val e = EncoderFactory.get().directBinaryEncoder(out, reuse)
     writer.write(enc(input), e)
     e.flush()
     out.toByteArray
@@ -280,16 +285,22 @@ case class FromAvroBinary(child: Expression, writerJson: String,
   @transient private lazy val dec =
     AvroBinary.decoder(readerSchema, readerSchema.root, jReader)
 
-  override def dataType: DataType = {
-    val rs = Avro.create(readerJson)
-    SchemaConverters.toSparkType(rs, rs.root)
-  }
+  override lazy val dataType: DataType =
+    SchemaConverters.toSparkType(readerSchema, readerSchema.root)
   override def nullable: Boolean = child.nullable
+
+  @transient private lazy val tlDec = ThreadLocal.withInitial[
+      (org.apache.avro.io.BinaryDecoder, Array[AnyRef])](() =>
+    (DecoderFactory.get().binaryDecoder(Array.emptyByteArray, null),
+      new Array[AnyRef](1)))
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    val d = DecoderFactory.get().binaryDecoder(bytes, null)
-    dec(datumReader.read(null, d))
+    val (reuse, datumBox) = tlDec.get()
+    val d = DecoderFactory.get().binaryDecoder(bytes, reuse)
+    // reuse the previous datum skeleton (avro refills it in place)
+    datumBox(0) = datumReader.read(datumBox(0), d).asInstanceOf[AnyRef]
+    dec(datumBox(0))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -56,8 +57,16 @@ object Dedup {
     * cheaper at the candidate-join stage, identical results w.h.p.
     * (collision odds ≈ n²/2⁶⁵).
     */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    // hash the word n-tuple directly (multi-arg xxhash64) — no shingle
+    // string allocation; same distinct set as hashing "w1 w2 w3"
+    val words = split(lower(trim(text)), "\\s+")
+    val count = size(words)
+    when(count < n, array(xxhash64(concat_ws(" ", words))))
+      .otherwise(array_distinct(transform(sequence(lit(0), count - n),
+        i => xxhash64((0 until n).map(k =>
+          element_at(words, (i + k + 1).cast("int"))): _*))))
+  }
 
   /** MinHash signature: array of `numHashes` minima over the shingle set
     * (shingle→minhash→band→bucket pipeline). ONE aggregate pass over the
@@ -72,6 +81,103 @@ object Dedup {
       (acc, h) => zip_with(acc,
         array((0 until numHashes).map(i => xxhash64(lit(i), h)): _*),
         (a, b) => least(a, b)))
+
+  // -------------------------------------------------------------------
+  // JVM-side shingle kernels. Catalyst higher-order functions (transform/
+  // aggregate lambdas) are NOT whole-stage-codegen'd — they interpret per
+  // element, ~10× slower on the shingle hot path. These typed flatMaps are
+  // the deliberate mapPartitions-tier escape hatch for that hot path; the
+  // relational shape (explode → join → groupBy) stays declarative.
+  // -------------------------------------------------------------------
+
+  private[pipeline] def hashBytes(b: Array[Byte], seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(b,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+
+  /** Distinct hashed word n-gram shingles of one text (JVM kernel). */
+  private[pipeline] def shingleHashArray(text: String, n: Int): Array[Long] = {
+    val words = text.trim.toLowerCase.split("\\s+")
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (words.length < n) {
+      set.add(hashBytes(words.mkString(" ").getBytes("UTF-8"), 42L))
+    } else {
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(words(i + k)); k += 1 }
+        set.add(hashBytes(sb.toString.getBytes("UTF-8"), 42L))
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Inverted shingle index (id, nsh, s) as a typed flatMap. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleHashArray(if (text == null) "" else text, shingleSize)
+        hs.map(h => (id, hs.length, h))
+      }.toDF("id", "nsh", "s")
+  }
+
+  /** Per-doc (id, shingle-hash array) as a typed map (for pair verify). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, shingleHashArray(if (text == null) "" else text, shingleSize))
+      }.toDF("id", "sh")
+  }
+
+  /** (id, band, bucket) LSH rows via a JVM minhash kernel. */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleHashArray(if (text == null) "" else text, shingleSize)
+        val sig = new Array[Long](numHashes)
+        java.util.Arrays.fill(sig, Long.MaxValue)
+        var si = 0
+        while (si < hs.length) {
+          val h = hs(si)
+          var i = 0
+          while (i < numHashes) {
+            val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i.toLong)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          si += 1
+        }
+        (0 until bands).map { b =>
+          var acc = 1125899906842597L
+          var r = 0
+          while (r < rows) {
+            acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+              sig(b * rows + r), acc)
+            r += 1
+          }
+          (id, b, acc)
+        }
+      }.toDF("id", "band", "bucket")
+  }
 
   /** LSH band buckets: split the signature into `bands` bands of
     * `rows = numHashes / bands` and hash each band. Emits one row per
@@ -100,20 +206,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, numHashes, bands,
+    val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands,
       shingleSize)
     val bounded = buckets.withColumn("bsz",
       count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= maxBucketSize)
-    val l = bounded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"))
-    val r = bounded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val texts = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("sh"))
+    val texts = shingleSets(df, idCol, textCol, shingleSize)
     cand
       .join(texts.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -131,35 +235,42 @@ object Dedup {
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
-  /** All near-dup pairs by exact n-gram Jaccard with length-bucket blocking:
-    * docs with Jaccard ≥ t must have shingle counts within a factor of
-    * ~1/t, so only adjacent power-of-1.3 length buckets are compared.
-    * Oracle-friendly (no hashing) yet never all-pairs at scale.
+  /** All near-dup pairs by exact n-gram Jaccard via an inverted shingle
+    * index: explode (doc, shingle), self-join on the shingle hash, count
+    * matches per pair = |A∩B|, then J = inter / (|A|+|B|−inter). Exact
+    * (identical to an all-pairs oracle — every J>0 pair shares a shingle)
+    * but the join work is Σ_s freq(s)², not n², and it is a single hash
+    * shuffle on the shingle key.
+    *
+    * Scale guard: `maxDocFreq` drops shingles present in more docs than
+    * the cap from candidate *generation* (stop-shingle skew guard). Any
+    * true pair sharing only ultra-common shingles would be missed, so the
+    * default (0 = off) keeps exact semantics.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleSize: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .withColumn("bucket",
-        floor(log(col("nsh").cast("double") + 1) / math.log(1.3))
-          .cast(LongType))
-    val probes = base.select(col("id"), col("sh"), col("nsh"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("probe"))
-    val l = probes.select(col("probe"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val r = base.select(col("bucket").as("probe"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    l.join(r, "probe")
-      // normalize orientation before dedup: the probe side is asymmetric
-      // (each doc probes its own and the next bucket), so the smaller id
-      // can appear on either side of the join
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      maxDocFreq: Int = 0): DataFrame = {
+    val exploded = shingleIndex(df, idCol, textCol, shingleSize)
+    val bounded =
+      if (maxDocFreq > 0)
+        exploded.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("df") <= maxDocFreq).drop("df")
+      else exploded
+    // both join sides read this subtree; persist so the shingle hashing
+    // runs once (self-joins do not reuse exchanges across projections)
+    val cached = bounded.persist(StorageLevel.MEMORY_AND_DISK)
+    val l = cached.select(col("s"), col("id").as("id_a"),
+      col("nsh").as("n_a"))
+    val r = cached.select(col("s"), col("id").as("id_b"),
+      col("nsh").as("n_b"))
+    l.join(r, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
-      .distinct()
+      .select("id_a", "id_b", "jaccard")
   }
 
   // -------------------------------------------------------------------
@@ -215,6 +326,7 @@ object Dedup {
         shiftright(col("sh"), q * 16).bitwiseAND(0xffffL).as("part"))): _*))
         .as("bb"))
       .select(col("id"), col("sh"), col("bb.q"), col("bb.part"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
     val l = quarters.select(col("q"), col("part"), col("id").as("id_a"),
       col("sh").as("sh_a"))
     val r = quarters.select(col("q"), col("part"), col("id").as("id_b"),
@@ -242,6 +354,7 @@ object Dedup {
           Similarity.hyperplaneBucket(col(vecCol), dim, nBits,
             seed = 7919 * (t + 1)).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.t"), col("bb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
     val l = withBuckets.select(col("t"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val r = withBuckets.select(col("t"), col("bucket"),
