@@ -266,6 +266,34 @@ object Queries {
         (4, 'x4.$type$', 'union_type'), (5, 'x4', 'union_value'),
         (6, 'x6', 'map')) AS t(ordinal, name, type) ORDER BY ordinal""")),
 
+    // ---- record-at-a-time converter goldens (literal oracle) ----
+    ("value_convert_goldens", ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.ops.{ConvertValue, FlattenOps}
+      val person = Avro.create("""{"name":"p","type":"record","fields":[
+        {"name":"a","type":"int"},{"name":"b","type":"string"},
+        {"name":"u","type":["null","int"]}]}""")
+      val c = FlattenOps.compile(person).fold(e => sys.error(e), identity)
+      def show(r: Either[String, Any]): String =
+        r.fold(e => s"ERR:$e", v => v.toString)
+      Seq(
+        (1, show(ConvertValue.flatten(c,
+          Map("a" -> 7L, "b" -> "x", "u" -> Map("int" -> 1L))))),
+        (2, show(ConvertValue.flatten(c,
+          Map("a" -> 7L, "b" -> "x", "u" -> null)))),
+        (3, show(ConvertValue.flatten(c, Map("a" -> "bad")))),
+        (4, show(ConvertValue.unflatten(c, Seq(7L, "x", 1, 5L)))),
+        (5, show(ConvertValue.unflatten(c, Seq(7L, "x", 9, 5L)))))
+        .toDF("case_id", "result").orderBy("case_id")
+    }): Q, Some("""
+      SELECT * FROM (VALUES
+        (1, 'Vector(7, x, 1, 1)'),
+        (2, 'Vector(7, x, 0, null)'),
+        (3, 'ERR:a: Expecting INT, encountered STR'),
+        (4, 'ListMap(a -> 7, b -> x, u -> ListMap(int -> 5))'),
+        (5, 'ERR:3: Bad value: 9')) AS t(case_id, result)
+      ORDER BY case_id""")),
+
     // ---- exact dedup (planted dups; md5 grouping) ----
     ("dedup_exact_documents", ((s: SparkSession, dir: String) => {
       Dedup.exactGroups(docsWithExactDups(s, dir), "doc_id", "text")

@@ -22,6 +22,13 @@ object XFlatten {
   def apply(c: Compiled, df: DataFrame): DataFrame =
     df.withColumn("ops", opsColumn(c, name => df(name)))
 
+  /** Serialized update-op list — the `xflatten_msgpack` analog
+    * (reference: init.lua:462–470): ops rendered as a compact JSON array
+    * string ready for a log/bus sink.
+    */
+  def opsSerialized(c: Compiled, in: String => Column): Column =
+    to_json(opsColumn(c, in))
+
   def opsColumn(c: Compiled, in: String => Column): Column = {
     val rm = FlattenOps.rootRecordMapping(c.mapping)
     val sfOffset = c.serviceFields.length

@@ -1,0 +1,34 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"===== $name")
+      println("  pushed_filters: " + "PushedFilters: \\[[^\\]]*\\]".r
+        .findAllIn(formatted).take(3).mkString(" | "))
+      println("  read_schema: " + "ReadSchema: [^\n]*".r
+        .findFirstIn(formatted).getOrElse("-"))
+      println("  exchanges: " + "Exchange [a-z]+".r.findAllIn(plan).length +
+        "  broadcasts: " + plan.sliding("BroadcastHashJoin".length)
+          .count(_ == "BroadcastHashJoin") +
+        "  sortmerge: " + plan.sliding("SortMergeJoin".length)
+          .count(_ == "SortMergeJoin") +
+        "  cartesian: " + plan.contains("CartesianProduct") +
+        "  wscg_spans: " + "WholeStageCodegen".r.findAllIn(plan).length)
+    }
+    Seq("q1_agg", "flatten_customer", "join_orders_customers",
+      "join_nation_revenue", "window_top_orders", "similarity_topk",
+      "dedup_exact_documents", "enum_encode_orders").foreach(audit)
+    spark.stop()
+  }
+}
