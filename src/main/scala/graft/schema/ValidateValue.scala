@@ -4,18 +4,18 @@ import scala.collection.immutable.ListMap
 import java.util.IdentityHashMap
 
 /** Driver-side data validation + normalization against a schema — the analog
-  * of the reference's `validate` (reference: frontend.lua:740–938 copy_data)
-  * with the same error contract (reference: runtime.lua:275–336):
-  * `path/to/field: Expecting STR, encountered LONG`.
-  *
-  * The DataFrame-scale variant lives in [[graft.ops.Validate]]; this pure
-  * version backs default-value validation at schema-create time and the
-  * golden-corpus tests.
+  * of the reference's `validate` API (reference: frontend.lua:740–938
+  * copy_data) with its exact error contract (goldens:
+  * test/ddt_suite/validate.lua): `Not a int: 42.1`, `Field X missing`,
+  * `Z: Unknown field`, `XXX: Unexpected key in union` — note this is a
+  * DIFFERENT message family from the compiled flatten/unflatten runtime
+  * errors (`Expecting INT, encountered STR`), which live in
+  * [[graft.ops.ConvertValue]] and [[graft.ops.Validate]].
   */
 object ValidateValue {
 
-  /** Rendered MsgPack-ish type token of a runtime value
-    * (reference: runtime.lua:193–197 typenames).
+  /** Rendered MsgPack-ish type token of a runtime value — used by the
+    * *runtime* error family (reference: runtime.lua:193–197 typenames).
     */
   def typeToken(v: Any): String = v match {
     case null => "NIL"
@@ -31,7 +31,18 @@ object ValidateValue {
     case _ => "EXT"
   }
 
-  private def quote(s: String): String = "\"" + s + "\""
+  /** Lua-style value rendering for validate errors
+    * (`Not a int: 42.1`, `Not a string: 42`).
+    */
+  private def render(v: Any): String = v match {
+    case null => "nil"
+    case s: String => s
+    case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case f: Float => render(f.toDouble)
+    case b: Array[Byte] => new String(b, "ISO-8859-1")
+    case other => other.toString
+  }
 
   final class Ctx(val schema: AvroSchema) {
     val path = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -91,76 +102,79 @@ object ValidateValue {
     case _ => None
   }
 
+  private def asNumber(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case _ => None
+  }
+
+  /** `Not a <name>: <value>` — named types use their type NAME
+    * (`Not a fixed16: …`, `Not a foo: …`, validate.lua:401–441).
+    */
+  private def notA(ctx: Ctx, t: AvroType, v: Any): Nothing = {
+    val name = t match {
+      case n: NamedType => n.name
+      case other => other.typeName
+    }
+    ctx.fail(s"Not a $name: ${render(v)}")
+  }
+
   def check(ctx: Ctx, tpe: AvroType, data: Any): Any = {
     val t = ctx.schema.resolve(tpe)
     if (data == null) {
       t match {
         case PrimitiveType("null", _) => return null
         case _ if t.nullable => return null
-        case u: UnionType if u.branches.exists(_.typeName == "null") =>
-          return null
+        case u: UnionType =>
+          if (u.branches.exists(_.typeName == "null")) return null
+          else ctx.fail("Unexpected type in union: null")
         case PrimitiveType("any", _) => return null
-        case _ => ctx.fail(s"Expecting ${expectedToken(t)}, encountered NIL")
+        case _ => notA(ctx, t, data)
       }
     }
     t match {
-      case PrimitiveType("null", _) =>
-        ctx.fail(s"Expecting NIL, encountered ${typeToken(data)}")
+      case PrimitiveType("null", _) => notA(ctx, t, data)
       case PrimitiveType("any", _) => data
       case PrimitiveType("boolean", _) => data match {
         case b: Boolean => b
-        case _ => ctx.fail(s"Expecting BOOL, encountered ${typeToken(data)}")
+        case _ => notA(ctx, t, data)
       }
       case PrimitiveType("int", _) => asLong(data) match {
         case Some(v) if intInRange(v) => v
-        case Some(v) => ctx.fail(s"Value exceeds INT range: $v")
-        case None => ctx.fail(s"Expecting INT, encountered ${typeToken(data)}")
+        case _ => notA(ctx, t, data)
       }
       case PrimitiveType("long", _) => asLong(data) match {
         case Some(v) => v
-        case None => ctx.fail(s"Expecting LONG, encountered ${typeToken(data)}")
+        case None => notA(ctx, t, data)
       }
-      case PrimitiveType("float", _) => data match {
-        case d: Double => d
-        case f: Float => f.toDouble
-        case other => asLong(other) match {
-          case Some(v) => v.toDouble // long→float auto-repair
-          case None =>
-            ctx.fail(s"Expecting FLOAT, encountered ${typeToken(data)}")
-        }
-      }
-      case PrimitiveType("double", _) => data match {
-        case d: Double => d
-        case f: Float => f.toDouble
-        case other => asLong(other) match {
-          case Some(v) => v.toDouble // long→double auto-repair
-          case None =>
-            ctx.fail(s"Expecting DOUBLE, encountered ${typeToken(data)}")
-        }
+      case PrimitiveType("float" | "double", _) => asNumber(data) match {
+        case Some(v) => v
+        case None => notA(ctx, t, data)
       }
       case PrimitiveType("string", _) => data match {
         case s: String => s
-        case _ => ctx.fail(s"Expecting STR, encountered ${typeToken(data)}")
+        case _ => notA(ctx, t, data)
       }
       case PrimitiveType("bytes", _) => data match {
         case b: Array[Byte] => b
         case s: String => s
-        case _ => ctx.fail(s"Expecting BIN, encountered ${typeToken(data)}")
+        case _ => notA(ctx, t, data)
       }
       case f: FixedType =>
-        val len = data match {
-          case b: Array[Byte] => b.length
-          case s: String => s.length
-          case _ =>
-            ctx.fail(s"Expecting BIN, encountered ${typeToken(data)}")
+        val ok = data match {
+          case b: Array[Byte] => b.length == f.size
+          case s: String => s.length == f.size
+          case _ => false
         }
-        if (len != f.size) ctx.fail(
-          s"Expecting BIN of length ${f.size}. Encountered BIN of length $len.")
+        if (!ok) notA(ctx, f, data)
         data
       case e: EnumType => data match {
         case s: String if e.symbolIndex.contains(s) => s
-        case s: String => ctx.fail(s"Bad value: ${quote(s)}")
-        case _ => ctx.fail(s"Expecting STR, encountered ${typeToken(data)}")
+        case _ => notA(ctx, e, data)
       }
       case a: ArrayType => data match {
         case xs: Seq[_] => cycleGuard(ctx, xs) {
@@ -168,16 +182,16 @@ object ValidateValue {
             ctx.in((i + 1).toString)(check(ctx, a.items, x))
           }
         }
-        case _ => ctx.fail(s"Expecting ARRAY, encountered ${typeToken(data)}")
+        case _ => notA(ctx, a, data)
       }
       case m: MapType => data match {
         case kv: Map[_, _] => cycleGuard(ctx, kv) {
           ListMap(kv.toSeq.map {
             case (k: String, v) => k -> ctx.in(k)(check(ctx, m.values, v))
-            case _ => ctx.fail("Non-string key")
+            case (k, _) => ctx.fail(s"Non-string map key: ${render(k)}")
           }: _*)
         }
-        case _ => ctx.fail(s"Expecting MAP, encountered ${typeToken(data)}")
+        case _ => notA(ctx, m, data)
       }
       case r: RecordType => data match {
         case kv: Map[_, _] => cycleGuard(ctx, kv) {
@@ -186,8 +200,8 @@ object ValidateValue {
           kv.keys.foreach {
             case k: String =>
               if (!fieldsByName.contains(k) && !aliasTo.contains(k))
-                ctx.fail(s"Unknown key: ${quote(k)}")
-            case _ => ctx.fail("Non-string key")
+                ctx.in(k)(ctx.fail("Unknown field"))
+            case k => ctx.fail(s"Non-string map key: ${render(k)}")
           }
           val smap = kv.asInstanceOf[Map[String, Any]]
           ListMap(r.fields.flatMap { f =>
@@ -206,28 +220,27 @@ object ValidateValue {
                     case u: UnionType
                         if u.branches.exists(_.typeName == "null") =>
                       Some(f.name -> null)
-                    case _ => ctx.fail(s"Key missing: ${quote(f.name)}")
+                    case _ => ctx.fail(s"Field ${f.name} missing")
                   }
               }
             }
           }: _*)
         }
-        case _ => ctx.fail(s"Expecting MAP, encountered ${typeToken(data)}")
+        case _ => notA(ctx, r, data)
       }
       case u: UnionType => data match {
         case kv: Map[_, _] =>
-          if (kv.size != 1) ctx.fail(
-            s"Expecting MAP of length 1. Encountered MAP of length ${kv.size}.")
+          if (kv.size != 1) notA(ctx, u, data)
           val (k, v) = kv.head match {
             case (k: String, v) => (k, v)
-            case _ => ctx.fail("Non-string key")
+            case (k, _) => ctx.fail(s"Non-string map key: ${render(k)}")
           }
           val branch = u.branches.find(b => branchTag(ctx.schema, b) == k)
           branch match {
             case Some(b) => ListMap(k -> ctx.in(k)(check(ctx, b, v)))
-            case None => ctx.fail(s"Unknown key: ${quote(k)}")
+            case None => ctx.in(k)(ctx.fail("Unexpected key in union"))
           }
-        case _ => ctx.fail(s"Expecting MAP, encountered ${typeToken(data)}")
+        case _ => notA(ctx, u, data)
       }
       case ref: Reference => check(ctx, ctx.schema.resolve(ref), data)
     }
@@ -252,25 +265,9 @@ object ValidateValue {
       case other => other.typeName
     }
 
-  private def expectedToken(t: AvroType): String = t match {
-    case PrimitiveType("null", _) => "NIL"
-    case PrimitiveType("boolean", _) => "BOOL"
-    case PrimitiveType("int", _) => "INT"
-    case PrimitiveType("long", _) => "LONG"
-    case PrimitiveType("float", _) => "FLOAT"
-    case PrimitiveType("double", _) => "DOUBLE"
-    case PrimitiveType("string", _) => "STR"
-    case PrimitiveType("bytes", _) => "BIN"
-    case _: FixedType => "BIN"
-    case _: EnumType => "STR"
-    case _: ArrayType => "ARRAY"
-    case _: MapType | _: RecordType => "MAP"
-    case _: UnionType => "MAP"
-    case _ => "?"
-  }
-
   private def cycleGuard[A](ctx: Ctx, ref: AnyRef)(body: => A): A = {
-    if (ctx.visiting.containsKey(ref)) ctx.fail("Infinite loop detected in the data")
+    if (ctx.visiting.containsKey(ref))
+      ctx.fail("Infinite loop detected in the data")
     ctx.visiting.put(ref, ref)
     try body finally ctx.visiting.remove(ref)
   }

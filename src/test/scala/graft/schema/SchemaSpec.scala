@@ -181,35 +181,31 @@ class SchemaSpec extends AnyFunSuite {
       {"name":"HomeAddress","type":"string"},
       {"name":"Occupation","type":"string"}]}""")
     def v(data: Any) = ValidateValue.validate(person, data)
-    assert(v(42L) == Left("Expecting MAP, encountered LONG"))
-    assert(v(Map("InvalidKey" -> 1L)) == Left("Unknown key: \"InvalidKey\""))
+    assert(v(42L) == Left("Not a person: 42"))
+    assert(v(Map("InvalidKey" -> 1L)) == Left("InvalidKey: Unknown field"))
     val good = Map("FirstName" -> "John", "LastName" -> "Doe", "Age" -> 33L,
       "Sex" -> 1L, "PhoneNumber" -> "+7", "HomeAddress" -> "Street",
       "Occupation" -> "Engineer")
     assert(v(good).isRight)
     assert(v(good.updated("FirstName", 42L)) ==
-      Left("FirstName: Expecting STR, encountered LONG"))
-    assert(v(good.updated("Age", 1.5)) ==
-      Left("Age: Expecting INT, encountered DOUBLE"))
-    assert(v(good - "FirstName") == Left("Key missing: \"FirstName\""))
+      Left("FirstName: Not a string: 42"))
+    assert(v(good.updated("Age", 1.5)) == Left("Age: Not a int: 1.5"))
+    assert(v(good - "FirstName") == Left("Field FirstName missing"))
     assert(v(good.updated("Age", 4000000000L)) ==
-      Left("Age: Value exceeds INT range: 4000000000"))
+      Left("Age: Not a int: 4000000000"))
   }
 
-  test("validate: F3 union golden errors (union.lua)") {
+  test("validate: F3 union golden errors (validate.lua:355–385)") {
     val u = Avro.create("""["int","string","double"]""")
     def v(data: Any) = ValidateValue.validate(u, data)
     assert(v(Map("int" -> 42L)).isRight)
-    assert(v(Map("!!!" -> 1L)) == Left("Unknown key: \"!!!\""))
-    assert(v(Map.empty[String, Any]) ==
-      Left("Expecting MAP of length 1. Encountered MAP of length 0."))
-    assert(v(Map("int" -> "x")) ==
-      Left("int: Expecting INT, encountered STR"))
-    assert(v(Map("string" -> 42L)) ==
-      Left("string: Expecting STR, encountered LONG"))
-    assert(v(Map("double" -> "x")) ==
-      Left("double: Expecting DOUBLE, encountered STR"))
-    // long → double auto-repair accepts integers for double
+    assert(v(Map("!!!" -> 1L)) == Left("!!!: Unexpected key in union"))
+    assert(v(42L) == Left("Not a union: 42"))
+    assert(v(null) == Left("Unexpected type in union: null"))
+    assert(v(Map("int" -> "x")) == Left("int: Not a int: x"))
+    assert(v(Map("string" -> 42L)) == Left("string: Not a string: 42"))
+    assert(v(Map("double" -> "x")) == Left("double: Not a double: x"))
+    // numbers are acceptable floats/doubles (validate.lua:162–230)
     assert(v(Map("double" -> 42L)) == Right(Map("double" -> 42.0)))
   }
 
