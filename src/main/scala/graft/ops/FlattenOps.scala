@@ -50,7 +50,8 @@ final case class Compiled(
     */
   def flattenColumns(in: String => Column): Seq[Column] = {
     val rm = rootRecordMapping(mapping)
-    val slots = recordSlots(this, rm, fname => in(fname), prefix = "")
+    val slots = recordSlots(this, rm, fname => in(fname), prefix = "",
+      depth = Map(rm.to.fullName -> 1))
     slots.map { case (name, c) => c.as(name) }
   }
 
@@ -66,7 +67,8 @@ final case class Compiled(
     val dataCols = cols.drop(serviceFields.length).map(df(_)).toVector
     val sf = cols.take(serviceFields.length).map(df(_))
     val rm = rootRecordMapping(mapping)
-    val fields = unflattenRecord(this, rm, dataCols, new SlotCursor)
+    val fields = unflattenRecord(this, rm, dataCols, new SlotCursor,
+      Map(rm.to.fullName -> 1))
     df.select(sf ++ fields: _*)
   }
 
@@ -113,14 +115,15 @@ object FlattenOps {
     * (reference: compiler.lua:510–619).
     */
   def recordSlots(c: Compiled, rm: Mapping.RecordM, in: String => Column,
-      prefix: String): Vector[(String, Column)] =
+      prefix: String,
+      depth: Map[String, Int] = Map.empty): Vector[(String, Column)] =
     rm.to.fields.zipWithIndex.flatMap { case (tf, o) =>
       val name = if (prefix.isEmpty) tf.name else s"$prefix${tf.name}"
       rm.o2i(o) match {
         case Some(i) =>
           val wf = rm.from.fields(i)
           slotsFor(c, rm.fieldIr(i), in(wf.name), c.reader.resolve(tf.tpe),
-            name)
+            name, depth)
         case None =>
           // reader-only field: synthesize from the default
           defaultSlots(c, c.reader.resolve(tf.tpe), tf.default.get, name)
@@ -129,21 +132,24 @@ object FlattenOps {
 
   /** Slots for one reader field given its mapping and source column. */
   def slotsFor(c: Compiled, m: Mapping, src: Column, readerT: AvroType,
-      name: String): Vector[(String, Column)] = m match {
-    case Mapping.Prim(from, to, _) =>
-      Vector(name -> castPrim(c, src, from, to))
-    case Mapping.FixedM(_, _) => Vector(name -> src)
-    case em: Mapping.EnumM => Vector(name -> enumS2I(em, src))
-    case am: Mapping.ArrayM => Vector(name -> arrayValue(c, am, src))
-    case mm: Mapping.MapM => Vector(name -> mapValue(c, mm, src))
-    case rm: Mapping.RecordM if !rm.nullable && !readerIsNullableRecord(c, readerT) =>
-      recordSlots(c, rm, fname => src.getField(fname), s"${name}_")
-    case rm: Mapping.RecordM =>
-      // nullable record → single null-or-struct slot
-      Vector(name -> when(src.isNotNull,
-        recordValue(c, rm, src)).otherwise(lit(null)))
-    case um: Mapping.UnionM => unionSlots(c, um, src, name)
-  }
+      name: String,
+      depth: Map[String, Int] = Map.empty): Vector[(String, Column)] =
+    m match {
+      case Mapping.Prim(from, to, _) =>
+        Vector(name -> castPrim(c, src, from, to))
+      case Mapping.FixedM(_, _) => Vector(name -> src)
+      case em: Mapping.EnumM => Vector(name -> enumS2I(em, src))
+      case am: Mapping.ArrayM => Vector(name -> arrayValue(c, am, src, depth))
+      case mm: Mapping.MapM => Vector(name -> mapValue(c, mm, src, depth))
+      case rm: Mapping.RecordM
+          if !rm.nullable && !readerIsNullableRecord(c, readerT) =>
+        recordSlots(c, rm, fname => src.getField(fname), s"${name}_", depth)
+      case rm: Mapping.RecordM =>
+        // nullable record → single null-or-struct slot
+        Vector(name -> when(src.isNotNull,
+          recordValue(c, rm, src, depth)).otherwise(lit(null)))
+      case um: Mapping.UnionM => unionSlots(c, um, src, name, depth)
+    }
 
   private def readerIsNullableRecord(c: Compiled, t: AvroType): Boolean =
     c.reader.resolve(t) match {
@@ -183,37 +189,49 @@ object FlattenOps {
   // subtree stays nested — reference keeps subarrays, we keep structs)
   // ---------------------------------------------------------------------
 
-  def valueOf(c: Compiled, m: Mapping, src: Column): Column = m match {
+  def valueOf(c: Compiled, m: Mapping, src: Column,
+      depth: Map[String, Int] = Map.empty): Column = m match {
     case Mapping.Prim(from, to, _) => castPrim(c, src, from, to)
     case Mapping.FixedM(_, _) => src
     case em: Mapping.EnumM => enumS2I(em, src)
-    case am: Mapping.ArrayM => arrayValue(c, am, src)
-    case mm: Mapping.MapM => mapValue(c, mm, src)
+    case am: Mapping.ArrayM => arrayValue(c, am, src, depth)
+    case mm: Mapping.MapM => mapValue(c, mm, src, depth)
     case rm: Mapping.RecordM =>
-      if (rm.nullable) when(src.isNotNull, recordValue(c, rm, src))
+      if (rm.nullable) when(src.isNotNull, recordValue(c, rm, src, depth))
         .otherwise(lit(null))
-      else recordValue(c, rm, src)
-    case um: Mapping.UnionM => unionValue(c, um, src)
+      else recordValue(c, rm, src, depth)
+    case um: Mapping.UnionM => unionValue(c, um, src, depth)
   }
 
-  def arrayValue(c: Compiled, am: Mapping.ArrayM, src: Column): Column = {
-    val body = (x: Column) => valueOf(c, am.nested, x)
+  def arrayValue(c: Compiled, am: Mapping.ArrayM, src: Column,
+      depth: Map[String, Int] = Map.empty): Column = {
+    val body = (x: Column) => valueOf(c, am.nested, x, depth)
     val out = transform(src, body)
     if (am.nullable) when(src.isNotNull, out).otherwise(lit(null)) else out
   }
 
-  def mapValue(c: Compiled, mm: Mapping.MapM, src: Column): Column = {
+  def mapValue(c: Compiled, mm: Mapping.MapM, src: Column,
+      depth: Map[String, Int] = Map.empty): Column = {
     val out = transform_values(src, (_: Column, v: Column) =>
-      valueOf(c, mm.nested, v))
+      valueOf(c, mm.nested, v, depth))
     if (mm.nullable) when(src.isNotNull, out).otherwise(lit(null)) else out
   }
 
-  /** Record as a nested struct value in READER field order with defaults. */
-  def recordValue(c: Compiled, rm: Mapping.RecordM, src: Column): Column = {
+  /** Record as a nested struct value in READER field order with defaults.
+    * Recursive schemas expand at most
+    * [[SchemaConverters.MaxRecursionDepth]] times (SURVEY §7.3) — deeper
+    * levels truncate to null, matching the depth-limited Spark type.
+    */
+  def recordValue(c: Compiled, rm: Mapping.RecordM, src: Column,
+      depth: Map[String, Int] = Map.empty): Column = {
+    val name = rm.to.fullName
+    if (depth.getOrElse(name, 0) >= SchemaConverters.MaxRecursionDepth)
+      return lit(null)
+    val d2 = depth.updated(name, depth.getOrElse(name, 0) + 1)
     val fields = rm.to.fields.zipWithIndex.map { case (tf, o) =>
       val v = rm.o2i(o) match {
         case Some(i) =>
-          valueOf(c, rm.fieldIr(i), src.getField(rm.from.fields(i).name))
+          valueOf(c, rm.fieldIr(i), src.getField(rm.from.fields(i).name), d2)
         case None => defaultValueColumn(c, c.reader.resolve(tf.tpe),
           tf.default.get)
       }
@@ -226,13 +244,15 @@ object FlattenOps {
     * (reference: compiler.lua:624–692; README flat form `[branch, value]`).
     */
   def unionSlots(c: Compiled, um: Mapping.UnionM, src: Column,
-      name: String): Vector[(String, Column)] = {
-    val (tag, value) = unionTagAndValue(c, um, src)
+      name: String,
+      depth: Map[String, Int] = Map.empty): Vector[(String, Column)] = {
+    val (tag, value) = unionTagAndValue(c, um, src, depth)
     Vector(s"${name}_type" -> tag, name -> value)
   }
 
-  def unionValue(c: Compiled, um: Mapping.UnionM, src: Column): Column = {
-    val (tag, value) = unionTagAndValue(c, um, src)
+  def unionValue(c: Compiled, um: Mapping.UnionM, src: Column,
+      depth: Map[String, Int] = Map.empty): Column = {
+    val (tag, value) = unionTagAndValue(c, um, src, depth)
     struct(tag.as("$type$"), value.as("value"))
   }
 
@@ -241,8 +261,8 @@ object FlattenOps {
     * reader union is `["null",T]` (or reader is non-union), otherwise a
     * struct of reader branch fields.
     */
-  def unionTagAndValue(c: Compiled, um: Mapping.UnionM,
-      src: Column): (Column, Column) = {
+  def unionTagAndValue(c: Compiled, um: Mapping.UnionM, src: Column,
+      depth: Map[String, Int] = Map.empty): (Column, Column) = {
     val readerNullIdx = um.toBranches.indexWhere(_.typeName == "null")
     val readerNonNull = um.toBranches.zipWithIndex
       .filter(_._1.typeName != "null")
@@ -253,7 +273,7 @@ object FlattenOps {
       val i = 0
       val o = um.i2o(i).getOrElse(
         throw new AvroSchemaError("No common types"))
-      val conv = valueOf(c, um.branchIr(i).get, src)
+      val conv = valueOf(c, um.branchIr(i).get, src, depth)
       val writerNullable = um.fromBranches(i).nullable
       val tag =
         if (writerNullable && readerNullIdx >= 0)
@@ -271,7 +291,7 @@ object FlattenOps {
       val tag = when(src.isNull,
         lit(nOut.orNull).cast(IntegerType))
         .otherwise(lit(tOut.orNull).cast(IntegerType))
-      val conv = um.branchIr(tIdx).map(m => valueOf(c, m, src))
+      val conv = um.branchIr(tIdx).map(m => valueOf(c, m, src, depth))
         .getOrElse(lit(null))
       val value = if (readerSimple) when(src.isNotNull, conv)
         else structBranchValue(c, um,
@@ -290,12 +310,12 @@ object FlattenOps {
         case (fb, i) if fb.typeName != "null" && um.branchIr(i).isDefined =>
           val fieldName = SchemaConverters.branchFieldName(c.writer, fb)
           (i, um.i2o(i).get, valueOf(c, um.branchIr(i).get,
-            src.getField(fieldName)))
+            src.getField(fieldName), depth))
       }
       if (readerSimple) {
         val value = convs.foldLeft(lit(null).cast(
           readerNonNull.headOption.map(b =>
-            SchemaConverters.toSparkType(c.reader, b._1))
+            SchemaConverters.toSparkType(c.reader, b._1, depth))
             .getOrElse(IntegerType))) {
           case (acc, (i, _, conv)) => when(wTag === i, conv).otherwise(acc)
         }
@@ -304,7 +324,7 @@ object FlattenOps {
         val fields = readerNonNull.map { case (rb, o) =>
           val fieldName = SchemaConverters.branchFieldName(c.reader, rb)
           val v = convs.filter(_._2 == o).foldLeft(
-            lit(null).cast(SchemaConverters.toSparkType(c.reader, rb))) {
+            lit(null).cast(SchemaConverters.toSparkType(c.reader, rb, depth))) {
             case (acc, (i, _, conv)) => when(wTag === i, conv).otherwise(acc)
           }
           v.as(fieldName)
@@ -435,12 +455,14 @@ object FlattenOps {
     * Returns one Column per visible reader top-level field.
     */
   def unflattenRecord(c: Compiled, rm: Mapping.RecordM,
-      slots: Vector[Column], cursor: SlotCursor): Vector[Column] = {
+      slots: Vector[Column], cursor: SlotCursor,
+      depth: Map[String, Int] = Map.empty): Vector[Column] = {
     // writer slots are in WRITER field order; collect value per writer field
     val writerVals: Vector[Option[Column]] =
       rm.from.fields.zipWithIndex.map { case (wf, i) =>
         val m = rm.fieldIr(i)
-        val v = unflattenValue(c, m, c.writer.resolve(wf.tpe), slots, cursor)
+        val v = unflattenValue(c, m, c.writer.resolve(wf.tpe), slots, cursor,
+          depth)
         if (rm.i2o(i).isDefined) Some(v) else { val _ = v; None }
       }
     rm.to.fields.zipWithIndex.flatMap { case (tf, o) =>
@@ -458,7 +480,8 @@ object FlattenOps {
 
   /** Consume slots for one writer field and produce the reader-form value. */
   def unflattenValue(c: Compiled, m: Mapping, writerT: AvroType,
-      slots: Vector[Column], cursor: SlotCursor): Column = m match {
+      slots: Vector[Column], cursor: SlotCursor,
+      depth: Map[String, Int] = Map.empty): Column = m match {
     case Mapping.Prim(from, to, _) =>
       castPrim(c, slots(cursor.take()), from, to)
     case Mapping.FixedM(_, _) => slots(cursor.take())
@@ -466,55 +489,66 @@ object FlattenOps {
     case am: Mapping.ArrayM =>
       // array occupies one slot; elements are flat-form values
       val src = slots(cursor.take())
-      transform(src, x => unflattenNested(c, am.nested, x))
+      transform(src, x => unflattenNested(c, am.nested, x, depth))
     case mm: Mapping.MapM =>
       val src = slots(cursor.take())
       transform_values(src, (_: Column, v: Column) =>
-        unflattenNested(c, mm.nested, v))
+        unflattenNested(c, mm.nested, v, depth))
     case rm: Mapping.RecordM if !rm.nullable =>
       // inline: consume each writer field's slots
-      val fields = unflattenRecord(c, rm, slots, cursor)
+      val fields = unflattenRecord(c, rm, slots, cursor, depth)
       struct(fields: _*)
     case rm: Mapping.RecordM =>
       // nullable record: single null-or-struct slot
       val src = slots(cursor.take())
-      when(src.isNotNull, unflattenNested(c, rm, src)).otherwise(lit(null))
+      when(src.isNotNull, unflattenNested(c, rm, src, depth))
+        .otherwise(lit(null))
     case um: Mapping.UnionM =>
       val tagSlot = slots(cursor.take())
       val valueSlot = slots(cursor.take())
-      unflattenUnion(c, um, tagSlot, valueSlot)
+      unflattenUnion(c, um, tagSlot, valueSlot, depth)
   }
 
-  /** Flat-form nested value (struct/array element) → reader object form. */
-  def unflattenNested(c: Compiled, m: Mapping, src: Column): Column = m match {
+  /** Flat-form nested value (struct/array element) → reader object form.
+    * Recursive schemas truncate at [[SchemaConverters.MaxRecursionDepth]].
+    */
+  def unflattenNested(c: Compiled, m: Mapping, src: Column,
+      depth: Map[String, Int] = Map.empty): Column = m match {
     case Mapping.Prim(from, to, _) => castPrim(c, src, from, to)
     case Mapping.FixedM(_, _) => src
     case em: Mapping.EnumM => enumI2S(em, src)
     case am: Mapping.ArrayM =>
-      transform(src, x => unflattenNested(c, am.nested, x))
+      transform(src, x => unflattenNested(c, am.nested, x, depth))
     case mm: Mapping.MapM =>
       transform_values(src, (_: Column, v: Column) =>
-        unflattenNested(c, mm.nested, v))
+        unflattenNested(c, mm.nested, v, depth))
     case rm: Mapping.RecordM =>
-      val built = struct(rm.to.fields.zipWithIndex.flatMap { case (tf, o) =>
-        if (tf.hidden) None else Some((rm.o2i(o) match {
-          case Some(i) => unflattenNested(c, rm.fieldIr(i),
-            src.getField(rm.from.fields(i).name))
-          case None => literalObjectFor(c.reader,
-            c.reader.resolve(tf.tpe), tf.default.get)
-        }).as(tf.name))
-      }: _*)
-      if (rm.nullable) when(src.isNotNull, built).otherwise(lit(null))
-      else built
+      val nm = rm.to.fullName
+      if (depth.getOrElse(nm, 0) >= SchemaConverters.MaxRecursionDepth)
+        lit(null)
+      else {
+        val d2 = depth.updated(nm, depth.getOrElse(nm, 0) + 1)
+        val built = struct(rm.to.fields.zipWithIndex.flatMap { case (tf, o) =>
+          if (tf.hidden) None else Some((rm.o2i(o) match {
+            case Some(i) => unflattenNested(c, rm.fieldIr(i),
+              src.getField(rm.from.fields(i).name), d2)
+            case None => literalObjectFor(c.reader,
+              c.reader.resolve(tf.tpe), tf.default.get)
+          }).as(tf.name))
+        }: _*)
+        if (rm.nullable) when(src.isNotNull, built).otherwise(lit(null))
+        else built
+      }
     case um: Mapping.UnionM =>
-      unflattenUnion(c, um, src.getField("$type$"), src.getField("value"))
+      unflattenUnion(c, um, src.getField("$type$"), src.getField("value"),
+        depth)
   }
 
   /** Union decode: writer tag + value → reader-form value. The reader-form
     * union value is the unionStruct (or nullable scalar for `["null",T]`).
     */
   def unflattenUnion(c: Compiled, um: Mapping.UnionM, wTag: Column,
-      value: Column): Column = {
+      value: Column, depth: Map[String, Int] = Map.empty): Column = {
     val readerNonNull = um.toBranches.zipWithIndex
       .filter(_._1.typeName != "null")
     val readerSimple = readerNonNull.length <= 1
@@ -527,9 +561,10 @@ object FlattenOps {
           val convs = um.fromBranches.indices.filter(i =>
             um.i2o(i).contains(o) && um.fromBranches(i).typeName != "null")
           convs.foldLeft(lit(null).cast(
-            SchemaConverters.toSparkType(c.reader, rb))) { (acc, i) =>
+            SchemaConverters.toSparkType(c.reader, rb, depth))) { (acc, i) =>
             when(wTag === i,
-              unflattenNested(c, um.branchIr(i).get, value)).otherwise(acc)
+              unflattenNested(c, um.branchIr(i).get, value, depth))
+              .otherwise(acc)
           }
       }
     } else {
@@ -542,9 +577,10 @@ object FlattenOps {
         val convs = um.fromBranches.indices.filter(i =>
           um.i2o(i).contains(o) && um.fromBranches(i).typeName != "null")
         convs.foldLeft(lit(null).cast(
-          SchemaConverters.toSparkType(c.reader, rb))) { (acc, i) =>
+          SchemaConverters.toSparkType(c.reader, rb, depth))) { (acc, i) =>
           when(wTag === i,
-            unflattenNested(c, um.branchIr(i).get, value)).otherwise(acc)
+            unflattenNested(c, um.branchIr(i).get, value, depth))
+            .otherwise(acc)
         }.as(SchemaConverters.branchFieldName(c.reader, rb))
       }
       struct((rTag.as("$type$") +: fields): _*)

@@ -38,7 +38,7 @@ object Validate {
     * containing record's path (error location for Key missing).
     */
   private def fieldErrors(s: AvroSchema, f: Field, col: Column,
-      pathPrefix: String, parentPath: String): Seq[Column] = {
+      pathPrefix: String, parentPath: String, depth: Int = 0): Seq[Column] = {
     val path = if (pathPrefix.isEmpty) f.name else s"$pathPrefix/${f.name}"
     val t = s.resolve(f.tpe)
     val missingOk = t.nullable || f.default.isDefined ||
@@ -50,12 +50,16 @@ object Validate {
       if (missingOk) Nil
       else Seq(when(col.isNull,
         msg(parentPath, s"Key missing: \"${f.name}\"")))
-    missing ++ typeErrors(s, t, col, path)
+    missing ++ typeErrors(s, t, col, path, depth)
   }
 
   /** Value-level checks for a (non-missing) value. */
   def typeErrors(s: AvroSchema, t0: AvroType, col: Column,
-      path: String): Seq[Column] = {
+      path: String): Seq[Column] = typeErrors(s, t0, col, path, 0)
+
+  private def typeErrors(s: AvroSchema, t0: AvroType, col: Column,
+      path: String, depth: Int): Seq[Column] = {
+    if (depth >= SchemaConverters.MaxRecursionDepth) return Nil
     val t = s.resolve(t0)
     t match {
       case e: EnumType =>
@@ -69,7 +73,7 @@ object Validate {
       case r: RecordType =>
         r.fields.flatMap { f =>
           val inner = col.getField(f.name)
-          val guarded = fieldErrors(s, f, inner, path, path)
+          val guarded = fieldErrors(s, f, inner, path, path, depth + 1)
           // only report inner errors when the struct itself is present
           guarded.map(g => when(col.isNotNull, g))
         }

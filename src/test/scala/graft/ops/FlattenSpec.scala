@@ -208,6 +208,31 @@ class FlattenSpec extends AnyFunSuite with SparkTestBase {
     assert(back.head() == Row(true, "Simple ", 1234))
   }
 
+  test("recursive schema: depth-limited Spark type + flatten/unflatten") {
+    val s = Avro.create("""{"name":"node","type":"record","fields":[
+      {"name":"next","type":["null","node"]},
+      {"name":"label","type":"string"}]}""")
+    // the Spark type terminates (truncates at MaxRecursionDepth)
+    val st = SchemaConverters.toStructType(s, s.rootRecord)
+    assert(st.fieldNames.toSeq == Seq("next", "label"))
+    val c = FlattenOps.compile(s).toOption.get
+    // ["null","node"] is the nullable-scalar special case: next is a
+    // plain nullable struct. 2-deep value through the DataFrame path:
+    val rows = Seq(Row(Row(null, "L2"), "L1"), Row(null, "solo"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), st)
+    val flat = c.flatten(df).orderBy("label")
+    assert(flat.columns.toSeq == Seq("next_type", "next", "label"))
+    val got = flat.collect()
+    assert(got(0).getInt(0) == 1 && got(0).getStruct(1).getString(1) == "L2"
+      && got(0).getString(2) == "L1")
+    assert(got(1).getInt(0) == 0 && got(1).isNullAt(1)
+      && got(1).getString(2) == "solo")
+    val back = c.unflatten(c.flatten(df)).orderBy("label").collect()
+    assert(back(0).getStruct(0).getString(1) == "L2")
+    assert(back(1).isNullAt(0) && back(1).getString(1) == "solo")
+  }
+
   test("flatten plan is a pure projection (no shuffle, codegen-friendly)") {
     val s = Avro.create(personJson)
     val c = FlattenOps.compile(s).toOption.get
