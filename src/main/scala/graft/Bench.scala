@@ -91,6 +91,12 @@ object Bench {
     results("person_avro_roundtrip") =
       time(sink(df.select(AvroBinary.fromAvroBinary(
         AvroBinary.toAvroBinary(allStruct, schema), schema))))
+    // optimizer on/off dimension: whole-stage codegen replaces the
+    // reference's IL-optimizer toggle (BASELINE.md protocol)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    results("person_flatten_nocodegen") = time(sink(compiled.flatten(df)))
+    results("person_validate_nocodegen") = time(sink(Validate(schema, df)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     results("person_rows") = n.toDouble
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -344,6 +344,61 @@ object ConvertValue {
   }
 
   // -------------------------------------------------------------------
+  // xflatten: partial object → update operations
+  // -------------------------------------------------------------------
+
+  /** Partial object → `["=", pos, value]` update ops for present fields
+    * only, in schema order with 1-based tuple positions
+    * (reference: compiler.lua:920–1024; goldens record.lua:349–400;
+    * unions emit two ops, compiler.lua:1002–1013).
+    */
+  def xflatten(c: Compiled, partial: Any): Either[String, Vector[Vector[Any]]] = {
+    val ctx = new Ctx(c.writer, c.reader)
+    try {
+      val rm = FlattenOps.rootRecordMapping(c.mapping)
+      val out = Vector.newBuilder[Vector[Any]]
+      xflattenRecord(ctx, rm, partial, c.serviceFields.length + 1, out)
+      Right(out.result())
+    } catch { case e: ConvertError => Left(e.msg) }
+  }
+
+  private def xflattenRecord(ctx: Ctx, rm: Mapping.RecordM, data: Any,
+      basePos: Int,
+      out: scala.collection.mutable.Builder[Vector[Any], Vector[Vector[Any]]])
+      : Unit = data match {
+    case kv: Map[_, _] =>
+      val smap = kv.asInstanceOf[Map[String, Any]]
+      val writerNames = rm.from.fields.map(_.name).toSet
+      smap.keys.foreach { k =>
+        if (!writerNames(k)) ctx.fail(s"Unknown key: ${quote(k)}")
+      }
+      var pos = basePos
+      rm.to.fields.zipWithIndex.foreach { case (tf, o) =>
+        val width = FlattenOps.flatWidth(ctx.reader, tf.tpe)
+        rm.o2i(o).foreach { i =>
+          val wf = rm.from.fields(i)
+          smap.get(wf.name).foreach { v =>
+            ctx.in(wf.name) {
+              (rm.fieldIr(i), ctx.reader.resolve(tf.tpe)) match {
+                case (nested: Mapping.RecordM, rt: RecordType)
+                    if !nested.nullable && !rt.nullable =>
+                  xflattenRecord(ctx, nested, v, pos, out)
+                case (um: Mapping.UnionM, _) =>
+                  val (tag, value) = flattenUnion(ctx, um, v)
+                  out += Vector("=", pos, tag)
+                  out += Vector("=", pos + 1, value)
+                case (m, _) =>
+                  out += Vector("=", pos, flattenValue(ctx, m, v))
+              }
+            }
+          }
+        }
+        pos += width
+      }
+    case _ => ctx.fail(s"Expecting MAP, encountered ${token(data)}")
+  }
+
+  // -------------------------------------------------------------------
   // unflatten
   // -------------------------------------------------------------------
 

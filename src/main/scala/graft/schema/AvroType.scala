@@ -157,7 +157,11 @@ final case class CreateOptions(
 final class AvroSchema private[schema] (
     val root: AvroType,
     val types: Map[String, NamedType],
-    val options: CreateOptions) {
+    val options: CreateOptions,
+    /** Extra attributes kept by `preserve_in_ast`, keyed by type full name
+      * (reference: init.lua:123–151, frontend.lua:223–228).
+      */
+    val preserved: Map[String, Vector[(String, JValue)]] = Map.empty) {
 
   /** Resolve references; the returned node carries the use-site nullability. */
   def resolve(t: AvroType): AvroType = t match {
@@ -213,7 +217,8 @@ final class AvroSchema private[schema] (
   /** A handle rooted at a subtree (e.g. one field's type), sharing this
     * schema's named-type registry.
     */
-  def subSchema(t: AvroType): AvroSchema = new AvroSchema(t, types, options)
+  def subSchema(t: AvroType): AvroSchema =
+    new AvroSchema(t, types, options, preserved)
 
   def exportJson: JValue = SchemaIO.exportSchema(this)
   def exportString: String = exportJson.render
@@ -270,6 +275,8 @@ private[schema] final class SchemaParser(options: CreateOptions) {
   // (recordFullName, fieldPath) frames for direct-containment detection
   private val openRecordFrames = mutable.ArrayBuffer.empty[(String, List[String])]
   private val forwardRefs = mutable.Map.empty[String, String] // name -> path
+  private val preserved =
+    mutable.Map.empty[String, Vector[(String, JValue)]]
   private val deferredDefaults =
     mutable.ArrayBuffer.empty[(String, Field, RecordType)]
 
@@ -308,7 +315,10 @@ private[schema] final class SchemaParser(options: CreateOptions) {
           else s"$p: Unknown Avro type: $name")
     }
     val types = scope.toMap
-    val schema = new AvroSchema(root, types, options)
+    if (!options.preserveInFingerprint.forall(options.preserveInAst.contains))
+      throw new AvroSchemaError(
+        "preserve_in_fingerprint must be a subset of preserve_in_ast")
+    val schema = new AvroSchema(root, types, options, preserved.toMap)
     // deferred default validation (reference: frontend.lua:660–668)
     deferredDefaults.foreach { case (fpath, field, _) =>
       field.default.foreach { d =>
@@ -322,7 +332,7 @@ private[schema] final class SchemaParser(options: CreateOptions) {
       }
     }
     if (options.autoDefaults) new AvroSchema(root,
-      augmentDefaults(schema), options)
+      augmentDefaults(schema), options, preserved.toMap)
     else schema
   }
 
@@ -369,6 +379,18 @@ private[schema] final class SchemaParser(options: CreateOptions) {
         aliasOf.contains(alias))
       err(s"Alias type name already defined: $alias")
     aliasOf(alias) = of
+  }
+
+  private val knownTypeKeys = Set("type", "name", "namespace", "fields",
+    "symbols", "items", "values", "size", "aliases", "default", "hidden")
+
+  /** Keep user extension attributes listed in preserve_in_ast. */
+  private def collectPreserved(obj: JObject, fullName: String): Unit = {
+    if (options.preserveInAst.nonEmpty) {
+      val extras = obj.fields.filter { case (k, _) =>
+        !knownTypeKeys(k) && options.preserveInAst.contains(k) }
+      if (extras.nonEmpty) preserved(fullName) = extras
+    }
   }
 
   private def finishNamed(t: NamedType): Unit = {
@@ -548,6 +570,7 @@ private[schema] final class SchemaParser(options: CreateOptions) {
       renameFrame(name)
       val fullName = ns.fold(name)(n => s"$n.$name")
       registerName(fullName)
+      collectPreserved(obj, fullName)
       val savedNs = currentNamespace
       currentNamespace = ns
       openRecordFrames += ((fullName, Nil))
@@ -624,6 +647,7 @@ private[schema] final class SchemaParser(options: CreateOptions) {
       renameFrame(name)
       val fullName = ns.fold(name)(n => s"$n.$name")
       registerName(fullName)
+      collectPreserved(obj, fullName)
       try {
         val aliases = parseAliases(obj)
         aliases.foreach { a =>
@@ -655,6 +679,7 @@ private[schema] final class SchemaParser(options: CreateOptions) {
       renameFrame(name)
       val fullName = ns.fold(name)(n => s"$n.$name")
       registerName(fullName)
+      collectPreserved(obj, fullName)
       try {
         val aliases = parseAliases(obj)
         aliases.foreach { a =>

@@ -41,6 +41,15 @@ object SchemaIO {
   private def star(name: String, nullable: Boolean): String =
     if (nullable) name + "*" else name
 
+  private def extras(s: AvroSchema, fullName: String,
+      forFingerprint: Boolean): Vector[(String, JValue)] = {
+    val kept = s.preserved.getOrElse(fullName, Vector.empty)
+    if (forFingerprint)
+      kept.filter { case (k, _) =>
+        s.options.preserveInFingerprint.contains(k) }
+    else kept
+  }
+
   private def render(s: AvroSchema, t: AvroType, emitted: mutable.Set[String],
       forFingerprint: Boolean): JValue = t match {
     case PrimitiveType(n, nullable) => JString(star(n, nullable))
@@ -71,6 +80,7 @@ object SchemaIO {
       fields += "size" -> JLong(f.size)
       if (!forFingerprint && f.aliases.nonEmpty)
         fields += "aliases" -> JArray(f.aliases.map(JString))
+      extras(s, f.fullName, forFingerprint).foreach(fields += _)
       orderKeys(fields.result(), forFingerprint)
     case e: EnumType =>
       emitted += e.fullName
@@ -82,6 +92,7 @@ object SchemaIO {
       fields += "symbols" -> JArray(e.symbols.map(JString))
       if (!forFingerprint && e.aliases.nonEmpty)
         fields += "aliases" -> JArray(e.aliases.map(JString))
+      extras(s, e.fullName, forFingerprint).foreach(fields += _)
       orderKeys(fields.result(), forFingerprint)
     case r: RecordType =>
       emitted += r.fullName
@@ -104,6 +115,7 @@ object SchemaIO {
       })
       if (!forFingerprint && r.aliases.nonEmpty)
         fields += "aliases" -> JArray(r.aliases.map(JString))
+      extras(s, r.fullName, forFingerprint).foreach(fields += _)
       orderKeys(fields.result(), forFingerprint)
   }
 

@@ -180,6 +180,30 @@ class DdtGoldenSpec extends AnyFunSuite {
       "label" -> "L1")))
   }
 
+  // ---- record.lua:349–400 xflatten ----
+
+  test("record.lua: xflatten present fields in schema order") {
+    val c = compiled(personJson)
+    assert(ConvertValue.xflatten(c, Map("FirstName" -> "John")) ==
+      Right(Vector(Vector("=", 1, "John"))))
+    assert(ConvertValue.xflatten(c, Map("Age" -> 33L)) ==
+      Right(Vector(Vector("=", 3, 33L))))
+    assert(ConvertValue.xflatten(c,
+      Map("LastName" -> "Doe", "FirstName" -> "John", "Age" -> 33L)) ==
+      Right(Vector(Vector("=", 1, "John"), Vector("=", 2, "Doe"),
+        Vector("=", 3, 33L))))
+    assert(ConvertValue.xflatten(c, Map("Nope" -> 1L)) ==
+      Left("Unknown key: \"Nope\""))
+  }
+
+  test("xflatten: union fields emit two ops (compiler.lua:1002–1013)") {
+    val c = compiled(unionRec("""["null","int"]"""))
+    assert(ConvertValue.xflatten(c, Map("u" -> Map("int" -> 42L))) ==
+      Right(Vector(Vector("=", 1, 1), Vector("=", 2, 42L))))
+    assert(ConvertValue.xflatten(c, Map("u" -> null)) ==
+      Right(Vector(Vector("=", 1, 0), Vector("=", 2, null))))
+  }
+
   // ---- service_fields.lua F8 ----
 
   test("service_fields.lua: prefix slots") {

@@ -250,6 +250,27 @@ class SchemaSpec extends AnyFunSuite {
     assert(Avro.fingerprintHex(s) != Avro.fingerprintHex(s3))
   }
 
+  test("preserve_in_ast / preserve_in_fingerprint (init.lua:123-151)") {
+    val json = """{"name":"r","type":"record","extra_meta":"v1",
+      "other":"x","fields":[{"name":"a","type":"int"}]}"""
+    val plain = Avro.create(json)
+    assert(!plain.exportString.contains("extra_meta"))
+    val kept = Avro.create(json,
+      CreateOptions(preserveInAst = Seq("extra_meta")))
+    assert(kept.exportString.contains("\"extra_meta\":\"v1\""))
+    assert(!kept.exportString.contains("\"other\""))
+    // not in fingerprint unless preserve_in_fingerprint
+    assert(Avro.fingerprintHex(kept) == Avro.fingerprintHex(plain))
+    val fp = Avro.create(json, CreateOptions(
+      preserveInAst = Seq("extra_meta"),
+      preserveInFingerprint = Seq("extra_meta")))
+    assert(Avro.fingerprintHex(fp) != Avro.fingerprintHex(plain))
+    // fingerprint set must be subset of ast set
+    val e = intercept[AvroSchemaError](Avro.create(json,
+      CreateOptions(preserveInFingerprint = Seq("extra_meta"))))
+    assert(e.fullMessage.contains("subset"))
+  }
+
   test("is") {
     assert(Avro.isSchema(Avro.create("\"int\"")))
     assert(!Avro.isSchema(42))
