@@ -305,6 +305,41 @@ object Queries {
       FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
       ORDER BY keep_id""")),
 
+    // ---- strict per-row validation (exact validate error family) ----
+    ("validate_strict_orders", ((s: SparkSession, dir: String) => {
+      val schema = Avro.create("""{"name":"o","type":"record","fields":[
+        {"name":"o_orderkey","type":"long"},
+        {"name":"o_orderstatus","type":{"type":"enum","name":"St",
+          "symbols":["F","O"]}},
+        {"name":"o_totalprice","type":"double"}]}""")
+      graft.ops.Validate.strict(schema, rd(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .select("o_orderkey", "_valid", "_error")
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_orderstatus IN ('F','O') AS _valid,
+             CASE WHEN o_orderstatus NOT IN ('F','O')
+                  THEN 'o_orderstatus: Not a St: ' || o_orderstatus
+             END AS _error
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- dedup keep-set: rows surviving exact dedup, per lang ----
+    ("dedup_keep_documents", ((s: SparkSession, dir: String) => {
+      val all = docsWithExactDups(s, dir)
+      Dedup.dropExactDuplicates(all, "doc_id", "text")
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy("bucket")
+    }): Q, Some(s"""
+      WITH all_docs AS ($docsDupsSql),
+      kept AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) AS rn FROM all_docs) WHERE rn = 1)
+      SELECT doc_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(min(doc_id) AS BIGINT) AS min_id
+      FROM kept GROUP BY 1 ORDER BY bucket""")),
+
     // ---- near-dup by exact n-gram Jaccard (length-blocked) ----
     ("dedup_ngram_documents", ((s: SparkSession, dir: String) => {
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",

@@ -22,6 +22,53 @@ object Validate {
     df.withColumn("_error", err).withColumn("_valid", err.isNull)
   }
 
+  /** Strict variant: run the full [[ValidateValue]] interpreter per row
+    * (mapPartitions), producing the reference's exact validate error family
+    * (`Not a int: …`, `Field X missing`). Heavier than the expression
+    * variant above — use when error-message parity matters more than
+    * staying inside codegen. NULL columns are treated as absent
+    * (SURVEY §7.3).
+    */
+  def strict(schema: AvroSchema, df: DataFrame): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_valid",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("_error", StringType,
+          nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val fieldNames = df.schema.fieldNames.toIndexedSeq
+    val schemaJson = schema.exportString
+    df.mapPartitions { rows =>
+      val s = Avro.create(schemaJson)
+      rows.map { r =>
+        val data = fieldNames.zipWithIndex.flatMap { case (n, i) =>
+          val v = sparkToScala(r.get(i))
+          if (v == null) None else Some(n -> v)
+        }.toMap
+        ValidateValue.validate(s, data) match {
+          case Right(_) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(true, null))
+          case Left(e) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(false, e))
+        }
+      }
+    }(enc)
+  }
+
+  /** Spark external value → the Scala shapes ValidateValue understands. */
+  private def sparkToScala(v: Any): Any = v match {
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
+        val x = sparkToScala(r.get(i))
+        if (x == null) None else Some(n -> x)
+      }.toMap
+    case s: scala.collection.Seq[_] => s.map(sparkToScala).toVector
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => k.toString -> sparkToScala(x) }.toMap
+    case other => other
+  }
+
   /** First validation error (schema order) or NULL when the row is valid. */
   def errorColumn(schema: AvroSchema, in: String => Column): Column = {
     val rec = schema.rootRecord

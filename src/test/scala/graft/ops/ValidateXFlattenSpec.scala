@@ -45,6 +45,19 @@ class ValidateXFlattenSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Row(true))
   }
 
+  test("strict validate: exact validate-family errors per row") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"a","type":"long"},
+      {"name":"e","type":{"type":"enum","name":"E","symbols":["X","Y"]}}]}""")
+    val df = Seq((1L, "X"), (2L, "Z"), (3L, null: String))
+      .toDF("a", "e")
+    val out = Validate.strict(s, df).select("_valid", "_error")
+      .collect()
+    assert(out(0) == Row(true, null))
+    assert(out(1) == Row(false, "e: Not a E: Z"))
+    assert(out(2) == Row(false, "Field e missing"))
+  }
+
   test("F1 xflatten: present fields → [\"=\", pos, value] ops") {
     val s = Avro.create("""{"name":"person","type":"record","fields":[
       {"name":"FirstName","type":"string"},{"name":"LastName","type":"string"},
