@@ -453,6 +453,24 @@ object Queries {
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- filter-only aggregate (TPC-H Q6 shape; pushdown showcase) ----
+    ("q6_revenue", ((s: SparkSession, dir: String) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }): Q, Some("""
+      SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
+
     // ---- broadcast join: revenue per market segment ----
     ("join_orders_customers", ((s: SparkSession, dir: String) => {
       val orders = rd(s, dir, "orders")

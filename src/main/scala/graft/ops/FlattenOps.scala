@@ -553,6 +553,15 @@ object FlattenOps {
       .filter(_._1.typeName != "null")
     val readerSimple = readerNonNull.length <= 1
     val writerNullIdx = um.fromBranches.indexWhere(_.typeName == "null")
+    // the flat value slot is a bare scalar when the writer union had at
+    // most one non-null branch; otherwise it is the union struct and the
+    // active branch's value sits in its named field
+    val writerSimple =
+      um.fromBranches.count(_.typeName != "null") <= 1
+    def branchValue(i: Int): Column =
+      if (writerSimple) value
+      else value.getField(
+        SchemaConverters.branchFieldName(c.writer, um.fromBranches(i)))
     if (readerSimple) {
       // reader ["null",T] or single-branch: nullable scalar value
       readerNonNull.headOption match {
@@ -563,7 +572,7 @@ object FlattenOps {
           convs.foldLeft(lit(null).cast(
             SchemaConverters.toSparkType(c.reader, rb, depth))) { (acc, i) =>
             when(wTag === i,
-              unflattenNested(c, um.branchIr(i).get, value, depth))
+              unflattenNested(c, um.branchIr(i).get, branchValue(i), depth))
               .otherwise(acc)
           }
       }
@@ -579,7 +588,7 @@ object FlattenOps {
         convs.foldLeft(lit(null).cast(
           SchemaConverters.toSparkType(c.reader, rb, depth))) { (acc, i) =>
           when(wTag === i,
-            unflattenNested(c, um.branchIr(i).get, value, depth))
+            unflattenNested(c, um.branchIr(i).get, branchValue(i), depth))
             .otherwise(acc)
         }.as(SchemaConverters.branchFieldName(c.reader, rb))
       }

@@ -233,6 +233,31 @@ class FlattenSpec extends AnyFunSuite with SparkTestBase {
     assert(back(1).isNullAt(0) && back(1).getString(1) == "solo")
   }
 
+  test("general 3-branch union through the DataFrame path (F3)") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"u","type":["null","int","string"]},
+      {"name":"k","type":"int"}]}""")
+    val c = FlattenOps.compile(s).toOption.get
+    val st = SchemaConverters.toStructType(s, s.rootRecord)
+    // struct form: ($type$, int branch, string branch)
+    val rows = Seq(
+      Row(Row(1, 42, null), 1),
+      Row(Row(2, null, "hi"), 2),
+      Row(Row(0, null, null), 3))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), st)
+    val flat = c.flatten(df).orderBy("k")
+    assert(flat.columns.toSeq == Seq("u_type", "u", "k"))
+    val got = flat.collect()
+    assert(got(0).getInt(0) == 1 && got(0).getStruct(1).getInt(1) == 42)
+    assert(got(1).getInt(0) == 2 && got(1).getStruct(1).getString(2) == "hi")
+    assert(got(2).getInt(0) == 0)
+    // round-trip
+    val back = c.unflatten(c.flatten(df)).orderBy("k").collect()
+    assert(back(0).getStruct(0).getInt(1) == 42)
+    assert(back(1).getStruct(0).getString(2) == "hi")
+    assert(back(2).getStruct(0).getInt(0) == 0)
+  }
+
   test("flatten plan is a pure projection (no shuffle, codegen-friendly)") {
     val s = Avro.create(personJson)
     val c = FlattenOps.compile(s).toOption.get
