@@ -74,9 +74,12 @@ object XFlatten {
       if (parts.isEmpty) typedEmpty()
       else when(src.isNotNull, concat(parts: _*)).otherwise(typedEmpty())
     case um: Mapping.UnionM =>
-      // two ops: tag + value (reference: compiler.lua:1002–1013)
+      // two ops: tag + value (reference: compiler.lua:1002–1013). Gate on
+      // src alone: NULL marks *absent* in the partial-update convention, so
+      // absent union fields contribute nothing — identical to the
+      // value-level ConvertValue.xflattenRecord and the struct-union case.
       val (tag, value) = FlattenOps.unionTagAndValue(c, um, src)
-      when(src.isNotNull || tag.isNotNull,
+      when(src.isNotNull,
         array(op(pos, tag), op(pos + 1, value.cast(StringType))))
         .otherwise(typedEmpty())
     case other =>

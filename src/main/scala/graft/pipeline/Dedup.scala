@@ -228,6 +228,21 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Scale entry point for [[ngramJaccardPairs]]: the stop-shingle skew
+    * guard defaults ON (`maxDocFreq = 1000`). A shingle appearing in f docs
+    * contributes f² join rows on one key; boilerplate shingles in a 100 TB
+    * corpus make that unbounded, so candidate generation drops
+    * ultra-common shingles. Recall caveat: a true pair sharing ONLY
+    * dropped shingles is missed — for near-dup thresholds (≥0.8) such
+    * pairs share many shingles, so in practice only pathological
+    * boilerplate-only pairs are affected. Use [[ngramJaccardPairs]]
+    * (guard off) when exactness is required.
+    */
+  def ngramJaccardPairsAtScale(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      maxDocFreq: Int = 1000): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, threshold, shingleSize, maxDocFreq)
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -314,28 +329,61 @@ object Dedup {
     agg.select(col("id"), sh.as("sh"))
   }
 
-  /** SimHash near-dup candidates: bucket by the 4 16-bit quarters (two
-    * docs within Hamming distance 3 share at least one quarter), verify
-    * by exact Hamming distance.
+  /** Candidate pairs sharing at least one of `blocks` equal-width SimHash
+    * blocks (pigeonhole: two docs within Hamming distance `blocks - 1`
+    * always share a block). Emits (id_a, id_b, hamming), deduplicated.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      blocks: Int = 4): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1
     val withSh = simhashDf(df, idCol, textCol)
-    val quarters = withSh.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(q => struct(lit(q).as("q"),
-        shiftright(col("sh"), q * 16).bitwiseAND(0xffffL).as("part"))): _*))
+    val parts = withSh.select(col("id"), col("sh"),
+      explode(array((0 until blocks).map(q => struct(lit(q).as("q"),
+        shiftright(col("sh"), q * bits).bitwiseAND(mask).as("part"))): _*))
         .as("bb"))
       .select(col("id"), col("sh"), col("bb.q"), col("bb.part"))
       .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
-    val l = quarters.select(col("q"), col("part"), col("id").as("id_a"),
+    val l = parts.select(col("q"), col("part"), col("id").as("id_a"),
       col("sh").as("sh_a"))
-    val r = quarters.select(col("q"), col("part"), col("id").as("id_b"),
+    val r = parts.select(col("q"), col("part"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     l.join(r, Seq("q", "part")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
+  }
+
+  /** SimHash near-dup candidates: bucket by the 4 16-bit quarters (two
+    * docs within Hamming distance 3 share at least one quarter), verify
+    * by exact Hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashCandidatePairs(df, idCol, textCol, blocks = 4)
       .filter(col("hamming") <= maxHamming)
+
+  /** SimHash as *candidate generation*, exact n-gram Jaccard as the
+    * verifier: block-sharing candidates are re-checked against the true
+    * shingle sets, so the output pair set is oracle-comparable (identical
+    * to all-pairs Jaccard whenever every true pair shares a block — docs
+    * within Hamming `blocks-1` always do).
+    */
+  def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      blocks: Int = 4): DataFrame = {
+    val cand = simhashCandidatePairs(df, idCol, textCol, blocks)
+      .select("id_a", "id_b")
+    val texts = shingleSets(df, idCol, textCol, shingleSize)
+    cand
+      .join(texts.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // -------------------------------------------------------------------
@@ -343,26 +391,30 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Near-duplicate embedding pairs by cosine ≥ threshold, bucketed by
-    * random-hyperplane LSH (see [[Similarity.hyperplaneBucket]]).
+    * random-hyperplane LSH. Signature and cosine run as JVM kernels
+    * ([[Similarity.hyperplaneBucketsDf]] / Similarity.cosineJ) — the
+    * Catalyst-lambda forms interpret per element, ~10× slower on this
+    * hot path. Candidates are deduped BEFORE the cosine verify so each
+    * pair is scored once regardless of how many tables it collides in.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nBits: Int = 12,
       tables: Int = 4): DataFrame = {
-    val withBuckets = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          Similarity.hyperplaneBucket(col(vecCol), dim, nBits,
-            seed = 7919 * (t + 1)).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.t"), col("bb.bucket"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withBuckets = Similarity.hyperplaneBucketsDf(df, idCol, vecCol,
+      dim, nBits, tables)
       .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
     val l = withBuckets.select(col("t"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val r = withBuckets.select(col("t"), col("bucket"),
       col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("t", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
-      .distinct()
+      .select("id_a", "v_a", "id_b", "v_b").distinct()
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (ia, va, ib, vb) =>
+        (ia, ib, Similarity.cosineJ(va, vb))
+      }.toDF("id_a", "id_b", "cosine")
       .filter(col("cosine") >= threshold)
   }
 }

@@ -8,13 +8,24 @@ import org.apache.spark.sql.functions._
   * (`array<float>`/`array<double>`).
   *
   * Scale design: the brute-force path broadcasts the (small) query side so
-  * the big table is scanned once with no shuffle; the LSH path buckets both
+  * the big table is scanned once with no shuffle, keeps only a bounded
+  * per-partition top-k heap (partitions × queries × k rows reach the final
+  * per-query merge — never |corpus|×|queries|); the LSH path buckets both
   * sides by random-hyperplane signatures so candidate generation is a hash
   * join, never a cartesian product.
+  *
+  * Hot paths (signature + cosine) are typed JVM kernels: Catalyst
+  * higher-order functions (aggregate/zip_with lambdas) are interpreted per
+  * element (~10× slower; see the same note on Dedup's shingle kernels).
+  * The Column variants below are kept for composability and as the
+  * oracle-shaped reference semantics — the kernels fold in the identical
+  * element order, so both produce bit-identical doubles.
   */
 object Similarity {
 
-  /** Dot product via zip_with + aggregate (codegen'd, no UDF). */
+  // ------------------------------------------------------------- Column API
+
+  /** Dot product via zip_with + aggregate (declarative reference form). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -26,25 +37,63 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Deterministic pseudo-random hyperplane `j` of dimension `dim`:
-    * component i ∈ {-1, +1} derived from xxhash64 of (seed, j, i).
-    * Rademacher hyperplanes preserve cosine-LSH guarantees and keep the
-    * plane a compact literal in the plan.
+  // ------------------------------------------------------------ JVM kernels
+
+  /** Sequential-fold dot product — same add order as [[dot]], so results
+    * are bit-identical to the Column form.
     */
-  private def hyperplane(dim: Int, j: Int, seed: Long): Seq[Double] = {
-    (0 until dim).map { i =>
-      val h = scala.util.hashing.byteswap64(seed ^ (j.toLong << 32) ^ i)
-      if (h >= 0) 1.0 else -1.0
-    }
+  private[pipeline] def dotJ(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
   }
 
-  /** `nBits`-bit random-hyperplane signature of a vector (sign of the dot
-    * product with each plane packed into a long).
+  private[pipeline] def cosineJ(a: Array[Float], b: Array[Float]): Double = {
+    val d = math.sqrt(dotJ(a, a)) * math.sqrt(dotJ(b, b))
+    if (d == 0) 0.0 else dotJ(a, b) / d
+  }
+
+  /** Deterministic pseudo-random hyperplane `j` of dimension `dim`:
+    * component i ∈ {-1, +1} derived from byteswap64 of (seed, j, i).
+    * Rademacher hyperplanes preserve cosine-LSH guarantees and make the
+    * signature kernel a pure add/subtract loop.
+    */
+  private def planeSign(dim: Int, j: Int, seed: Long): Array[Boolean] =
+    Array.tabulate(dim) { i =>
+      scala.util.hashing.byteswap64(seed ^ (j.toLong << 32) ^ i) >= 0
+    }
+
+  /** Sign matrix for `nBits` planes (bit j → dim signs). */
+  private[pipeline] def planeSigns(dim: Int, nBits: Int,
+      seed: Long): Array[Array[Boolean]] =
+    Array.tabulate(nBits)(j => planeSign(dim, j, seed))
+
+  /** `nBits`-bit signature of one vector against a sign matrix. */
+  private[pipeline] def signatureJ(v: Array[Float],
+      signs: Array[Array[Boolean]]): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < signs.length) {
+      val s = signs(j)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, s.length)
+      while (i < n) { d += (if (s(i)) v(i).toDouble else -v(i).toDouble); i += 1 }
+      if (d >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** `nBits`-bit random-hyperplane signature as a Column (declarative
+    * reference form of [[signatureJ]]; same planes, same bits).
     */
   def hyperplaneBucket(v: Column, dim: Int, nBits: Int,
       seed: Long = 42L): Column = {
     val bits = (0 until nBits).map { j =>
-      val plane = hyperplane(dim, j, seed)
+      val plane = planeSign(dim, j, seed).map(s => if (s) 1.0 else -1.0).toSeq
       val d = aggregate(
         zip_with(v, typedLit(plane), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, x) => acc + x)
@@ -53,20 +102,79 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Per-table seed shared by every LSH entry point (corpus and query
+    * sides must agree or the bucket join finds nothing).
+    */
+  private[pipeline] def tableSeed(t: Int): Long = 7919L * (t + 1)
+
+  /** (id, v, t, bucket) rows — one per hash table — via the JVM signature
+    * kernel (typed flatMap; the relational shape downstream stays
+    * declarative).
+    */
+  def hyperplaneBucketsDf(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, tables: Int,
+      idAs: String = "id", vAs: String = "v"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signsAll = Array.tabulate(tables)(t =>
+      planeSigns(dim, nBits, tableSeed(t)))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until signsAll.length).map(t =>
+          (id, v, t, signatureJ(v, signsAll(t))))
+      }.toDF(idAs, vAs, "t", "bucket")
+  }
+
   /** Exact top-k cosine neighbors for each query vector. The query side is
-    * broadcast (must be small); the corpus is scanned once, no shuffle
-    * until the final per-query top-k.
+    * collected and broadcast (must be small — the ANN contract); the corpus
+    * is scanned once with a bounded per-partition top-k heap, so only
+    * `partitions × |queries| × k` rows reach the final per-query merge —
+    * no full |corpus|×|queries| shuffle at any point.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int): DataFrame = {
-    val joined = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).as("qv"))))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qRows)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // bounded heaps: head = current worst (lowest cosine, then max id)
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (c, id) => (-c, id)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            worstFirst))
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val c = cosineJ(v, qs(qi)._2)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, id))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && id < wid)) {
+                h.dequeue(); h.enqueue((c, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (c, id) => (qs(qi)._1, id, c) }
+        }
+      }.toDF("query_id", "id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("id"))
-    joined.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "id", "cosine", "rank")
   }
@@ -79,21 +187,20 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, dim: Int, nBits: Int = 10, tables: Int = 4): DataFrame = {
-    def buckets(df: DataFrame, id: String, vec: String, idAs: String,
-        vAs: String): DataFrame =
-      df.select(col(id).as(idAs), col(vec).as(vAs),
-        explode(array((0 until tables).map(t => struct(lit(t).as("t"),
-          hyperplaneBucket(col(vec), dim, nBits, seed = 7919 * (t + 1))
-            .as("bucket"))): _*)).as("bb"))
-        .select(col(idAs), col(vAs), col("bb.t"), col("bb.bucket"))
-    val cb = buckets(corpus, idCol, vecCol, "id", "v")
-    val qb = buckets(queries, qIdCol, qVecCol, "query_id", "qv")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = hyperplaneBucketsDf(corpus, idCol, vecCol, dim, nBits, tables)
+    val qb = hyperplaneBucketsDf(queries, qIdCol, qVecCol, dim, nBits,
+      tables, idAs = "query_id", vAs = "qv")
     val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
       .select("query_id", "qv", "id", "v").distinct()
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val scored = cand
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
+      .toDF("query_id", "id", "cosine")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "id", "cosine", "rank")
   }

@@ -355,13 +355,15 @@ private[schema] final class SchemaParser(options: CreateOptions) {
       case u: UnionType => zero(u.branches.head)
       case _ => None
     }
-    val rewritten = mutable.Set.empty[String]
+    // memoize per fullName so alias scope keys (same instance, visited
+    // later) get the SAME augmented record, not the pre-augment one
+    val rewritten = mutable.Map.empty[String, NamedType]
     def rewrite(t: NamedType): NamedType = t match {
-      case r: RecordType if !rewritten(r.fullName) =>
-        rewritten += r.fullName
-        r.copy(fields = r.fields.map { f =>
-          if (f.default.isDefined) f else f.copy(default = zero(f.tpe))
-        })
+      case r: RecordType =>
+        rewritten.getOrElseUpdate(r.fullName,
+          r.copy(fields = r.fields.map { f =>
+            if (f.default.isDefined) f else f.copy(default = zero(f.tpe))
+          }))
       case other => other
     }
     scope.map { case (k, v) => k -> rewrite(v) }.toMap

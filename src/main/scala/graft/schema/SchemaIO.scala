@@ -131,7 +131,9 @@ object SchemaIO {
     } else {
       val (known, extra) =
         fields.partition { case (k, _) => canonicalOrder.contains(k) }
-      JObject(known.sortBy { case (k, _) => canonicalOrder.indexOf(k) } ++ extra)
+      // reference sorts preserved extras (fingerprint.lua table.sort)
+      JObject(known.sortBy { case (k, _) => canonicalOrder.indexOf(k) } ++
+        extra.sortBy(_._1))
     }
   }
 }

@@ -17,7 +17,8 @@ for name in sorted(oracle):
     if not spark_glob:
         print(f"MISSING  {name}: no spark output"); fail += 1; continue
     try:
-        sdf = con.execute(f"SELECT * FROM '{spark_glob[0]}'").fetchdf()
+        files = ", ".join(f"'{p}'" for p in sorted(spark_glob))
+        sdf = con.execute(f"SELECT * FROM read_parquet([{files}])").fetchdf()
         odf = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"ERROR    {name}: {e}"); fail += 1; continue
