@@ -134,6 +134,31 @@ object Queries {
     s"CASE ${cases.replace("__best", best)} ELSE 'und' END"
   }
 
+  /** All-pairs exact n-gram Jaccard over the planted near-dup corpus —
+    * the shared oracle for every near-dup candidate generator (ngram
+    * inverted index, MinHash LSH, SimHash blocks): each verifies its
+    * candidates with the same exact Jaccard, so the verified pair set must
+    * equal this all-pairs set whenever candidate recall is total.
+    */
+  def jaccardAllPairsSql(threshold: Double): String = s"""
+      WITH all_docs AS ($docsNearDupsSql),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE
+          WHEN len(string_split(lower(trim(text)), ' ')) < 3
+          THEN [array_to_string(string_split(lower(trim(text)), ' '), ' ')]
+          ELSE [array_to_string(string_split(lower(trim(text)), ' ')[i:i+2], ' ')
+                FOR i IN range(1, len(string_split(lower(trim(text)), ' ')) - 1)]
+          END) AS shingles
+        FROM all_docs)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+               AS jacc
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= $threshold
+      ORDER BY id_a, id_b"""
+
   def tokenCountSql(textExpr: String): String =
     s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
       s"ELSE len(string_split(trim($textExpr), ' ')) END)"
@@ -346,24 +371,7 @@ object Queries {
         threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
-    }): Q, Some(s"""
-      WITH all_docs AS ($docsNearDupsSql),
-      sh AS (
-        SELECT doc_id, list_distinct(CASE
-          WHEN len(string_split(lower(trim(text)), ' ')) < 3
-          THEN [array_to_string(string_split(lower(trim(text)), ' '), ' ')]
-          ELSE [array_to_string(string_split(lower(trim(text)), ' ')[i:i+2], ' ')
-                FOR i IN range(1, len(string_split(lower(trim(text)), ' ')) - 1)]
-          END) AS shingles
-        FROM all_docs)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-               AS jacc
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-      ORDER BY id_a, id_b""")),
+    }): Q, Some(jaccardAllPairsSql(0.8))),
 
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {
@@ -529,40 +537,82 @@ object Queries {
             FROM orders)
       WHERE rank <= 3 ORDER BY o_custkey, rank""")),
 
-    // ---- rows-only checks (Spark-specific hashing, no portable oracle) ----
+    // ---- MinHash LSH candidates + exact-Jaccard verify. The candidate
+    // generation is Spark-specific hashing, but the VERIFIED output is the
+    // Jaccard-threshold pair set — oracle = all-pairs Jaccard. Hashing is
+    // seeded/deterministic, so recall at a fixed SF is reproducible. ----
     ("minhash_pairs_documents", ((s: SparkSession, dir: String) => {
       Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
-    }): Q, None),
+    }): Q, Some(jaccardAllPairsSql(0.7))),
 
+    // ---- SimHash-block candidates + exact-Jaccard verify (same oracle
+    // contract as minhash above; blocks=8 for total recall at this SF) ----
     ("simhash_pairs_documents", ((s: SparkSession, dir: String) => {
-      Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        maxHamming = 3).orderBy("id_a", "id_b")
-    }): Q, None),
+      Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.8, blocks = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(jaccardAllPairsSql(0.8))),
 
+    // ---- ANN via LSH: queries are x1.5-scaled corpus vectors — hyperplane
+    // signatures are scale-invariant, so the true nearest neighbor (the
+    // original vector, cosine ~1.0 vs <=~0.6 for the rest) is GUARANTEED to
+    // collide in every table; LSH top-1 therefore equals exact top-1 and
+    // the brute-force oracle applies. ----
     ("similarity_lsh_topk", ((s: SparkSession, dir: String) => {
       val e = rd(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("qv"))
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv",
-        k = 5, dim = 64).select("query_id", "id", "rank")
+        k = 1, dim = 64).select("query_id", "id", "rank")
         .orderBy("query_id", "rank")
-    }): Q, None),
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(list_transform(embedding,
+                          x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 1 ORDER BY query_id, rank""")),
 
+    // ---- multimodal blob pipeline, reduced to hashable scalars for the
+    // comparator: byte length from the blob metadata (oracle: strlen of
+    // the source text), feature dims from BOTH extraction paths (batch
+    // mapPartitions + expression), and range checks on the derived
+    // metadata/features. ----
     ("multimodal_features", ((s: SparkSession, dir: String) => {
       import graft.pipeline.Multimodal
       val blobs = rd(s, dir, "documents")
         .select(col("doc_id"), Multimodal.asBlob(col("text"), "fake/image")
           .as("blob"))
-      blobs.select(col("doc_id"),
+      val batch = Multimodal.extractFeatures(blobs, "blob", 8)
+      batch.select(col("doc_id"),
         col("blob.meta.n_bytes").as("n_bytes"),
-        col("blob.meta.width").as("width"),
-        col("blob.meta.height").as("height"),
-        Multimodal.featureColumn(col("blob"), 8).as("features"))
+        size(col("features")).as("batch_dim"),
+        size(Multimodal.featureColumn(col("blob"), 8)).as("expr_dim"),
+        (col("blob.meta.width").between(32, 1951) &&
+          col("blob.meta.height").between(32, 1111)).as("meta_ok"),
+        forall(Multimodal.featureColumn(col("blob"), 8),
+          f => f >= 0f && f < 1f).as("feats_in_range"))
         .orderBy("doc_id")
-    }): Q, None))
+    }): Q, Some("""
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST(8 AS INTEGER) AS batch_dim, CAST(8 AS INTEGER) AS expr_dim,
+             true AS meta_ok, true AS feats_in_range
+      FROM documents ORDER BY doc_id""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap
