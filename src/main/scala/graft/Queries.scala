@@ -537,6 +537,43 @@ object Queries {
             FROM orders)
       WHERE rank <= 3 ORDER BY o_custkey, rank""")),
 
+    // ---- JSON object-form ingestion: single-key union objects
+    // (frontend.lua:899–919) built deterministically from events, decoded
+    // by JsonIngest.fromJson into $type$-tagged internal form ----
+    ("json_union_ingest", ((s: SparkSession, dir: String) => {
+      import graft.sources.JsonIngest
+      val sch = Avro.create(
+        """{"name":"ev","type":"record","fields":[
+          {"name":"event_id","type":"long"},
+          {"name":"pv","type":["null","int","string"]}]}""")
+      val json = when(col("event_id") % 7 === 0,
+          concat(lit("{\"event_id\": "), col("event_id"),
+            lit(", \"pv\": null}")))
+        .when(col("event_id") % 2 === 0,
+          concat(lit("{\"event_id\": "), col("event_id"),
+            lit(", \"pv\": {\"int\": "),
+            floor(col("value")).cast("long").cast("string"), lit("}}")))
+        .otherwise(concat(lit("{\"event_id\": "), col("event_id"),
+          lit(", \"pv\": {\"string\": \""), col("event_type"),
+          lit("\"}}")))
+      rd(s, dir, "events").select(json.as("j"))
+        .select(JsonIngest.fromJson(sch, col("j")).as("r"))
+        .select(col("r.event_id").as("event_id"),
+          col("r.pv.$type$").as("tag"),
+          col("r.pv.int").as("iv"),
+          col("r.pv.string").as("sv"))
+        .orderBy("event_id")
+    }): Q, Some("""
+      SELECT event_id,
+             CAST(CASE WHEN event_id % 7 = 0 THEN 0
+                       WHEN event_id % 2 = 0 THEN 1
+                       ELSE 2 END AS INTEGER) AS tag,
+             CASE WHEN event_id % 7 <> 0 AND event_id % 2 = 0
+                  THEN CAST(floor(value) AS INTEGER) END AS iv,
+             CASE WHEN event_id % 7 <> 0 AND event_id % 2 <> 0
+                  THEN event_type END AS sv
+      FROM events ORDER BY event_id""")),
+
     // ---- MinHash LSH candidates + exact-Jaccard verify. The candidate
     // generation is Spark-specific hashing, but the VERIFIED output is the
     // Jaccard-threshold pair set — oracle = all-pairs Jaccard. Hashing is

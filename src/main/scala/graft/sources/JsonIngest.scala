@@ -1,0 +1,135 @@
+package graft.sources
+
+import graft.schema._
+import graft.ops.FlattenOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType => SArrayType, BinaryType,
+  DataType, MapType => SMapType, NullType, StringType, StructField,
+  StructType}
+
+/** JSON object-form ingestion (reference: frontend.lua:857–935 copy_data).
+  *
+  * The reference accepts unions as SINGLE-KEY objects keyed by the branch
+  * tag — `{"int": 42}`, `{"my.Rec": {...}}` — with a bare JSON `null`
+  * selecting the null branch (frontend.lua:899–919 get_union_tag_map
+  * discriminator). [[fromJson]] parses a JSON string column against an
+  * Avro schema in that external form and yields the engine's INTERNAL
+  * representation, ready for `FlattenOps`/`Validate`:
+  *
+  *   - `["null", T]` → plain nullable scalar column
+  *   - general unions → `{$type$: branch-index, <tag1>: v1, ...}` struct
+  *   - records/arrays/maps recurse; missing record fields take their
+  *     schema default (frontend.lua:869–881), or null when the field type
+  *     is a union with a null branch
+  *   - enums stay strings (flatten performs S2I); bytes/fixed arrive as
+  *     JSON strings and are cast to binary (UTF-8)
+  *
+  * Whole-plan declarative: one `from_json` + a Column tree — no UDFs, so
+  * ingestion of a 100 TB JSON corpus is a single codegen'd projection per
+  * partition with no shuffle.
+  */
+object JsonIngest {
+
+  /** Spark type of the *external* (JSON object-form) encoding of `t`. */
+  def jsonSparkType(s: AvroSchema, t: AvroType): DataType =
+    jsonType(s, s.resolve(t), Map.empty)
+
+  private def jsonType(s: AvroSchema, t: AvroType,
+      depth: Map[String, Int]): DataType = s.resolve(t) match {
+    case u: UnionType =>
+      StructType(u.branches.map(s.resolve)
+        .filter(_.typeName != "null")
+        .map(b => StructField(SchemaConverters.branchFieldName(s, b),
+          jsonType(s, b, depth), nullable = true)))
+    case r: RecordType =>
+      if (depth.getOrElse(r.fullName, 0) >=
+          SchemaConverters.MaxRecursionDepth) NullType
+      else {
+        val d2 = depth.updated(r.fullName, depth.getOrElse(r.fullName, 0) + 1)
+        StructType(r.fields.map(f =>
+          StructField(f.name, jsonType(s, s.resolve(f.tpe), d2),
+            nullable = true)))
+      }
+    case a: graft.schema.ArrayType =>
+      SArrayType(jsonType(s, s.resolve(a.items), depth), containsNull = true)
+    case m: graft.schema.MapType =>
+      SMapType(StringType, jsonType(s, s.resolve(m.values), depth),
+        valueContainsNull = true)
+    case _: EnumType => StringType
+    case _: FixedType => StringType
+    case PrimitiveType("bytes", _) => StringType
+    case p: PrimitiveType => SchemaConverters.toSparkType(s, p)
+    case other => SchemaConverters.toSparkType(s, other)
+  }
+
+  /** Parse a JSON string column (object-form unions) into the internal
+    * representation. The schema root must be a record (the usual document
+    * shape; reference test corpus ingests records).
+    */
+  def fromJson(s: AvroSchema, json: Column,
+      options: Map[String, String] = Map.empty): Column = {
+    val rootT = s.resolve(s.root)
+    val ext = from_json(json, jsonType(s, rootT, Map.empty), options)
+    toInternal(s, rootT, ext, Map.empty)
+  }
+
+  private def bfn(s: AvroSchema, b: AvroType): String =
+    SchemaConverters.branchFieldName(s, s.resolve(b))
+
+  private def toInternal(s: AvroSchema, t: AvroType, ext: Column,
+      depth: Map[String, Int]): Column = s.resolve(t) match {
+    case u: UnionType if u.isNullableScalar =>
+      val nb = u.branches.map(s.resolve).find(_.typeName != "null").get
+      toInternal(s, nb, ext.getField(bfn(s, nb)), depth)
+
+    case u: UnionType =>
+      val resolved = u.branches.map(s.resolve)
+      val nonNull = resolved.zipWithIndex.filter(_._1.typeName != "null")
+      val nullIdx = resolved.indexWhere(_.typeName == "null")
+      val fields = nonNull.map { case (b, _) =>
+        toInternal(s, b, ext.getField(bfn(s, b)), depth).as(bfn(s, b))
+      }
+      // first present (non-null) branch field wins — the single-key
+      // contract means at most one is ever set (frontend.lua:906–918)
+      val tag = nonNull.tail
+        .foldLeft(when(ext.getField(bfn(s, nonNull.head._1)).isNotNull,
+          lit(nonNull.head._2))) { case (acc, (b, i)) =>
+          acc.when(ext.getField(bfn(s, b)).isNotNull, lit(i))
+        }.otherwise(lit(math.max(nullIdx, 0)))
+      val st = struct((tag.cast("int").as("$type$") +: fields): _*)
+      // JSON null → null branch when the union has one (all getFields on a
+      // null struct are null, so `st` itself already encodes it); unions
+      // without a null branch yield a null struct for invalid null input
+      if (nullIdx >= 0) st else when(ext.isNull, lit(null)).otherwise(st)
+
+    case r: RecordType =>
+      if (depth.getOrElse(r.fullName, 0) >=
+          SchemaConverters.MaxRecursionDepth)
+        lit(null).cast(SchemaConverters.toSparkType(s, r))
+      else {
+        val d2 = depth.updated(r.fullName, depth.getOrElse(r.fullName, 0) + 1)
+        val st = struct(r.fields.map { f =>
+          val ft = s.resolve(f.tpe)
+          val v = toInternal(s, ft, ext.getField(f.name), d2)
+          // missing field → schema default (frontend.lua:869–881)
+          val filled = f.default match {
+            case Some(d) if d != JNull =>
+              coalesce(v, FlattenOps.literalFor(s, ft, d))
+            case _ => v
+          }
+          filled.as(f.name)
+        }: _*)
+        when(ext.isNull, lit(null)).otherwise(st)
+      }
+
+    case a: graft.schema.ArrayType =>
+      transform(ext, e => toInternal(s, a.items, e, depth))
+    case m: graft.schema.MapType =>
+      transform_values(ext, (_, v) => toInternal(s, m.values, v, depth))
+    case _: EnumType => ext
+    case _: FixedType => ext.cast(BinaryType)
+    case PrimitiveType("bytes", _) => ext.cast(BinaryType)
+    case _ => ext
+  }
+}
