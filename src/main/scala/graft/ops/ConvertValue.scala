@@ -357,15 +357,16 @@ object ConvertValue {
     try {
       val rm = FlattenOps.rootRecordMapping(c.mapping)
       val out = Vector.newBuilder[Vector[Any]]
-      xflattenRecord(ctx, rm, partial, c.serviceFields.length + 1, out)
+      xflattenRecord(ctx, rm, partial, c.serviceFields.length + 1, out,
+        c.alphaNullableRecordXFlatten)
       Right(out.result())
     } catch { case e: ConvertError => Left(e.msg) }
   }
 
   private def xflattenRecord(ctx: Ctx, rm: Mapping.RecordM, data: Any,
       basePos: Int,
-      out: scala.collection.mutable.Builder[Vector[Any], Vector[Vector[Any]]])
-      : Unit = data match {
+      out: scala.collection.mutable.Builder[Vector[Any], Vector[Vector[Any]]],
+      alphaNullableRecord: Boolean = false): Unit = data match {
     case kv: Map[_, _] =>
       val smap = kv.asInstanceOf[Map[String, Any]]
       val writerNames = rm.from.fields.map(_.name).toSet
@@ -380,9 +381,14 @@ object ConvertValue {
           smap.get(wf.name).foreach { v =>
             ctx.in(wf.name) {
               (rm.fieldIr(i), ctx.reader.resolve(tf.tpe)) match {
+                case (nested: Mapping.RecordM, _)
+                    if nested.nullable && !alphaNullableRecord =>
+                  // reference alpha gate (compiler.lua:978–994)
+                  ctx.fail(graft.ops.XFlatten.NullableRecordMsg)
                 case (nested: Mapping.RecordM, rt: RecordType)
                     if !nested.nullable && !rt.nullable =>
-                  xflattenRecord(ctx, nested, v, pos, out)
+                  xflattenRecord(ctx, nested, v, pos, out,
+                    alphaNullableRecord)
                 case (um: Mapping.UnionM, _) =>
                   val (tag, value) = flattenUnion(ctx, um, v)
                   out += Vector("=", pos, tag)

@@ -23,7 +23,11 @@ final case class Compiled(
     writer: AvroSchema,
     reader: AvroSchema,
     mapping: Mapping,
-    serviceFields: Seq[DataType] = Nil) {
+    serviceFields: Seq[DataType] = Nil,
+    /** Opt-in for xflatten over nullable records (reference gates it
+      * behind `alpha_nullable_record_xflatten`, compiler.lua:978–994).
+      */
+    alphaNullableRecordXFlatten: Boolean = false) {
 
   import FlattenOps._
 
@@ -43,6 +47,23 @@ final case class Compiled(
     }
     val slots = flattenColumns(name => df(name))
     df.select(sf ++ slots: _*)
+  }
+
+  /** Human-readable dump of the compiled flat projection — the analog of
+    * the reference's `dump_src`/`dump_il` compile options (init.lua:
+    * 446–458): one line per flat slot, in flat order, with the slot's
+    * name, Avro type spelling and the Catalyst expression that computes
+    * it. Spark's `df.explain` shows the *physical* plan; this shows the
+    * schema-compilation layer above it.
+    */
+  def explain: String = {
+    val types = serviceFields.map(_.simpleString) ++ reader.getTypes()
+    val exprs = serviceFields.indices.map(i => s"<service field $i>") ++
+      flattenColumns(n => org.apache.spark.sql.functions.col(n))
+        .map(_.toString)
+    flatNames.lazyZip(types).lazyZip(exprs).zipWithIndex.map {
+      case ((n, t, e), i) => f"${i + 1}%3d  $n ($t) = $e"
+    }.mkString("\n")
   }
 
   /** The flat projection as named columns; `in` resolves a writer top-level
@@ -83,9 +104,12 @@ object FlattenOps {
 
   def compile(writer: AvroSchema, reader: AvroSchema,
       downgrade: Boolean = false,
-      serviceFields: Seq[DataType] = Nil): Either[String, Compiled] =
+      serviceFields: Seq[DataType] = Nil,
+      alphaNullableRecordXFlatten: Boolean = false)
+      : Either[String, Compiled] =
     Compat.resolve(writer, reader, downgrade)
-      .map(m => Compiled(writer, reader, m, serviceFields))
+      .map(m => Compiled(writer, reader, m, serviceFields,
+        alphaNullableRecordXFlatten))
 
   def compile(schema: AvroSchema): Either[String, Compiled] =
     compile(schema, schema)

@@ -56,9 +56,23 @@ object XFlatten {
     struct(lit("=").as("op"), lit(pos).cast(IntegerType).as("pos"),
       value.cast(StringType).as("value"))
 
+  /** Reference error for ungated nullable-record xflatten
+    * (compiler.lua:981, spelling preserved).
+    */
+  val NullableRecordMsg: String =
+    "xflatten for nullable record is on developement stage. " +
+      "Use alpha_nullable_record_xflatten option if you understand " +
+      "what you do."
+
   /** Ops for one present field; absent (NULL) fields contribute nothing. */
   private def fieldOps(c: Compiled, m: Mapping, src: Column,
       readerT: AvroType, pos: Int): Column = m match {
+    case rm: Mapping.RecordM
+        if rm.nullable && !c.alphaNullableRecordXFlatten =>
+      // runtime-gated like the reference (il.error in the generated code):
+      // absent fields still contribute nothing, present ones raise
+      when(src.isNotNull, raise_error(lit(NullableRecordMsg)))
+        .otherwise(typedEmpty())
     case rm: Mapping.RecordM if !rm.nullable =>
       // recurse: nested record fields update their own slots
       var p = pos

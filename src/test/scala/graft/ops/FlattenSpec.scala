@@ -266,4 +266,23 @@ class FlattenSpec extends AnyFunSuite with SparkTestBase {
     val plan = c.flatten(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"flatten must not shuffle:\n$plan")
   }
+
+  test("Compiled.explain names every slot in flat order (dump_src analog)") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"a","type":"string"},
+      {"name":"n","type":{"name":"N","type":"record","fields":[
+        {"name":"x","type":"int"},{"name":"y","type":"long"}]}},
+      {"name":"u","type":["null","int","string"]}]}""")
+    val c = FlattenOps.compile(s, s, downgrade = false,
+      Seq(org.apache.spark.sql.types.StringType)).toOption.get
+    val lines = c.explain.linesIterator.toVector
+    assert(lines.size == c.flatNames.size)
+    // flat order: service field, a, n.x, n.y, union tag + value
+    assert(lines(0).contains("sf0") && lines(0).contains("service field"))
+    assert(lines(1).contains("a (string)"))
+    assert(lines(2).contains("n_x (int)"))
+    assert(lines(3).contains("n_y (long)"))
+    assert(lines(4).contains("u_type"))
+    assert(lines.forall(l => l.contains("=")))
+  }
 }

@@ -88,4 +88,49 @@ class ValidateXFlattenSpec extends AnyFunSuite with SparkTestBase {
     val ops = XFlatten(c, df).select("ops").head().getSeq[Row](0)
     assert(ops == Seq(Row("=", 2, "x"), Row("=", 3, "1")))
   }
+
+  // reference: api_tests/var.lua:325–338 + compiler.lua:978–994
+  private val nullableRecSchema = Avro.create(
+    """{"type":"record","name":"X","fields":[
+      {"name":"y","type":{"name":"Y","type":"record*","fields":[
+        {"name":"f1","type":"string"}]}},
+      {"name":"k","type":"int"}]}""")
+
+  test("xflatten nullable record is alpha-gated (value path)") {
+    val c = FlattenOps.compile(nullableRecSchema).toOption.get
+    val res = ConvertValue.xflatten(c, Map("y" -> Map("f1" -> "a")))
+    assert(res.isLeft)
+    assert(res.left.toOption.get.contains(
+      "xflatten for nullable record is on developement stage"))
+    // absent nullable record → other fields still flatten
+    assert(ConvertValue.xflatten(c, Map("k" -> 5L)) ===
+      Right(Vector(Vector("=", 2, 5L))))
+  }
+
+  test("xflatten nullable record is alpha-gated (Column path)") {
+    val c = FlattenOps.compile(nullableRecSchema).toOption.get
+    val df = Seq((Some(Tuple1("a")), Some(7)), (None, Some(8)))
+      .toDF("y", "k")
+    // absent rows pass; a present nullable record raises the gate error
+    val absentOnly = df.filter($"y".isNull)
+    val okOps = XFlatten(c, absentOnly).select("ops").head().getSeq[Row](0)
+    assert(okOps == Seq(Row("=", 2, "8"))) // nullable record = 1 slot
+    val e = intercept[Exception] {
+      XFlatten(c, df).select("ops").collect()
+    }
+    assert(e.getMessage.contains(
+      "xflatten for nullable record is on developement stage"))
+  }
+
+  test("xflatten nullable record works with the alpha option on") {
+    val c = FlattenOps.compile(nullableRecSchema, nullableRecSchema,
+      alphaNullableRecordXFlatten = true).toOption.get
+    val vres = ConvertValue.xflatten(c, Map("y" -> Map("f1" -> "a")))
+    assert(vres.isRight)
+    val df = Seq(("a", 7)).toDF("f1v", "k")
+      .select(org.apache.spark.sql.functions.struct($"f1v".as("f1")).as("y"),
+        $"k")
+    val ops = XFlatten(c, df).select("ops").head().getSeq[Row](0)
+    assert(ops.map(_.getInt(1)) == Seq(1, 2))
+  }
 }
