@@ -73,20 +73,29 @@ object Validate {
   def errorColumn(schema: AvroSchema, in: String => Column): Column = {
     val rec = schema.rootRecord
     val errs = rec.fields.flatMap(f =>
-      fieldErrors(schema, f, in(f.name), pathPrefix = "", parentPath = ""))
+      fieldErrors(schema, f, in(f.name), prefix = lit(""), parentPath = None))
     if (errs.isEmpty) lit(null).cast(StringType) else coalesce(errs: _*)
   }
 
-  private def msg(parentPath: String, m: String): Column =
-    lit(if (parentPath.isEmpty) m else s"$parentPath: $m")
+  /** `parent: message` — or the bare message at the root (reference path
+    * join, frontend.lua copy_data_eh).
+    */
+  private def msg(parentPath: Option[Column], m: String): Column =
+    parentPath match {
+      case None => lit(m)
+      case Some(p) => concat(p, lit(s": $m"))
+    }
 
-  /** Errors of one record field, in declaration order.
-    * `pathPrefix` is the field's own path ("a/b"); `parentPath` is the
-    * containing record's path (error location for Key missing).
+  /** Errors of one record field, in declaration order. `prefix` is the
+    * containing path with a trailing "/" (empty at the root); `parentPath`
+    * is the containing record's own path (error location for Key missing).
+    * Paths are Columns so array indices / map keys can appear in them
+    * (reference: frontend.lua:883–931 — `1/1: …`, `a/b: …`).
     */
   private def fieldErrors(s: AvroSchema, f: Field, col: Column,
-      pathPrefix: String, parentPath: String, depth: Int = 0): Seq[Column] = {
-    val path = if (pathPrefix.isEmpty) f.name else s"$pathPrefix/${f.name}"
+      prefix: Column, parentPath: Option[Column],
+      depth: Int = 0): Seq[Column] = {
+    val path = concat(prefix, lit(f.name))
     val t = s.resolve(f.tpe)
     val missingOk = t.nullable || f.default.isDefined ||
       (t match {
@@ -102,63 +111,75 @@ object Validate {
 
   /** Value-level checks for a (non-missing) value. */
   def typeErrors(s: AvroSchema, t0: AvroType, col: Column,
-      path: String): Seq[Column] = typeErrors(s, t0, col, path, 0)
+      path: String): Seq[Column] = typeErrors(s, t0, col, lit(path), 0)
 
   private def typeErrors(s: AvroSchema, t0: AvroType, col: Column,
-      path: String, depth: Int): Seq[Column] = {
+      path: Column, depth: Int): Seq[Column] = {
     if (depth >= SchemaConverters.MaxRecursionDepth) return Nil
     val t = s.resolve(t0)
     t match {
       case e: EnumType =>
         Seq(when(col.isNotNull &&
           !col.isin(e.symbols.map(x => x: Any): _*),
-          concat(lit(s"$path: Bad value: \""), col, lit("\""))))
+          concat(path, lit(": Bad value: \""), col, lit("\""))))
       case fx: FixedType =>
         Seq(when(col.isNotNull && length(col) =!= fx.size,
-          concat(lit(s"$path: Expecting BIN of length ${fx.size}. " +
+          concat(path, lit(s": Expecting BIN of length ${fx.size}. " +
             "Encountered BIN of length "), length(col), lit("."))))
       case r: RecordType =>
         r.fields.flatMap { f =>
           val inner = col.getField(f.name)
-          val guarded = fieldErrors(s, f, inner, path, path, depth + 1)
+          val guarded = fieldErrors(s, f, inner, concat(path, lit("/")),
+            Some(path), depth + 1)
           // only report inner errors when the struct itself is present
           guarded.map(g => when(col.isNotNull, g))
         }
       case a: ArrayType =>
-        val inner = firstElementError(s, a.items, col, path)
-        inner.toSeq
+        // element path = 1-based index (frontend.lua: stack.ptr = i)
+        firstElementError(s, a.items, col, i =>
+          concat(path, lit("/"), (i + 1).cast(StringType)), depth).toSeq
       case m: MapType =>
-        val inner = firstElementError(s, m.values, map_values(col), path)
-        inner.toSeq
+        // element path = map key
+        val entries = map_entries(col)
+        firstEntryError(s, m.values, entries, e =>
+          concat(path, lit("/"), e.getField("key")), depth).toSeq
       case u: UnionType if !u.isNullableScalar =>
         // struct-form union: tag must be a valid branch index
         val tag = col.getField("$type$")
         Seq(when(col.isNotNull &&
           (tag.isNull || tag < 0 || tag >= u.branches.length),
-          concat(lit(s"$path: Bad value: "), coalesce(tag.cast(StringType),
+          concat(path, lit(": Bad value: "), coalesce(tag.cast(StringType),
             lit("null")))))
       case _ => Nil
     }
   }
 
-  /** First error among array/map elements, if any. */
-  private def firstElementError(s: AvroSchema, elemT: AvroType,
-      arr: Column, path: String): Option[Column] = {
-    val checks = typeErrors(s, s.resolve(elemT), lit(null), path)
-    // only scalar-level element checks are supported (enum/fixed); deeper
-    // nesting validates structurally via the schema's Spark type
-    s.resolve(elemT) match {
-      case e: EnumType =>
-        val bad = filter(arr, x => !x.isin(e.symbols.map(v => v: Any): _*))
-        Some(when(arr.isNotNull && size(bad) > 0,
-          concat(lit(s"$path: Bad value: \""), element_at(bad, 1), lit("\""))))
-      case fx: FixedType =>
-        val bad = filter(arr, x => length(x) =!= fx.size)
-        Some(when(arr.isNotNull && size(bad) > 0,
-          concat(lit(s"$path: Expecting BIN of length ${fx.size}. " +
-            "Encountered BIN of length "), length(element_at(bad, 1)),
-            lit("."))))
-      case _ => { val _ = checks; None }
+  /** First error of any element of `arr`, with the element's 1-based index
+    * in the error path — full recursion into records/enums/fixed/nested
+    * collections (reference: frontend.lua:883–890).
+    */
+  private def firstElementError(s: AvroSchema, elemT: AvroType, arr: Column,
+      elemPath: Column => Column, depth: Int): Option[Column] = {
+    // probe: does this element type produce any checks at all?
+    if (typeErrors(s, elemT, lit(null), lit(""), depth + 1).isEmpty) None
+    else {
+      val perElem = transform(arr, (x, i) =>
+        coalesce(typeErrors(s, elemT, x, elemPath(i), depth + 1): _*))
+      val bad = filter(perElem, e => e.isNotNull)
+      Some(when(arr.isNotNull && size(bad) > 0, element_at(bad, 1)))
+    }
+  }
+
+  /** First error of any map entry, keyed path (frontend.lua:891–898). */
+  private def firstEntryError(s: AvroSchema, valT: AvroType, entries: Column,
+      entryPath: Column => Column, depth: Int): Option[Column] = {
+    if (typeErrors(s, valT, lit(null), lit(""), depth + 1).isEmpty) None
+    else {
+      val perEntry = transform(entries, e =>
+        coalesce(typeErrors(s, valT, e.getField("value"),
+          entryPath(e), depth + 1): _*))
+      val bad = filter(perEntry, e => e.isNotNull)
+      Some(when(entries.isNotNull && size(bad) > 0, element_at(bad, 1)))
     }
   }
 }

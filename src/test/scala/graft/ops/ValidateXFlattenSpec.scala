@@ -45,6 +45,49 @@ class ValidateXFlattenSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Row(true))
   }
 
+  test("validate recurses into array elements (1-based index paths)") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"xs","type":{"type":"array","items":
+        {"type":"enum","name":"E","symbols":["A","B"]}}}]}""")
+    val df = Seq(Seq("A", "B"), Seq("A", "Z"), Seq("Q")).toDF("xs")
+    val out = Validate(s, df).select("_error").collect()
+    assert(out(0) == Row(null))
+    assert(out(1) == Row("xs/2: Bad value: \"Z\""))
+    assert(out(2) == Row("xs/1: Bad value: \"Q\""))
+  }
+
+  test("validate recurses into records inside arrays") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"xs","type":{"type":"array","items":
+        {"name":"P","type":"record","fields":[
+          {"name":"e","type":{"type":"enum","name":"E2",
+            "symbols":["X","Y"]}},
+          {"name":"k","type":"int"}]}}}]}""")
+    val df = Seq(
+      Seq(("X", Some(1))),
+      Seq(("X", Some(1)), ("BAD", Some(2))),
+      Seq(("Y", None: Option[Int]))).toDF("xs")
+      .select($"xs".cast(
+        "array<struct<e:string,k:int>>").as("xs"))
+    val out = Validate(s, df).select("_error").collect()
+    assert(out(0) == Row(null))
+    assert(out(1) == Row("xs/2/e: Bad value: \"BAD\""))
+    assert(out(2) == Row("xs/1: Key missing: \"k\""))
+  }
+
+  test("validate recurses into map values (key paths)") {
+    val s = Avro.create("""{"name":"r","type":"record","fields":[
+      {"name":"m","type":{"type":"map","values":
+        {"type":"fixed","name":"F2","size":2}}}]}""")
+    val df = Seq(
+      Map("a" -> "ab".getBytes, "b" -> "cd".getBytes),
+      Map("a" -> "ab".getBytes, "bad" -> "cde".getBytes)).toDF("m")
+    val out = Validate(s, df).select("_error").collect()
+    assert(out(0) == Row(null))
+    assert(out(1) == Row(
+      "m/bad: Expecting BIN of length 2. Encountered BIN of length 3."))
+  }
+
   test("strict validate: exact validate-family errors per row") {
     val s = Avro.create("""{"name":"r","type":"record","fields":[
       {"name":"a","type":"long"},
