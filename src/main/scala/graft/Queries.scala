@@ -348,6 +348,28 @@ object Queries {
              END AS _error
       FROM orders ORDER BY o_orderkey""")),
 
+    // ---- quarantine routing: invalid rows split off with their error
+    // (SURVEY §3.3 — route, don't throw, at 100 TB) ----
+    ("quarantine_orders", ((s: SparkSession, dir: String) => {
+      val schema = Avro.create("""{"name":"o","type":"record","fields":[
+        {"name":"o_orderkey","type":"long"},
+        {"name":"o_orderstatus","type":{"type":"enum","name":"St",
+          "symbols":["F","O"]}},
+        {"name":"o_totalprice","type":"double"}]}""")
+      val validated = graft.ops.Validate.strict(schema,
+        rd(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      val (_, quarantined) = graft.sinks.Quarantine.split(validated)
+      quarantined.groupBy(col("_error"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+        .orderBy("_error")
+    }): Q, Some("""
+      SELECT 'o_orderstatus: Not a St: ' || o_orderstatus AS _error,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(o_orderkey) AS BIGINT) AS min_key
+      FROM orders WHERE o_orderstatus NOT IN ('F','O')
+      GROUP BY 1 ORDER BY _error""")),
+
     // ---- dedup keep-set: rows surviving exact dedup, per lang ----
     ("dedup_keep_documents", ((s: SparkSession, dir: String) => {
       val all = docsWithExactDups(s, dir)
