@@ -230,6 +230,17 @@ object ValidateValue {
       }
       case u: UnionType => data match {
         case kv: Map[_, _] =>
+          if (kv.size > 1) {
+            // reference walks next(data): the extra key — the first one
+            // that is not the consumed branch key — is reported
+            // (frontend.lua:906–918, validate.lua:377–386)
+            val keys = kv.keys.collect { case s: String => s }.toVector
+            val extra = keys
+              .find(k => !u.branches.exists(b =>
+                branchTag(ctx.schema, b) == k))
+              .getOrElse(keys(1))
+            ctx.in(extra)(ctx.fail("Unexpected key in union"))
+          }
           if (kv.size != 1) notA(ctx, u, data)
           val (k, v) = kv.head match {
             case (k: String, v) => (k, v)

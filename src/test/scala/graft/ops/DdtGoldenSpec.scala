@@ -254,4 +254,86 @@ class DdtGoldenSpec extends AnyFunSuite {
       "x1" -> "a", "x2" -> Map("y1" -> "b", "y2" -> "bad"),
       "x3" -> null)) == Left("x2/y2: Expecting LONG, encountered STR"))
   }
+
+  // ---- record_vlo.lua: variable-length fields around defaults ----
+
+  private val vlo1 = compiled("""{"type":"record","name":"vlo1","fields":[
+    {"name":"A","type":"int","default":100},
+    {"name":"B","type":"int","default":101},
+    {"name":"VLO","type":{"type":"array","items":"int"}}]}""")
+
+  private val vlo2 = compiled("""{"type":"record","name":"vlo2","fields":[
+    {"name":"VLO","type":{"type":"array","items":"int"}},
+    {"name":"A","type":"int","default":100},
+    {"name":"B","type":"int","default":101}]}""")
+
+  private val vlo3 = compiled("""{"type":"record","name":"vlo3","fields":[
+    {"name":"VL1","type":{"type":"array","items":"int"}},
+    {"name":"A","type":"int","default":100},
+    {"name":"B","type":"int","default":101},
+    {"name":"VL2","type":{"type":"array","items":"int"}}]}""")
+
+  private val vlo4 = compiled("""{"type":"record","name":"vlo4","fields":[
+    {"name":"A","type":"int","default":100},
+    {"name":"VLO","type":{"name":"nested","type":"record","fields":[
+      {"name":"_","type":{"type":"array","items":"int"}}]}},
+    {"name":"B","type":"int","default":101}]}""")
+
+  private def arr(xs: Long*): Vector[Any] = xs.toVector
+
+  test("record_vlo.lua: trailing VLO with defaults before it") {
+    assert(ConvertValue.flatten(vlo1, Map("VLO" -> arr(1, 2, 3, 4))) ==
+      Right(Vector(100L, 101L, arr(1, 2, 3, 4))))
+    assert(ConvertValue.flatten(vlo1,
+      Map("A" -> 1L, "VLO" -> arr(1, 2, 3))) ==
+      Right(Vector(1L, 101L, arr(1, 2, 3))))
+    assert(ConvertValue.flatten(vlo1,
+      Map("B" -> 2L, "VLO" -> arr(1, 2, 3))) ==
+      Right(Vector(100L, 2L, arr(1, 2, 3))))
+    assert(ConvertValue.flatten(vlo1,
+      Map("A" -> 1L, "B" -> 2L, "VLO" -> arr(1, 2, 3))) ==
+      Right(Vector(1L, 2L, arr(1, 2, 3))))
+  }
+
+  test("record_vlo.lua: leading VLO with defaults after it") {
+    assert(ConvertValue.flatten(vlo2, Map("VLO" -> arr(1, 2, 3, 4))) ==
+      Right(Vector(arr(1, 2, 3, 4), 100L, 101L)))
+    assert(ConvertValue.flatten(vlo2,
+      Map("A" -> 1L, "VLO" -> arr(1, 2, 3))) ==
+      Right(Vector(arr(1, 2, 3), 1L, 101L)))
+    assert(ConvertValue.flatten(vlo2,
+      Map("B" -> 2L, "VLO" -> arr(1, 2, 3))) ==
+      Right(Vector(arr(1, 2, 3), 100L, 2L)))
+    assert(ConvertValue.flatten(vlo2,
+      Map("A" -> 1L, "B" -> 2L, "VLO" -> arr(1, 2, 3))) ==
+      Right(Vector(arr(1, 2, 3), 1L, 2L)))
+  }
+
+  test("record_vlo.lua: VLOs on both sides of defaults") {
+    assert(ConvertValue.flatten(vlo3,
+      Map("VL1" -> arr(1, 2, 3), "VL2" -> arr(4, 5, 6))) ==
+      Right(Vector(arr(1, 2, 3), 100L, 101L, arr(4, 5, 6))))
+    assert(ConvertValue.flatten(vlo3,
+      Map("A" -> 1L, "VL1" -> arr(1, 2, 3), "VL2" -> arr(4, 5, 6))) ==
+      Right(Vector(arr(1, 2, 3), 1L, 101L, arr(4, 5, 6))))
+    assert(ConvertValue.flatten(vlo3,
+      Map("B" -> 2L, "VL1" -> arr(1, 2, 3), "VL2" -> arr(4, 5, 6))) ==
+      Right(Vector(arr(1, 2, 3), 100L, 2L, arr(4, 5, 6))))
+    assert(ConvertValue.flatten(vlo3,
+      Map("A" -> 1L, "B" -> 2L, "VL1" -> arr(1, 2, 3),
+        "VL2" -> arr(4, 5, 6))) ==
+      Right(Vector(arr(1, 2, 3), 1L, 2L, arr(4, 5, 6))))
+  }
+
+  test("record_vlo.lua: VLO inside a nested record between defaults") {
+    assert(ConvertValue.flatten(vlo4,
+      Map("VLO" -> Map("_" -> arr(1, 2, 3, 4)))) ==
+      Right(Vector(100L, arr(1, 2, 3, 4), 101L)))
+    assert(ConvertValue.flatten(vlo4,
+      Map("B" -> 99L, "VLO" -> Map("_" -> arr(1, 2, 3, 4)))) ==
+      Right(Vector(100L, arr(1, 2, 3, 4), 99L)))
+    assert(ConvertValue.flatten(vlo4,
+      Map("A" -> 1L, "VLO" -> Map("_" -> arr(1, 2, 3, 4)))) ==
+      Right(Vector(1L, arr(1, 2, 3, 4), 101L)))
+  }
 }

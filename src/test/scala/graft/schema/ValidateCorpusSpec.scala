@@ -88,4 +88,72 @@ class ValidateCorpusSpec extends AnyFunSuite {
     assert(v("""["int","string"]""", null) ==
       Left("Unexpected type in union: null"))
   }
+
+  test("union: single-key form and error family (validate.lua:342–386)") {
+    val u = """["null","string"]"""
+    assert(v(u, null).isRight)
+    assert(v("""["string"]""", null) ==
+      Left("Unexpected type in union: null"))
+    assert(v(u, Map("string" -> "Hello, world!")).isRight)
+    assert(v(u, 42L) == Left("Not a union: 42"))
+    assert(v(u, Map("string" -> 42L)) ==
+      Left("string: Not a string: 42"))
+    assert(v(u, Map("XXX" -> 42L)) ==
+      Left("XXX: Unexpected key in union"))
+    assert(v(u, Map("string" -> "", "XXX" -> 42L)) ==
+      Left("XXX: Unexpected key in union"))
+  }
+
+  test("gh-88: false in a record field is a present value") {
+    val s = """{"type":"record","name":"X","fields":[
+      {"name":"f1","type":"boolean"}]}"""
+    assert(v(s, Map("f1" -> false)).isRight)
+  }
+
+  test("record: missing field with a default passes (validate.lua:495)") {
+    val withDefault = """{"name":"foo","type":"record","fields":[
+      {"name":"X","type":"string"},
+      {"name":"Y","type":"boolean","default":false}]}"""
+    assert(v(withDefault, Map("X" -> "")).isRight)
+    val noDefault = """{"name":"foo","type":"record","fields":[
+      {"name":"X","type":"string"},{"name":"Y","type":"boolean"}]}"""
+    assert(v(noDefault, Map("X" -> "")) == Left("Field Y missing"))
+  }
+
+  test("gh-64: absent union-with-null field treated as null") {
+    val s = """{"name":"foo","type":"record","fields":[
+      {"name":"A","type":"string"},
+      {"name":"B","type":["null","string"]},
+      {"name":"C","type":"int"}]}"""
+    assert(v(s, Map("A" -> "Hello, world!", "C" -> 42L)).isRight)
+  }
+
+  test("nullability: `*` types accept null and value (validate.lua:524)") {
+    assert(v("\"string*\"", null).isRight)
+    assert(v("\"string*\"", "HELLO").isRight)
+    val recStar = """{"name":"foo","type":"record*","fields":[
+      {"name":"X","type":"string"}]}"""
+    assert(v(recStar, Map("X" -> "HELLO")).isRight)
+    assert(v(recStar, null).isRight)
+    // gh-35: absent nullable field means NULL
+    val gh35 = """{"name":"foo","type":"record","fields":[
+      {"name":"X","type":"string"},{"name":"Y","type":"string*"}]}"""
+    assert(v(gh35, Map("X" -> "HELLO")).isRight)
+    val f1 = """{"type":"record","name":"X","fields":[
+      {"name":"f1","type":"float*"}]}"""
+    assert(v(f1, Map("f1" -> 3.1415)).isRight)
+  }
+
+  test("any: accepts everything; still subject to presence (validate.lua:571)") {
+    assert(v("\"any\"", null).isRight)
+    assert(v("\"any\"", "string").isRight)
+    assert(v("\"any\"", Seq("1", 1L, null, Map("1" -> 2L))).isRight)
+    val recAny = """{"name":"foo","type":"record","fields":[
+      {"name":"X","type":"any"}]}"""
+    assert(v(recAny, Map("X" -> 123L)).isRight)
+    assert(v(recAny, Map.empty[String, Any]) == Left("Field X missing"))
+    val recAnyStar = """{"name":"foo","type":"record","fields":[
+      {"name":"X","type":"any*"}]}"""
+    assert(v(recAnyStar, Map.empty[String, Any]).isRight)
+  }
 }
