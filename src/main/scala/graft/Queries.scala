@@ -84,6 +84,17 @@ object Queries {
   def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Read + spread for CPU-bound per-row stages (codec, JSON parse,
+    * wide text expressions). The local testdata is one row group per
+    * file, so the scan itself is a single task; on a cluster the source
+    * arrives in thousands of splits and this repartition is a no-op in
+    * spirit — here it buys the same per-row parallelism for a ~2 MB
+    * shuffle. Scans that feed cheap projections stay on [[rd]].
+    */
+  def rdPar(spark: SparkSession, dir: String, table: String): DataFrame =
+    rd(spark, dir, table)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** documents ∪ exact copies (id+10000, every 10th) — planted dups shared
     * by the Spark query and the oracle.
     */
@@ -244,7 +255,7 @@ object Queries {
     // ---- xflatten: partial JSON update → positional ops ----
     ("xflatten_events_props", ((s: SparkSession, dir: String) => {
       val c = FlattenOps.compile(propsSchema).fold(e => sys.error(e), identity)
-      val ev = rd(s, dir, "events").select(col("event_id"),
+      val ev = rdPar(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       XFlatten(c, ev)
         .select(col("event_id"), explode(col("ops")).as("op_entry"))
@@ -262,7 +273,8 @@ object Queries {
 
     // ---- binary path: encode, decode with evolved reader ----
     ("avro_roundtrip_events", ((s: SparkSession, dir: String) => {
-      val ev = rd(s, dir, "events").select("event_id", "event_type", "value")
+      val ev = rdPar(s, dir, "events")
+        .select("event_id", "event_type", "value")
       val bin = ev.select(AvroBinary.toAvroBinary(
         struct(col("event_id"), col("event_type"), col("value")),
         eventsWriter).as("b"))
@@ -337,7 +349,7 @@ object Queries {
         {"name":"o_orderstatus","type":{"type":"enum","name":"St",
           "symbols":["F","O"]}},
         {"name":"o_totalprice","type":"double"}]}""")
-      graft.ops.Validate.strict(schema, rd(s, dir, "orders")
+      graft.ops.Validate.strict(schema, rdPar(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
         .select("o_orderkey", "_valid", "_error")
         .orderBy("o_orderkey")
@@ -412,7 +424,7 @@ object Queries {
 
     // ---- heuristic language-ID distribution ----
     ("langid_documents", ((s: SparkSession, dir: String) => {
-      rd(s, dir, "documents")
+      rdPar(s, dir, "documents")
         .groupBy(TextAnalysis.langId(col("text")).as("lang_detected"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_detected")
@@ -578,8 +590,8 @@ object Queries {
         .otherwise(concat(lit("{\"event_id\": "), col("event_id"),
           lit(", \"pv\": {\"string\": \""), col("event_type"),
           lit("\"}}")))
-      rd(s, dir, "events").select(json.as("j"))
-        .select(JsonIngest.fromJson(sch, col("j")).as("r"))
+      JsonIngest.ingest(rdPar(s, dir, "events").select(json.as("j")),
+          sch, col("j"))
         .select(col("r.event_id").as("event_id"),
           col("r.pv.$type$").as("tag"),
           col("r.pv.int").as("iv"),
@@ -655,7 +667,7 @@ object Queries {
     // metadata/features. ----
     ("multimodal_features", ((s: SparkSession, dir: String) => {
       import graft.pipeline.Multimodal
-      val blobs = rd(s, dir, "documents")
+      val blobs = rdPar(s, dir, "documents")
         .select(col("doc_id"), Multimodal.asBlob(col("text"), "fake/image")
           .as("blob"))
       val batch = Multimodal.extractFeatures(blobs, "blob", 8)

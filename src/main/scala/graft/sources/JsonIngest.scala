@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.schema._
 import graft.ops.FlattenOps
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType => SArrayType, BinaryType,
   DataType, MapType => SMapType, NullType, StringType, StructField,
@@ -66,12 +66,34 @@ object JsonIngest {
   /** Parse a JSON string column (object-form unions) into the internal
     * representation. The schema root must be a record (the usual document
     * shape; reference test corpus ingests records).
+    *
+    * NOTE: the returned Column references the parse result once per leaf;
+    * `JsonToStructs` is a non-codegen expression, so Catalyst cannot
+    * common-subexpression-eliminate the duplicates and the JSON is parsed
+    * once PER LEAF. Prefer [[ingest]] on DataFrames — it stages the parse
+    * in its own projection (which the optimizer will not inline into a
+    * multi-reference consumer), so each row is parsed exactly once.
     */
   def fromJson(s: AvroSchema, json: Column,
       options: Map[String, String] = Map.empty): Column = {
     val rootT = s.resolve(s.root)
     val ext = from_json(json, jsonType(s, rootT, Map.empty), options)
     toInternal(s, rootT, ext, Map.empty)
+  }
+
+  /** Single-parse ingestion: adds `as` (internal form) to `df`. The
+    * external parse lives in its own projection under a multi-reference
+    * consumer, so CollapseProject keeps it materialized once per row —
+    * ~N× faster than [[fromJson]] for an N-leaf schema.
+    */
+  def ingest(df: DataFrame, s: AvroSchema, json: Column, as: String = "r",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val rootT = s.resolve(s.root)
+    val extName = s"__json_ext_$as"
+    df.withColumn(extName,
+        from_json(json, jsonType(s, rootT, Map.empty), options))
+      .withColumn(as, toInternal(s, rootT, col(extName), Map.empty))
+      .drop(extName)
   }
 
   private def bfn(s: AvroSchema, b: AvroType): String =

@@ -85,6 +85,32 @@ class JsonIngestSpec extends AnyFunSuite with SparkTestBase {
       Seq(Row(Seq(1, null, 3), Seq(5L))))
   }
 
+  test("ingest (single-parse DataFrame form) matches fromJson") {
+    val s = Avro.create(
+      """{"name":"r","type":"record","fields":[
+        {"name":"id","type":"long"},
+        {"name":"v","type":["null","int","string"]}]}""")
+    val df = Seq(
+      """{"id": 1, "v": {"int": 7}}""",
+      """{"id": 2, "v": {"string": "hey"}}""",
+      """{"id": 3, "v": null}""").toDF("j")
+    val a = df.select(JsonIngest.fromJson(s, col("j")).as("r"))
+      .select("r.id", "r.v.$type$", "r.v.int", "r.v.string")
+      .orderBy("id").collect().toSeq
+    val b = JsonIngest.ingest(df, s, col("j"))
+      .select("r.id", "r.v.$type$", "r.v.int", "r.v.string")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+    // the parse must appear exactly once in the optimized plan (use a
+    // Range source — LocalRelation input gets fully constant-folded)
+    val ranged = spark.range(10).select(concat(lit("{\"id\": "),
+      col("id"), lit(", \"v\": {\"int\": 7}}")).as("j"))
+    val plan = JsonIngest.ingest(ranged, s, col("j"))
+      .select("r.id", "r.v.int", "r.v.string")
+      .queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("ingested rows feed flatten (end-to-end with FlattenOps)") {
     val s = Avro.create(
       """{"name":"ev","type":"record","fields":[
