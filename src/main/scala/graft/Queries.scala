@@ -424,8 +424,9 @@ object Queries {
 
     // ---- heuristic language-ID distribution ----
     ("langid_documents", ((s: SparkSession, dir: String) => {
-      rdPar(s, dir, "documents")
-        .groupBy(TextAnalysis.langId(col("text")).as("lang_detected"))
+      TextAnalysis.withLangId(rdPar(s, dir, "documents"), "text",
+          as = "lang_detected")
+        .groupBy("lang_detected")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_detected")
     }): Q, Some(s"""

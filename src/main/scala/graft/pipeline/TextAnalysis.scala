@@ -55,6 +55,32 @@ object TextAnalysis {
     winner
   }
 
+  /** DataFrame-staged language ID: per-language scores are computed ONCE
+    * in their own projection and the winner CASE runs over the score
+    * attributes. The single-Column [[langId]] inlines every score into
+    * both the `greatest` and each WHEN arm — ~3× the replace() calls per
+    * row; at corpus scale that triples the hottest string work. Same
+    * result, same tie order.
+    */
+  def withLangId(df: DataFrame, textCol: String,
+      as: String = "lang"): DataFrame = {
+    val order = Seq("en", "de", "fr", "es", "it")
+    val lowName = s"__langid_lower_$as"
+    val scoreName = order.map(l => l -> s"__langid_${l}_$as").toMap
+    val lowered = df.withColumn(lowName, lower(col(textCol)))
+    val scored = order.foldLeft(lowered) { (d, l) =>
+      d.withColumn(scoreName(l),
+        langProbes(l).map(p => occ(col(lowName), p)).reduce(_ + _))
+    }
+    val best = order.map(l => col(scoreName(l))).reduce(greatest(_, _))
+    val winner = order.foldRight(lit("und")) { case (l, acc) =>
+      when(col(scoreName(l)) === best && col(scoreName(l)) > 0, lit(l))
+        .otherwise(acc)
+    }
+    scored.withColumn(as, winner)
+      .drop(lowName +: order.map(scoreName): _*)
+  }
+
   /** Integer quality score 0..100 from length, alpha ratio and token stats:
     *   40 * clamp(tokens/20) + 30 * alphaRatio + 30 * avgWordLen in [3,12].
     * Pure integer arithmetic (portable to the oracle).

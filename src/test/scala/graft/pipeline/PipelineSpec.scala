@@ -129,6 +129,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(r.forall(x => x.getInt(2) >= 0 && x.getInt(2) <= 100))
   }
 
+  test("withLangId (staged scores) matches the Column-form langId") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "der hund und die katze ist das tier",
+      "le chat et la maison est grande",
+      "el gato de la casa es grande y bonito",
+      "il gatto di casa che dorme e la luna",
+      "", "   ", "one", "xyz qrs").toDF("text")
+    val colForm = df.select($"text",
+      TextAnalysis.langId($"text").as("lang")).collect()
+    val staged = TextAnalysis.withLangId(df, "text").collect()
+    assert(staged.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      colForm.map(r => (r.getString(0), r.getString(1))).toSeq)
+    assert(staged.head.schema.fieldNames.toSeq == Seq("text", "lang"))
+  }
+
   test("fingerprint is whitespace-insensitive but order-sensitive") {
     val df = Seq(
       ("a", "hello   world  "),
