@@ -661,6 +661,41 @@ object Queries {
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 1 ORDER BY query_id, rank""")),
 
+    // ---- ANN via IVF: same guarantee shape as the LSH query — cosine is
+    // scale-invariant, so a x1.5-scaled query probes exactly the cell its
+    // original was assigned to; with the true top-1 (cosine ~1.0) in the
+    // probed cell, IVF top-1 equals exact top-1 and the brute-force oracle
+    // applies. Centroid training is the offline IVF step (bounded
+    // deterministic sample, driver-side Lloyd's). ----
+    ("similarity_ivf_topk", ((s: SparkSession, dir: String) => {
+      val e = rd(s, dir, "embeddings")
+      val centroids = Similarity.trainIvfCentroids(e, "vec_id",
+        "embedding", k = 16, sampleN = 2000, iters = 4)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("qv"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "qv",
+        k = 1, centroids, nProbe = 1)
+        .select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(list_transform(embedding,
+                          x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 1 ORDER BY query_id, rank""")),
+
     // ---- multimodal blob pipeline, reduced to hashable scalars for the
     // comparator: byte length from the blob metadata (oracle: strlen of
     // the source text), feature dims from BOTH extraction paths (batch

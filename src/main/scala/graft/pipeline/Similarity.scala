@@ -204,4 +204,111 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "id", "cosine", "rank")
   }
+
+  // ----------------------------------------------------------------- IVF
+
+  /** Train IVF coarse-quantizer centroids: deterministic bounded sample
+    * (ordered limit — reproducible across runs), Lloyd's iterations on the
+    * DRIVER. Training is the offline step of an IVF index; the sample is
+    * bounded (`sampleN` rows × dim floats), so driver memory is fixed no
+    * matter the corpus size. Assignment by max cosine (scale-invariant,
+    * consistent with the search metric).
+    */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleN: Int = 10000, iters: Int = 5): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "empty training sample")
+    // init: evenly spaced sample points (deterministic)
+    var centroids = Array.tabulate(math.min(k, sample.length))(i =>
+      sample(i * sample.length / math.min(k, sample.length)).clone())
+    for (_ <- 1 to iters) {
+      val dim = centroids(0).length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim && i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // keep empty centroids stable
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (ties → lowest index). */
+  private[pipeline] def nearestCentroid(v: Array[Float],
+      centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestCos = Double.MinValue
+    var c = 0
+    while (c < centroids.length) {
+      val cos = cosineJ(v, centroids(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nProbe` nearest centroid ids for one vector (by cosine, desc). */
+  private[pipeline] def probeCentroids(v: Array[Float],
+      centroids: Array[Array[Float]], nProbe: Int): Array[Int] =
+    centroids.indices
+      .sortBy(c => (-cosineJ(v, centroids(c)), c))
+      .take(nProbe).toArray
+
+  /** (id, v, cid) — corpus vectors labeled with their IVF cell. One map
+    * over the rows with broadcast centroids; at scale this is the
+    * persisted index layout (partition/bucket by `cid`).
+    */
+  def ivfAssignDf(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], idAs: String = "id",
+      vAs: String = "v"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF(idAs, vAs, "cid")
+  }
+
+  /** IVF top-k: corpus scanned once into cells; each query probes its
+    * `nProbe` nearest cells and re-ranks candidates by exact cosine.
+    * Candidate volume ≈ |corpus| × nProbe / k_centroids per query — the
+    * classic IVF recall/cost dial — versus the corpus×queries product of
+    * [[bruteForceTopK]]. The query side is broadcast (ANN contract).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, centroids: Array[Array[Float]], nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = ivfAssignDf(corpus, idCol, vecCol, centroids)
+    val qProbes = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        probeCentroids(qv, bc.value, nProbe).map(cid => (qid, qv, cid))
+      }.toDF("query_id", "qv", "cid")
+    val scored = cells.join(broadcast(qProbes), "cid")
+      .select("query_id", "qv", "id", "v")
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
+      .toDF("query_id", "id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
 }

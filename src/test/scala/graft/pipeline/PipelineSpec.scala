@@ -113,6 +113,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "LSH candidate generation must be a bucket join")
   }
 
+  test("IVF top-k: self is rank 1; high overlap with brute force") {
+    val centroids = Similarity.trainIvfCentroids(embs, "vec_id",
+      "embedding", k = 8, sampleN = 500, iters = 4)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    val queries = embs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val approx = Similarity.ivfTopK(embs, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, centroids, nProbe = 3)
+    val self = approx.filter($"query_id" === $"id" && $"rank" === 1).count()
+    assert(self == 5, "each query's own vector must be its top hit")
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+      .select("query_id", "id")
+    val overlap = approx.select("query_id", "id")
+      .join(brute, Seq("query_id", "id")).count()
+    assert(overlap >= 15, s"IVF nProbe=3/8 should catch most of top-5, " +
+      s"got $overlap/25")
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "IVF candidate generation must be a cell join")
+  }
+
+  test("IVF assignment is deterministic and cells partition the corpus") {
+    val centroids = Similarity.trainIvfCentroids(embs, "vec_id",
+      "embedding", k = 4, sampleN = 300, iters = 3)
+    val a1 = Similarity.ivfAssignDf(embs, "vec_id", "embedding", centroids)
+    val a2 = Similarity.ivfAssignDf(embs, "vec_id", "embedding", centroids)
+    assert(a1.count() == embs.count())
+    assert(a1.select("id", "cid").except(a2.select("id", "cid")).count() == 0)
+    val cells = a1.groupBy("cid").count().count()
+    assert(cells > 1, "corpus should spread over multiple cells")
+  }
+
   test("tokenCount / langId / qualityScore basics") {
     val df = Seq(
       "the cat and the dog of the house is big",
