@@ -39,10 +39,21 @@ object ConvertValue {
       serviceFields: Seq[Any] = Nil): Either[String, Vector[Any]] = {
     val ctx = new Ctx(c.writer, c.reader)
     try {
-      val rm = FlattenOps.rootRecordMapping(c.mapping)
       val out = Vector.newBuilder[Any]
       serviceFields.foreach(out += _)
-      flattenRecord(ctx, rm, data, out)
+      c.mapping match {
+        case rm: Mapping.RecordM if !rm.nullable =>
+          flattenRecord(ctx, rm, data, out)
+        case um: Mapping.UnionM =>
+          // non-record union root: [tag, value] pair (test/ddt_suite/union.lua)
+          val (tag, v) = flattenUnion(ctx, um, data)
+          out += tag
+          out += v
+        case m =>
+          // array/map/primitive/nullable-record root: one slot
+          // (test/ddt_suite/array.lua, map.lua root-schema forms)
+          out += flattenValue(ctx, m, data)
+      }
       Right(out.result())
     } catch { case e: ConvertError => Left(e.msg) }
   }
@@ -411,14 +422,17 @@ object ConvertValue {
   def unflatten(c: Compiled, tuple: Seq[Any]): Either[String, Any] = {
     val ctx = new Ctx(c.writer, c.reader)
     try {
-      val rm = FlattenOps.rootRecordMapping(c.mapping)
       val expect = c.writerFlatWidth + c.serviceFields.length
       if (tuple.length != expect) ctx.fail(
         s"Expecting ARRAY of length $expect. " +
           s"Encountered ARRAY of length ${tuple.length}.")
       val cursor = new FlattenOps.SlotCursor
       cursor.pos = c.serviceFields.length
-      Right(unflattenRecord(ctx, rm, tuple.toVector, cursor))
+      Right(c.mapping match {
+        case rm: Mapping.RecordM if !rm.nullable =>
+          unflattenRecord(ctx, rm, tuple.toVector, cursor)
+        case m => unflattenValue(ctx, m, tuple.toVector, cursor)
+      })
     } catch { case e: ConvertError => Left(e.msg) }
   }
 
