@@ -456,7 +456,10 @@ private[schema] final class SchemaParser(options: CreateOptions) {
         val q = qualify(base)
         forwardRefs.getOrElseUpdate(q, path.mkString("/"))
         Reference(q, nullable)
-      case None => err(s"Unknown Avro type: $base")
+      case None =>
+        // report the name as resolved in the current namespace
+        // (reference fullname(), frontend.lua:72-77)
+        err(s"Unknown Avro type: ${qualify(base)}")
     }
   }
 
@@ -569,8 +572,8 @@ private[schema] final class SchemaParser(options: CreateOptions) {
   private def parseRecord(obj: JObject, nullable: Boolean): AvroType =
     frame("<record>") {
       val (name, ns) = parseTypeName(obj, "record")
-      renameFrame(name)
       val fullName = ns.fold(name)(n => s"$n.$name")
+      renameFrame(fullName) // error paths carry the namespaced name
       registerName(fullName)
       collectPreserved(obj, fullName)
       val savedNs = currentNamespace
@@ -646,8 +649,8 @@ private[schema] final class SchemaParser(options: CreateOptions) {
   private def parseEnum(obj: JObject, nullable: Boolean): AvroType =
     frame("<enum>") {
       val (name, ns) = parseTypeName(obj, "enum")
-      renameFrame(name)
       val fullName = ns.fold(name)(n => s"$n.$name")
+      renameFrame(fullName) // error paths carry the namespaced name
       registerName(fullName)
       collectPreserved(obj, fullName)
       try {
@@ -678,8 +681,8 @@ private[schema] final class SchemaParser(options: CreateOptions) {
   private def parseFixed(obj: JObject, nullable: Boolean): AvroType =
     frame("<fixed>") {
       val (name, ns) = parseTypeName(obj, "fixed")
-      renameFrame(name)
       val fullName = ns.fold(name)(n => s"$n.$name")
+      renameFrame(fullName) // error paths carry the namespaced name
       registerName(fullName)
       collectPreserved(obj, fullName)
       try {
