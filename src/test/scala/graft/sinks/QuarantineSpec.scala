@@ -25,6 +25,25 @@ class QuarantineSpec extends AnyFunSuite with SparkTestBase {
     assert(q(0).getString(1) == "st: Bad value: \"Z\"")
   }
 
+  test("writeStreamPartitioned routes a stream into good/quarantine") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData((1L, "A"), (2L, "Z"), (3L, "B"), (4L, "Q"))
+    val stream = input.toDF().toDF("id", "st")
+    val base = java.nio.file.Files
+      .createTempDirectory("quarantine-stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("quarantine-ckpt").toString
+    val q = Quarantine.writeStreamPartitioned(
+      Validate(schema, stream), base, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(Quarantine.goodPath(base)).count() == 2)
+    val bad = spark.read.parquet(Quarantine.quarantinePath(base))
+    assert(bad.count() == 2)
+    assert(bad.filter(col("_error").isNull).count() == 0)
+  }
+
   test("writePartitioned splits in one scan; both sides read back") {
     val df = Seq((1L, "A"), (2L, "Z"), (3L, "B"), (4L, "Q"))
       .toDF("id", "st")
