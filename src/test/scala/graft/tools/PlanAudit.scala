@@ -26,9 +26,13 @@ object PlanAudit {
         "  cartesian: " + plan.contains("CartesianProduct") +
         "  wscg_spans: " + "WholeStageCodegen".r.findAllIn(plan).length)
     }
-    Seq("q1_agg", "flatten_customer", "join_orders_customers",
-      "join_nation_revenue", "window_top_orders", "similarity_topk",
-      "dedup_exact_documents", "enum_encode_orders").foreach(audit)
+    Seq("q1_agg", "q6_revenue", "flatten_customer",
+      "join_orders_customers", "join_nation_revenue", "window_top_orders",
+      "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
+      "dedup_exact_documents", "dedup_ngram_documents",
+      "minhash_pairs_documents", "simhash_pairs_documents",
+      "embedding_dedup_pairs", "json_union_ingest", "quarantine_orders",
+      "multimodal_features", "enum_encode_orders").foreach(audit)
     spark.stop()
   }
 }
