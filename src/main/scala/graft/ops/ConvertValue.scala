@@ -419,21 +419,84 @@ object ConvertValue {
   // unflatten
   // -------------------------------------------------------------------
 
-  def unflatten(c: Compiled, tuple: Seq[Any]): Either[String, Any] = {
+  def unflatten(c: Compiled, tuple: Seq[Any]): Either[String, Any] =
+    unflattenWithServiceFields(c, tuple).map(_._1)
+
+  /** Unflatten returning the service-field prefix values as well —
+    * the reference's method-form unflatten returns `(obj, sf...)`
+    * (init.lua:249–268 gen_fetch_service_fields); the prefix slots are
+    * type-guarded with 1-based slot paths
+    * (test/ddt_suite/service_fields.lua).
+    */
+  def unflattenWithServiceFields(c: Compiled,
+      tuple: Seq[Any]): Either[String, (Any, Vector[Any])] = {
     val ctx = new Ctx(c.writer, c.reader)
     try {
       val expect = c.writerFlatWidth + c.serviceFields.length
       if (tuple.length != expect) ctx.fail(
         s"Expecting ARRAY of length $expect. " +
           s"Encountered ARRAY of length ${tuple.length}.")
+      val sf = c.serviceFields.zipWithIndex.map { case (dt, i) =>
+        checkServiceField(ctx, dt, tuple(i), i + 1)
+      }.toVector
       val cursor = new FlattenOps.SlotCursor
       cursor.pos = c.serviceFields.length
-      Right(c.mapping match {
+      val obj = c.mapping match {
         case rm: Mapping.RecordM if !rm.nullable =>
           unflattenRecord(ctx, rm, tuple.toVector, cursor)
         case m => unflattenValue(ctx, m, tuple.toVector, cursor)
-      })
+      }
+      Right((obj, sf))
     } catch { case e: ConvertError => Left(e.msg) }
+  }
+
+  /** Type guard for one service-field slot (reference IL ISBOOL/ISINT/…;
+    * numbers auto-repair into float/double like runtime.lua:275–295).
+    */
+  private def checkServiceField(ctx: Ctx, dt: org.apache.spark.sql.types
+      .DataType, v: Any, pos: Int): Any = {
+    import org.apache.spark.sql.types._
+    def bad(tok: String): Nothing = ctx.fail(
+      s"$pos: Expecting $tok, encountered ${ValidateValue.typeToken(v)}")
+    dt match {
+      case BooleanType => v match {
+        case b: Boolean => b
+        case _ => bad("BOOL")
+      }
+      case IntegerType => v match {
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l
+        case i: Int => i.toLong
+        case _ => bad("INT")
+      }
+      case LongType => v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case _ => bad("LONG")
+      }
+      case FloatType => v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case _ => bad("FLOAT")
+      }
+      case DoubleType => v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case _ => bad("DOUBLE")
+      }
+      case StringType => v match {
+        case s: String => s
+        case _ => bad("STR")
+      }
+      case BinaryType => v match {
+        case b: Array[Byte] => b
+        case _ => bad("BIN")
+      }
+      case _ => v
+    }
   }
 
   private def unflattenRecord(ctx: Ctx, rm: Mapping.RecordM,
