@@ -217,7 +217,9 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // joined on both pair sides — persist so the shingle kernel runs once
     val texts = shingleSets(df, idCol, textCol, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(texts.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -434,7 +436,9 @@ object Dedup {
     val cand = simhashCandidatePairs(df, idCol, textCol, blocks,
       maxHamming = prefilterHamming, maxBucketSize = maxBucketSize)
       .select("id_a", "id_b")
+    // joined on both pair sides — persist so the shingle kernel runs once
     val texts = shingleSets(df, idCol, textCol, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(texts.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
