@@ -45,9 +45,10 @@ object ConvertValue {
         case rm: Mapping.RecordM if !rm.nullable =>
           flattenRecord(ctx, rm, data, out)
         case um: Mapping.UnionM =>
-          // non-record union root: [tag, value] pair (test/ddt_suite/union.lua)
+          // non-record union root: [tag, value] pair — or just the value
+          // when the READER side is a scalar (union_versions.lua:66-69)
           val (tag, v) = flattenUnion(ctx, um, data)
-          out += tag
+          if (um.toIsUnion) out += tag
           out += v
         case m =>
           // array/map/primitive/nullable-record root: one slot
@@ -246,7 +247,8 @@ object ConvertValue {
       }
     case um: Mapping.UnionM =>
       val (tag, value) = flattenUnion(ctx, um, v)
-      Vector(tag, value)
+      // union→scalar evolution drops the tag (union_versions.lua:66-69)
+      if (um.toIsUnion) Vector(tag, value) else value
   }
 
   /** Union flatten: `{branch: value}` single-key map (or null) →
@@ -286,6 +288,11 @@ object ConvertValue {
         val i = um.fromBranches.indexWhere(b =>
           ValidateValue.branchTag(ctx.writer, b) == k)
         if (i < 0) ctx.fail(s"Unknown key: ${quote(k)}")
+        // a writer branch the reader dropped is an unknown KEY at the
+        // union level, suffixed as evolution-caused
+        // (test/ddt_suite/union_versions.lua:25-30)
+        if (um.i2o(i).isEmpty)
+          ctx.fail(s"Unknown key: ${quote(k)} (schema versioning)")
         ctx.in(k)(branchOut(i, bv))
       case _ => ctx.fail(s"Expecting MAP, encountered ${token(v)}")
     }
@@ -581,6 +588,24 @@ object ConvertValue {
           case other =>
             ctx.fail(s"Expecting ARRAY, encountered ${token(other)}")
         }
+      }
+    case um: Mapping.UnionM if !um.fromIsUnion =>
+      // scalar writer evolved into a reader union: ONE slot, implicit
+      // branch 0 (test/ddt_suite/union_versions.lua:117-120)
+      val pos = cursor.take()
+      val o = um.i2o(0).getOrElse(
+        ctx.fail("Bad value: 0 (schema versioning)"))
+      val b = um.toBranches(o)
+      if (b.typeName == "null") null
+      else {
+        val conv = um.branchIr(0) match {
+          case Some(m) =>
+            ctx.in((pos + 1).toString)(
+              unflattenNested(ctx, m, slots(pos)))
+          case None => null
+        }
+        if (!um.toIsUnion) conv
+        else ListMap(ValidateValue.branchTag(ctx.reader, b) -> conv)
       }
     case um: Mapping.UnionM =>
       val tagPos = cursor.take()
