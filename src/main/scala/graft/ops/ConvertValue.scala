@@ -189,7 +189,8 @@ object ConvertValue {
   private def flattenValue(ctx: Ctx, m: Mapping, v: Any): Any = m match {
     case Mapping.Prim(from, to, nullable) =>
       if (v == null) {
-        if (nullable) null
+        // the null TYPE's only valid value is null (validate.lua:1–13)
+        if (nullable || from == "null") null
         else ctx.fail(s"Expecting ${primToken(from)}, encountered NIL")
       } else checkPrim(ctx, from, to, v)
     case Mapping.FixedM(size, nullable) =>
@@ -319,7 +320,9 @@ object ConvertValue {
       case "int" => v match {
         case i: Int => i.toLong
         case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l
-        case l: Long => ctx.fail(s"Value exceeds INT range: $l")
+        // LL suffix mirrors the reference's LuaJIT long rendering
+        // (test/ddt_suite/int.lua:88)
+        case l: Long => ctx.fail(s"Value exceeds INT range: ${l}LL")
         case _ => ctx.fail(s"Expecting INT, encountered ${token(v)}")
       }
       case "long" => v match {
@@ -529,7 +532,7 @@ object ConvertValue {
       ctx.in((pos + 1).toString) {
         val v = slots(pos)
         if (v == null) {
-          if (nullable) null
+          if (nullable || from == "null") null
           else ctx.fail(s"Expecting ${primToken(from)}, encountered NIL")
         } else checkPrim(ctx, from, to, v)
       }
@@ -646,7 +649,7 @@ object ConvertValue {
   private def unflattenNested(ctx: Ctx, m: Mapping, v: Any): Any = m match {
     case Mapping.Prim(from, to, nullable) =>
       if (v == null) {
-        if (nullable) null
+        if (nullable || from == "null") null
         else ctx.fail(s"Expecting ${primToken(from)}, encountered NIL")
       } else checkPrim(ctx, from, to, v)
     case fm: Mapping.FixedM => flattenValue(ctx, fm, v)
