@@ -111,6 +111,26 @@ class JsonIngestSpec extends AnyFunSuite with SparkTestBase {
     assert("from_json".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("ingest works on a stream (readStream JSON → internal form)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = Avro.create(
+      """{"name":"r","type":"record","fields":[
+        {"name":"id","type":"long"},
+        {"name":"v","type":["null","int","string"]}]}""")
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"id": 1, "v": {"int": 7}}""",
+      """{"id": 2, "v": {"string": "hey"}}""")
+    val out = JsonIngest.ingest(input.toDF().toDF("j"), s, col("j"))
+      .select(col("r.id"), col("r.v.$type$").as("tag"))
+    val q = out.writeStream.format("memory").queryName("json_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("json_stream").orderBy("id").collect().toSeq ===
+      Seq(Row(1L, 1), Row(2L, 2)))
+  }
+
   test("ingested rows feed flatten (end-to-end with FlattenOps)") {
     val s = Avro.create(
       """{"name":"ev","type":"record","fields":[
