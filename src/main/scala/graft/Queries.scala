@@ -624,7 +624,7 @@ object Queries {
     // contract as minhash above; blocks=8 for total recall at this SF) ----
     ("simhash_pairs_documents", ((s: SparkSession, dir: String) => {
       Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        threshold = 0.8, blocks = 8, prefilterHamming = 14,
+        threshold = 0.8, blocks = 8, prefilterHamming = 12,
         maxBucketSize = 200)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
