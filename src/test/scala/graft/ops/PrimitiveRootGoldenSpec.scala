@@ -54,6 +54,22 @@ class PrimitiveRootGoldenSpec extends AnyFunSuite {
       Left("Expecting NIL, encountered LONG"))
   }
 
+  test("fixed.lua: root fixed values and errors") {
+    val c4 = compiled("""{"type":"fixed","size":4,"name":"fixed4"}""")
+    val ok = ConvertValue.flatten(c4, Array[Byte](1, 2, 3, 4))
+    assert(ok.isRight)
+    assert(ok.toOption.get.head.asInstanceOf[Array[Byte]]
+      .sameElements(Array[Byte](1, 2, 3, 4)))
+    assert(ConvertValue.flatten(c4, null) ==
+      Left("Expecting BIN, encountered NIL"))
+    assert(ConvertValue.flatten(c4, true) ==
+      Left("Expecting BIN, encountered TRUE"))
+    assert(ConvertValue.flatten(c4, 42L) ==
+      Left("Expecting BIN, encountered LONG"))
+    assert(ConvertValue.flatten(c4, Array[Byte](1, 2)) ==
+      Left("Expecting BIN of length 4. Encountered BIN of length 2."))
+  }
+
   test("promotions at the root convert the value") {
     assert(ConvertValue.flatten(compiled2("\"int\"", "\"long\""), 42L) ==
       Right(Vector(42L)))
