@@ -281,6 +281,67 @@ object Similarity {
       .toDF(idAs, vAs, "cid")
   }
 
+  /** Persist an IVF index: the assigned corpus written `partitionBy(cid)`
+    * — one directory per cell. A later [[ivfTopKFromIndex]] query filters
+    * on `cid IN (probes)`, so Spark's partition pruning reads ONLY the
+    * probed cells from disk: at 100 TB a top-k query touches
+    * `queries × nProbe / k_centroids` of the corpus bytes, not all of
+    * them. Centroids are stored alongside as JSON for self-contained
+    * reload.
+    */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ivfAssignDf(df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    Seq(centroids.map(_.toSeq).toSeq)
+      .toDF("centroids").coalesce(1)
+      .write.mode("overwrite").json(s"$path.centroids")
+  }
+
+  /** Reload the centroid matrix written by [[writeIvfIndex]]. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    // JSON numbers arrive as doubles; float→double→float is exact
+    spark.read.json(s"$path.centroids")
+      .select(col("centroids"))
+      .as[Seq[Seq[Double]]].head()
+      .map(_.map(_.toFloat).toArray).toArray
+  }
+
+  /** Top-k against a persisted IVF index: the `cid` filter prunes to the
+    * probed cell directories before any row is read.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, path)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val qProbes = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        probeCentroids(qv, bc.value, nProbe).map(cid => (qid, qv, cid))
+      }.toDF("query_id", "qv", "cid")
+    val probedCells = qProbes.select("cid").distinct()
+      .as[Int].collect().toSeq
+    val cells = spark.read.parquet(path)
+      .filter(col("cid").isin(probedCells: _*)) // partition pruning
+    val scored = cells.join(broadcast(qProbes), "cid")
+      .select("query_id", "qv", "id", "v")
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
+      .toDF("query_id", "id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
   /** IVF top-k: corpus scanned once into cells; each query probes its
     * `nProbe` nearest cells and re-ranks candidates by exact cosine.
     * Candidate volume ≈ |corpus| × nProbe / k_centroids per query — the

@@ -135,6 +135,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "IVF candidate generation must be a cell join")
   }
 
+  test("persisted IVF index: partition pruning + same results") {
+    val centroids = Similarity.trainIvfCentroids(embs, "vec_id",
+      "embedding", k = 8, sampleN = 500, iters = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf-index").toString + "/idx"
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, path)
+    val reloaded = Similarity.readIvfCentroids(spark, path)
+    assert(reloaded.length == centroids.length)
+    assert(reloaded.zip(centroids).forall { case (a, b) =>
+      a.sameElements(b) })
+    val queries = embs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, path,
+      queries, "qid", "qv", k = 5, nProbe = 3)
+    val direct = Similarity.ivfTopK(embs, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, centroids, nProbe = 3)
+    assert(fromIndex.select("query_id", "id", "rank").collect().toSet ==
+      direct.select("query_id", "id", "rank").collect().toSet)
+    // the cid filter must reach the scan as a partition filter
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"cid filter must prune partitions:\n$plan")
+  }
+
   test("IVF assignment is deterministic and cells partition the corpus") {
     val centroids = Similarity.trainIvfCentroids(embs, "vec_id",
       "embedding", k = 4, sampleN = 300, iters = 3)
