@@ -230,6 +230,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup detection: pairs of a NEW batch against an
+    * EXISTING corpus plus batch-internal pairs — corpus-internal pairs
+    * are excluded (they were found when the corpus was indexed). This is
+    * the daily production shape: each incoming crawl batch joins the
+    * banded MinHash buckets of batch ∪ corpus, but only bucket rows
+    * containing a batch doc generate candidates, so the join cost scales
+    * with |batch|, not |corpus|². Ids must be disjoint across the two
+    * inputs; output orients batch ids as `id_a`.
+    */
+  def minhashPairsIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bBuckets = minhashBuckets(batch, idCol, textCol, numHashes, bands,
+      shingleSize)
+    val cBuckets = minhashBuckets(corpus, idCol, textCol, numHashes, bands,
+      shingleSize)
+    val all = bBuckets.withColumn("new", lit(true))
+      .union(cBuckets.withColumn("new", lit(false)))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = all.filter(col("new"))
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = all.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("new").as("new_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      // batch-internal pairs once (a < b); batch-vs-corpus always
+      .filter((col("new_b") && col("id_a") < col("id_b")) ||
+        (!col("new_b") && col("id_a") =!= col("id_b")))
+      .select("id_a", "id_b").distinct()
+    val texts = shingleSets(batch.select(col(idCol), col(textCol))
+        .union(corpus.select(col(idCol), col(textCol))),
+        idCol, textCol, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cand
+      .join(texts.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Scale entry point for [[ngramJaccardPairs]]: the stop-shingle skew
     * guard defaults ON (`maxDocFreq = 1000`). A shingle appearing in f docs
     * contributes f² join rows on one key; boilerplate shingles in a 100 TB

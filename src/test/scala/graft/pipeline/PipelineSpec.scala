@@ -171,6 +171,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cells > 1, "corpus should spread over multiple cells")
   }
 
+  test("incremental minhash dedup: batch vs corpus, no corpus-internal pairs") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // corpus contains an internal dup pair (9001 ~ copy of doc 0)
+    val corpus = d.union(d.filter($"doc_id" === 0)
+      .select(($"doc_id" + 9001).as("doc_id"), $"text"))
+    // batch: near-dups of corpus docs 20 and 40, including an internal
+    // batch dup pair (30001/30002 near-identical)
+    val b = d.filter($"doc_id" === 20)
+      .select(lit(30001L).as("doc_id"),
+        concat($"text", lit(" zz")).as("text"))
+      .union(d.filter($"doc_id" === 20)
+        .select(lit(30002L).as("doc_id"),
+          concat($"text", lit(" zz qq")).as("text")))
+      .union(d.filter($"doc_id" === 40)
+        .select(lit(30003L).as("doc_id"),
+          concat($"text", lit(" xx")).as("text")))
+    val pairs = Dedup.minhashPairsIncremental(b, corpus,
+      "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-vs-corpus hits
+    assert(pairs.contains((30001L, 20L)), s"got $pairs")
+    assert(pairs.contains((30002L, 20L)), s"got $pairs")
+    assert(pairs.contains((30003L, 40L)), s"got $pairs")
+    // batch-internal pair found once, oriented a<b
+    assert(pairs.contains((30001L, 30002L)), s"got $pairs")
+    // corpus-internal dup (0, 9001) must NOT appear
+    assert(!pairs.exists(p => p._1 == 0L || p._1 == 9001L ||
+      (p._2 == 9001L && p._1 < 30000L)), s"got $pairs")
+    // every pair involves at least one batch doc
+    assert(pairs.forall(_._1 >= 30000L), s"got $pairs")
+  }
+
   test("tokenCount / langId / qualityScore basics") {
     val df = Seq(
       "the cat and the dog of the house is big",
