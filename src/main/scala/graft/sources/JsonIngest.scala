@@ -99,6 +99,57 @@ object JsonIngest {
   private def bfn(s: AvroSchema, b: AvroType): String =
     SchemaConverters.branchFieldName(s, s.resolve(b))
 
+  /** Render an internal-form value column back to the external JSON
+    * object form — the inverse of [[fromJson]]. General unions become
+    * single-key objects (`to_json` drops null fields by default, so a
+    * struct with only the active branch non-null serializes as
+    * `{"<tag>": value}`); a null-branch union renders as JSON null;
+    * nullable scalars wrap back into their single-key form; bytes/fixed
+    * render as UTF-8 strings (matching the ingest cast). Null record
+    * fields are ABSENT in the output, mirroring ingestion's
+    * absent-means-null convention.
+    */
+  def toJsonString(s: AvroSchema, value: Column): Column =
+    to_json(toExternal(s, s.resolve(s.root), value, Map.empty))
+
+  private def toExternal(s: AvroSchema, t: AvroType, v: Column,
+      depth: Map[String, Int]): Column = s.resolve(t) match {
+    case u: UnionType if u.isNullableScalar =>
+      val nb = u.branches.map(s.resolve).find(_.typeName != "null").get
+      when(v.isNull, lit(null))
+        .otherwise(struct(toExternal(s, nb, v, depth).as(bfn(s, nb))))
+    case u: UnionType =>
+      val resolved = u.branches.map(s.resolve)
+      val nonNull = resolved.zipWithIndex.filter(_._1.typeName != "null")
+      val tag = v.getField("$type$")
+      val fields = nonNull.map { case (b, i) =>
+        when(tag === i, toExternal(s, b, v.getField(bfn(s, b)), depth))
+          .as(bfn(s, b))
+      }
+      val nullIdx = resolved.indexWhere(_.typeName == "null")
+      val active = struct(fields: _*)
+      if (nullIdx >= 0)
+        when(v.isNull || tag === nullIdx, lit(null)).otherwise(active)
+      else when(v.isNull, lit(null)).otherwise(active)
+    case r: RecordType =>
+      if (depth.getOrElse(r.fullName, 0) >=
+          SchemaConverters.MaxRecursionDepth) lit(null)
+      else {
+        val d2 = depth.updated(r.fullName, depth.getOrElse(r.fullName, 0) + 1)
+        when(v.isNull, lit(null)).otherwise(struct(r.fields.map { f =>
+          toExternal(s, s.resolve(f.tpe), v.getField(f.name), d2)
+            .as(f.name)
+        }: _*))
+      }
+    case a: graft.schema.ArrayType =>
+      transform(v, e => toExternal(s, a.items, e, depth))
+    case m: graft.schema.MapType =>
+      transform_values(v, (_, x) => toExternal(s, m.values, x, depth))
+    case _: FixedType => v.cast("string")
+    case PrimitiveType("bytes", _) => v.cast("string")
+    case _ => v
+  }
+
   private def toInternal(s: AvroSchema, t: AvroType, ext: Column,
       depth: Map[String, Int]): Column = s.resolve(t) match {
     case u: UnionType if u.isNullableScalar =>

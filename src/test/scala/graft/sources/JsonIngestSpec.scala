@@ -111,6 +111,34 @@ class JsonIngestSpec extends AnyFunSuite with SparkTestBase {
     assert("from_json".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("toJsonString is the inverse of fromJson (object-form round-trip)") {
+    val s = Avro.create(
+      """{"name":"r","type":"record","fields":[
+        {"name":"id","type":"long"},
+        {"name":"v","type":["null","int","string"]},
+        {"name":"nv","type":["null","double"]},
+        {"name":"xs","type":{"type":"array","items":"int"}}]}""")
+    val inputs = Seq(
+      """{"id":1,"v":{"int":7},"nv":{"double":1.5},"xs":[1,2]}""",
+      """{"id":2,"v":{"string":"hey"},"nv":null,"xs":[]}""",
+      """{"id":3,"v":null,"nv":null,"xs":[9]}""")
+    val df = inputs.toDF("j")
+    val round = JsonIngest.ingest(df, s, col("j"))
+      .select(JsonIngest.toJsonString(s, col("r")).as("j2"))
+    // re-ingesting the rendered JSON must reproduce the internal rows
+    val first = JsonIngest.ingest(df, s, col("j")).select("r")
+      .orderBy("r.id").collect().toSeq
+    val second = JsonIngest.ingest(round, s, col("j2")).select("r")
+      .orderBy("r.id").collect().toSeq
+    assert(first === second)
+    // spot-check the single-key union rendering
+    val rendered = round.orderBy("j2").collect().map(_.getString(0))
+    assert(rendered.exists(_.contains("\"v\":{\"int\":7}")),
+      rendered.mkString("; "))
+    assert(rendered.exists(_.contains("\"v\":{\"string\":\"hey\"}")),
+      rendered.mkString("; "))
+  }
+
   test("ingest works on a stream (readStream JSON → internal form)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = Avro.create(
