@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties PlanAudit reports are
+  * asserted here so a future change cannot silently lose filter pushdown,
+  * column pruning, broadcast joins, or shuffle-free projections.
+  */
+class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q6_revenue: filters pushed to the scan, columns pruned") {
+    val plan = formatted("q6_revenue")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    val schema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_comment"),
+      s"scan must prune unused columns: $schema")
+  }
+
+  test("join queries broadcast their small sides, no sort-merge") {
+    for (q <- Seq("join_orders_customers", "join_nation_revenue")) {
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("no accidental cartesian products anywhere") {
+    for (q <- Seq("dedup_ngram_documents", "minhash_pairs_documents",
+        "simhash_pairs_documents", "embedding_dedup_pairs",
+        "similarity_lsh_topk", "similarity_ivf_topk")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("json_union_ingest parses each row exactly once") {
+    val df = SparkEntry.queries("json_union_ingest")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(optimized).size == 1, optimized)
+  }
+}
