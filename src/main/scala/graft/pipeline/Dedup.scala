@@ -329,6 +329,12 @@ object Dedup {
     val r = cached.select(col("s"), col("id").as("id_b"),
       col("nsh").as("n_b"))
     l.join(r, "s").filter(col("id_a") < col("id_b"))
+      // exact length block: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+      // so size-mismatched pairs cannot reach the threshold — prune them
+      // BEFORE the per-pair aggregation (codegen'd filter on the join
+      // output, no correctness impact)
+      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
+        col("n_b") >= lit(threshold) * col("n_a"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") /
