@@ -225,6 +225,10 @@ object Dedup {
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), "id_b")
+      // exact length block (see ngramJaccardPairs): prune size-mismatched
+      // pairs before paying for the array intersection
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -272,6 +276,10 @@ object Dedup {
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), "id_b")
+      // exact length block (see ngramJaccardPairs): prune size-mismatched
+      // pairs before paying for the array intersection
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -497,6 +505,10 @@ object Dedup {
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), "id_b")
+      // exact length block (see ngramJaccardPairs): prune size-mismatched
+      // pairs before paying for the array intersection
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
