@@ -208,9 +208,14 @@ object Dedup {
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands,
       shingleSize)
-    val bounded = buckets.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize)
+    // skew guard via broadcast anti-join: the oversized-bucket list is
+    // tiny (map-side partial agg shrinks it), so the bucket rows are
+    // never shuffled for the cap — unlike a count-over-window, which
+    // exchanges EVERY row on the bucket key before filtering
+    val oversized = buckets.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val bounded = buckets
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
     val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -251,13 +256,13 @@ object Dedup {
       shingleSize)
     val cBuckets = minhashBuckets(corpus, idCol, textCol, numHashes, bands,
       shingleSize)
-    val all = bBuckets.withColumn("new", lit(true))
+    val all0 = bBuckets.withColumn("new", lit(true))
       .union(cBuckets.withColumn("new", lit(false)))
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val oversized = all0.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val all = all0
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val l = all.filter(col("new"))
       .select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = all.select(col("band"), col("bucket"), col("id").as("id_b"),
@@ -440,21 +445,23 @@ object Dedup {
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
     val withSh = simhashDfJ(df, idCol, textCol)
-    val parts = withSh.select(col("id"), col("sh"),
+    val parts0 = withSh.select(col("id"), col("sh"),
       explode(array((0 until blocks).map(q => struct(lit(q).as("q"),
         shiftright(col("sh"), q * bits).bitwiseAND(mask).as("part"))): _*))
         .as("bb"))
       .select(col("id"), col("sh"), col("bb.q"), col("bb.part"))
-      // skew guard: simhash bits are biased on real text, so a block value
-      // can capture a large corpus fraction — f docs in one (q,part) bucket
-      // emit f² join rows. A true near-dup pair (low Hamming) shares MANY
-      // of the `blocks` blocks, so dropping its largest shared bucket
-      // almost never loses the pair (it still collides in a smaller one).
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("q", "part")))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
       .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
+    // skew guard: simhash bits are biased on real text, so a block value
+    // can capture a large corpus fraction — f docs in one (q,part) bucket
+    // emit f² join rows. A true near-dup pair (low Hamming) shares MANY
+    // of the `blocks` blocks, so dropping its largest shared bucket
+    // almost never loses the pair (it still collides in a smaller one).
+    // Broadcast anti-join on the (tiny) oversized list — no shuffle of
+    // the bucket rows themselves.
+    val oversized = parts0.groupBy("q", "part").count()
+      .filter(col("count") > maxBucketSize).select("q", "part")
+    val parts = parts0
+      .join(broadcast(oversized), Seq("q", "part"), "left_anti")
     val l = parts.select(col("q"), col("part"), col("id").as("id_a"),
       col("sh").as("sh_a"))
     val r = parts.select(col("q"), col("part"), col("id").as("id_b"),
