@@ -682,6 +682,10 @@ object ConvertValue {
         unflattenRecord(ctx, rm, xs.toVector.asInstanceOf[Vector[Any]], sub)
       case other => ctx.fail(s"Expecting ARRAY, encountered ${token(other)}")
     }
+    case um: Mapping.UnionM if !um.fromIsUnion =>
+      // scalar writer → union reader nested in an array/map: the nested
+      // flat form is the bare branch-0 value (mirrors the slot-level case)
+      unflattenValue(ctx, um, Vector(v), new FlattenOps.SlotCursor)
     case um: Mapping.UnionM => v match {
       case xs: Seq[_] if xs.length == 2 =>
         val sub = Vector(xs(0), xs(1))

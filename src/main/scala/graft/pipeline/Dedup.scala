@@ -225,18 +225,7 @@ object Dedup {
     // joined on both pair sides — persist so the shingle kernel runs once
     val texts = shingleSets(df, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cand
-      .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sh", "sh_b"), "id_b")
-      // exact length block (see ngramJaccardPairs): prune size-mismatched
-      // pairs before paying for the array intersection
-      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
-        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(cand, texts, threshold)
   }
 
   /** Incremental near-dup detection: pairs of a NEW batch against an
@@ -276,18 +265,7 @@ object Dedup {
         .union(corpus.select(col(idCol), col(textCol))),
         idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cand
-      .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sh", "sh_b"), "id_b")
-      // exact length block (see ngramJaccardPairs): prune size-mismatched
-      // pairs before paying for the array intersection
-      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
-        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(cand, texts, threshold)
   }
 
   /** Scale entry point for [[ngramJaccardPairs]]: the stop-shingle skew
@@ -304,6 +282,26 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxDocFreq: Int = 1000): DataFrame =
     ngramJaccardPairs(df, idCol, textCol, threshold, shingleSize, maxDocFreq)
+
+  /** Shared verify stage for every candidate generator: enrich candidate
+    * pairs with both shingle sets, apply the exact length block (J ≤
+    * min/max of the set sizes — size-mismatched pairs cannot reach the
+    * threshold, so they are pruned before paying for the intersection),
+    * then exact Jaccard + threshold. `texts` must be the persisted
+    * [[shingleSets]] frame (joined on both sides).
+    */
+  private def verifyPairs(cand: DataFrame, texts: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(texts.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -478,12 +476,17 @@ object Dedup {
 
   /** SimHash near-dup candidates: bucket by the 4 16-bit quarters (two
     * docs within Hamming distance 3 share at least one quarter), verify
-    * by exact Hamming distance.
+    * by exact Hamming distance. The bucket cap is DISABLED here so the
+    * pigeonhole guarantee stays unconditional — use
+    * [[simhashCandidatePairs]] directly when skew-bounded candidate
+    * generation matters more than total recall. Null texts hash as the
+    * empty string (all-null docs therefore pair with each other at
+    * Hamming 0 — dedup semantics for empty content).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     simhashCandidatePairs(df, idCol, textCol, blocks = 4,
-      maxHamming = maxHamming)
+      maxHamming = maxHamming, maxBucketSize = Int.MaxValue)
 
   /** SimHash as *candidate generation*, exact n-gram Jaccard as the
     * verifier: block-sharing candidates are re-checked against the true
@@ -507,18 +510,7 @@ object Dedup {
     // joined on both pair sides — persist so the shingle kernel runs once
     val texts = shingleSets(df, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cand
-      .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sh", "sh_b"), "id_b")
-      // exact length block (see ngramJaccardPairs): prune size-mismatched
-      // pairs before paying for the array intersection
-      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
-        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(cand, texts, threshold)
   }
 
   // -------------------------------------------------------------------

@@ -102,6 +102,17 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Shared per-query ranking tail: rank by (cosine desc, id) — the tie
+    * order every oracle contract depends on — and keep the top `k`.
+    */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
   /** Per-table seed shared by every LSH entry point (corpus and query
     * sides must agree or the bucket join finds nothing).
     */
@@ -146,6 +157,10 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
+        // hoist norms: query norms once per partition, the row norm once
+        // per row — N×Q pairs cost one dot product each instead of three
+        // (the division order matches cosineJ bit-for-bit)
+        val qNorms = qs.map(q => math.sqrt(dotJ(q._2, q._2)))
         // bounded heaps: head = current worst (lowest cosine, then max id)
         val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
           case (c, id) => (-c, id)
@@ -154,9 +169,11 @@ object Similarity {
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
             worstFirst))
         it.foreach { case (id, v) =>
+          val rowNorm = math.sqrt(dotJ(v, v))
           var qi = 0
           while (qi < qs.length) {
-            val c = cosineJ(v, qs(qi)._2)
+            val d = rowNorm * qNorms(qi)
+            val c = if (d == 0) 0.0 else dotJ(v, qs(qi)._2) / d
             val h = heaps(qi)
             if (h.size < k) h.enqueue((c, id))
             else {
@@ -172,11 +189,7 @@ object Similarity {
           h.iterator.map { case (c, id) => (qs(qi)._1, id, c) }
         }
       }.toDF("query_id", "id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id"))
-    partial.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    topKByCosine(partial, k)
   }
 
   /** LSH-bucketed approximate top-k: candidates share a hyperplane bucket
@@ -198,11 +211,7 @@ object Similarity {
       .as[(Long, Array[Float], Long, Array[Float])]
       .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
       .toDF("query_id", "id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    topKByCosine(scored, k)
   }
 
   // ----------------------------------------------------------------- IVF
@@ -335,11 +344,7 @@ object Similarity {
       .as[(Long, Array[Float], Long, Array[Float])]
       .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
       .toDF("query_id", "id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    topKByCosine(scored, k)
   }
 
   /** IVF top-k: corpus scanned once into cells; each query probes its
@@ -366,10 +371,6 @@ object Similarity {
       .as[(Long, Array[Float], Long, Array[Float])]
       .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
       .toDF("query_id", "id", "cosine")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    topKByCosine(scored, k)
   }
 }

@@ -234,6 +234,9 @@ object ValidateValue {
             // reference walks next(data): the extra key — the first one
             // that is not the consumed branch key — is reported
             // (frontend.lua:906–918, validate.lua:377–386)
+            kv.keys.collectFirst { case k if !k.isInstanceOf[String] =>
+              ctx.fail(s"Non-string map key: ${render(k)}")
+            }
             val keys = kv.keys.collect { case s: String => s }.toVector
             val extra = keys
               .find(k => !u.branches.exists(b =>

@@ -40,7 +40,7 @@ object JsonIngest {
     case u: UnionType =>
       StructType(u.branches.map(s.resolve)
         .filter(_.typeName != "null")
-        .map(b => StructField(SchemaConverters.branchFieldName(s, b),
+        .map(b => StructField(ValidateValue.branchTag(s, b),
           jsonType(s, b, depth), nullable = true)))
     case r: RecordType =>
       if (depth.getOrElse(r.fullName, 0) >=
@@ -96,8 +96,16 @@ object JsonIngest {
       .drop(extName)
   }
 
+  /** Internal struct field name (dots sanitized — FlattenOps contract). */
   private def bfn(s: AvroSchema, b: AvroType): String =
     SchemaConverters.branchFieldName(s, s.resolve(b))
+
+  /** EXTERNAL JSON key: the raw branch tag — namespaced types keep their
+    * dots (`{"my.Rec": ...}`, frontend.lua get_union_tag_map); getField
+    * matches struct field names literally, so dotted names are safe.
+    */
+  private def extBfn(s: AvroSchema, b: AvroType): String =
+    ValidateValue.branchTag(s, s.resolve(b))
 
   /** Render an internal-form value column back to the external JSON
     * object form — the inverse of [[fromJson]]. General unions become
@@ -117,14 +125,14 @@ object JsonIngest {
     case u: UnionType if u.isNullableScalar =>
       val nb = u.branches.map(s.resolve).find(_.typeName != "null").get
       when(v.isNull, lit(null))
-        .otherwise(struct(toExternal(s, nb, v, depth).as(bfn(s, nb))))
+        .otherwise(struct(toExternal(s, nb, v, depth).as(extBfn(s, nb))))
     case u: UnionType =>
       val resolved = u.branches.map(s.resolve)
       val nonNull = resolved.zipWithIndex.filter(_._1.typeName != "null")
       val tag = v.getField("$type$")
       val fields = nonNull.map { case (b, i) =>
         when(tag === i, toExternal(s, b, v.getField(bfn(s, b)), depth))
-          .as(bfn(s, b))
+          .as(extBfn(s, b))
       }
       val nullIdx = resolved.indexWhere(_.typeName == "null")
       val active = struct(fields: _*)
@@ -154,21 +162,21 @@ object JsonIngest {
       depth: Map[String, Int]): Column = s.resolve(t) match {
     case u: UnionType if u.isNullableScalar =>
       val nb = u.branches.map(s.resolve).find(_.typeName != "null").get
-      toInternal(s, nb, ext.getField(bfn(s, nb)), depth)
+      toInternal(s, nb, ext.getField(extBfn(s, nb)), depth)
 
     case u: UnionType =>
       val resolved = u.branches.map(s.resolve)
       val nonNull = resolved.zipWithIndex.filter(_._1.typeName != "null")
       val nullIdx = resolved.indexWhere(_.typeName == "null")
       val fields = nonNull.map { case (b, _) =>
-        toInternal(s, b, ext.getField(bfn(s, b)), depth).as(bfn(s, b))
+        toInternal(s, b, ext.getField(extBfn(s, b)), depth).as(bfn(s, b))
       }
       // first present (non-null) branch field wins — the single-key
       // contract means at most one is ever set (frontend.lua:906–918)
       val tag = nonNull.tail
-        .foldLeft(when(ext.getField(bfn(s, nonNull.head._1)).isNotNull,
+        .foldLeft(when(ext.getField(extBfn(s, nonNull.head._1)).isNotNull,
           lit(nonNull.head._2))) { case (acc, (b, i)) =>
-          acc.when(ext.getField(bfn(s, b)).isNotNull, lit(i))
+          acc.when(ext.getField(extBfn(s, b)).isNotNull, lit(i))
         }.otherwise(lit(math.max(nullIdx, 0)))
       val st = struct((tag.cast("int").as("$type$") +: fields): _*)
       // JSON null → null branch when the union has one (all getFields on a
@@ -185,9 +193,14 @@ object JsonIngest {
         val st = struct(r.fields.map { f =>
           val ft = s.resolve(f.tpe)
           val v = toInternal(s, ft, ext.getField(f.name), d2)
-          // missing field → schema default (frontend.lua:869–881)
-          val filled = f.default match {
-            case Some(d) if d != JNull =>
+          // missing field → schema default (frontend.lua:869–881).
+          // Enums default to the SYMBOL string here — the JSON-internal
+          // form keeps enums as strings (flatten does S2I later), while
+          // literalFor renders the flat integer index.
+          val filled = (f.default, ft) match {
+            case (Some(JString(sym)), _: EnumType) =>
+              coalesce(v, lit(sym))
+            case (Some(d), _) if d != JNull =>
               coalesce(v, FlattenOps.literalFor(s, ft, d))
             case _ => v
           }

@@ -50,6 +50,25 @@ class UnionVersionsGoldenSpec extends AnyFunSuite {
     assert(ConvertValue.unflatten(outof, Vector(1, 42L)) == Right(42L))
   }
 
+  test("scalar→union evolution works nested inside arrays") {
+    val w = """{"name":"r","type":"record","fields":[
+      {"name":"xs","type":{"type":"array","items":"int"}}]}"""
+    val r = """{"name":"r","type":"record","fields":[
+      {"name":"xs","type":{"type":"array","items":["null","int"]}}]}"""
+    val c = compiled2(w, r)
+    val flat = ConvertValue.flatten(c, Map("xs" -> Vector(1L, 2L)))
+    assert(flat.isRight, flat)
+    val back = ConvertValue.unflatten(c, Vector(Vector(1L, 2L)))
+    assert(back.isRight, back)
+  }
+
+  test("multi-key union map with non-string keys fails gracefully") {
+    val s = Avro.create("""["null","string"]""")
+    val res = ValidateValue.validate(s, Map(1 -> "a", 2 -> "b"))
+    assert(res.isLeft, res)
+    assert(res.swap.toOption.get.contains("Non-string map key"), res)
+  }
+
   test("unflatten: writer tags re-map; dropped branches error with suffix") {
     val c12 = compiled2(v1, v2)
     assert(ConvertValue.unflatten(c12, Vector(0, null)) == Right(null))

@@ -60,6 +60,37 @@ class JsonIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(df.collect().toSeq === Seq(Row(0, null, 9), Row(1, 3, null)))
   }
 
+  test("namespaced union branches keep their dotted JSON keys") {
+    val s = Avro.create(
+      """{"name":"r","type":"record","fields":[
+        {"name":"v","type":["int",
+          {"name":"Rec","namespace":"my","type":"record","fields":[
+            {"name":"x","type":"int"}]}]}]}""")
+    val df = Seq("""{"v": {"my.Rec": {"x": 5}}}""").toDF("j")
+      .select(JsonIngest.fromJson(s, col("j")).as("r"))
+      .select(col("r.v.$type$").as("tag"),
+        col("r.v.my_Rec.x").as("x"))
+    assert(df.collect().toSeq === Seq(Row(1, 5)))
+    // egress emits the dotted form back
+    val out = Seq("""{"v": {"my.Rec": {"x": 5}}}""").toDF("j")
+    val rendered = JsonIngest.ingest(out, s, col("j"))
+      .select(JsonIngest.toJsonString(s, col("r")).as("j2"))
+      .head().getString(0)
+    assert(rendered.contains("\"my.Rec\""), rendered)
+  }
+
+  test("missing enum field defaults to its SYMBOL, not the index") {
+    val s = Avro.create(
+      """{"name":"r","type":"record","fields":[
+        {"name":"id","type":"long"},
+        {"name":"st","type":{"type":"enum","name":"S",
+          "symbols":["A","B"]},"default":"B"}]}""")
+    val df = Seq("""{"id": 1}""", """{"id": 2, "st": "A"}""").toDF("j")
+      .select(JsonIngest.fromJson(s, col("j")).as("r"))
+      .select("r.id", "r.st").orderBy("id")
+    assert(df.collect().toSeq === Seq(Row(1L, "B"), Row(2L, "A")))
+  }
+
   test("missing record field takes the schema default") {
     val s = Avro.create(
       """{"name":"r","type":"record","fields":[
