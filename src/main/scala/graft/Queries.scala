@@ -621,7 +621,12 @@ object Queries {
     }): Q, Some(jaccardAllPairsSql(0.7))),
 
     // ---- SimHash-block candidates + exact-Jaccard verify (same oracle
-    // contract as minhash above; blocks=8 for total recall at this SF) ----
+    // contract as minhash above). The operating point (blocks=8,
+    // prefilter=12, cap=200) is EMPIRICAL, not guaranteed: the pigeonhole
+    // bound only covers Hamming ≤ 7 and planted pairs reach 12, but the
+    // hashing is seeded and the gate SF is fixed, so recall at sf0.01/
+    // sf0.001/sf0.1 is measured-total and reproducible. Regenerated
+    // testdata would need the point re-measured (tools/SimhashProfile). ----
     ("simhash_pairs_documents", ((s: SparkSession, dir: String) => {
       Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8, blocks = 8, prefilterHamming = 12,
