@@ -538,10 +538,10 @@ object Dedup {
       col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("t", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "v_a", "id_b", "v_b").distinct()
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (ia, va, ib, vb) =>
-        (ia, ib, Similarity.cosineJ(va, vb))
-      }.toDF("id_a", "id_b", "cosine")
+      // codegen'd native cosine — no typed-map boundary in the verify
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosineC(col("v_a"), col("v_b"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -207,10 +207,11 @@ object Similarity {
       tables, idAs = "query_id", vAs = "qv")
     val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
       .select("query_id", "qv", "id", "v").distinct()
-    val scored = cand
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
-      .toDF("query_id", "id", "cosine")
+    // codegen'd native expression — the whole join→score pipeline stays
+    // inside whole-stage codegen (fold order identical to cosineJ)
+    val scored = cand.select(col("query_id"), col("id"),
+      graft.functions.VectorExpressions.cosineC(col("v"), col("qv"))
+        .as("cosine"))
     topKByCosine(scored, k)
   }
 
@@ -340,10 +341,10 @@ object Similarity {
     val cells = spark.read.parquet(path)
       .filter(col("cid").isin(probedCells: _*)) // partition pruning
     val scored = cells.join(broadcast(qProbes), "cid")
-      .select("query_id", "qv", "id", "v")
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
-      .toDF("query_id", "id", "cosine")
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorExpressions
+          .cosineC(col("v").cast("array<float>"),
+            col("qv").cast("array<float>")).as("cosine"))
     topKByCosine(scored, k)
   }
 
@@ -367,10 +368,10 @@ object Similarity {
         probeCentroids(qv, bc.value, nProbe).map(cid => (qid, qv, cid))
       }.toDF("query_id", "qv", "cid")
     val scored = cells.join(broadcast(qProbes), "cid")
-      .select("query_id", "qv", "id", "v")
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (qid, qv, id, v) => (qid, id, cosineJ(v, qv)) }
-      .toDF("query_id", "id", "cosine")
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorExpressions
+          .cosineC(col("v").cast("array<float>"),
+            col("qv").cast("array<float>")).as("cosine"))
     topKByCosine(scored, k)
   }
 }
