@@ -422,6 +422,25 @@ object Queries {
              CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ---- BPE-ish token budget estimate (whitespace + punctuation,
+    // floored by the ~4-chars/token rule; portable integer math) ----
+    ("token_estimate_documents", ((s: SparkSession, dir: String) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.tokenEstimate(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      SELECT doc_id,
+             CAST(${tokenCountSql("text")} AS INTEGER) AS ws_tokens,
+             CAST(GREATEST(${tokenCountSql("text")} +
+               ${TextAnalysis.bpePunct.map(p =>
+                 s"(length(text) - length(replace(text, '$p', '')))")
+                 .mkString("(", " + ", ")")},
+               (length(text) + 3) // 4) AS INTEGER)
+               AS bpe_tokens
+      FROM documents ORDER BY doc_id""")),
+
     // ---- heuristic language-ID distribution ----
     ("langid_documents", ((s: SparkSession, dir: String) => {
       TextAnalysis.withLangId(rdPar(s, dir, "documents"), "text",

@@ -27,6 +27,24 @@ object TextAnalysis {
       .otherwise(size(split(trim(text), "\\s+")))
       .cast(IntegerType)
 
+  /** Punctuation marks that BPE-style tokenizers split into their own
+    * tokens (shared with the oracle SQL generator).
+    */
+  val bpePunct: Seq[String] = Seq(".", ",", "!", "?", ";", ":")
+
+  /** BPE-ish token-count estimate, portable to the oracle: whitespace
+    * words + punctuation marks (sub-word tokenizers emit punctuation as
+    * separate tokens), floored by the classic ~4-chars-per-token rule
+    * for long unbroken text. Deterministic integer arithmetic only —
+    * an ESTIMATE for budget/packing decisions, not a tokenizer.
+    */
+  def tokenEstimate(text: Column): Column = {
+    val punct = bpePunct.map(p => occ(text, p)).reduce(_ + _)
+    greatest(tokenCount(text) + punct,
+      ((length(text) + 3) / 4).cast(IntegerType))
+      .cast(IntegerType)
+  }
+
   /** Stopword-occurrence votes per language (space-delimited probes so
     * substrings of bigger words don't count).
     */
