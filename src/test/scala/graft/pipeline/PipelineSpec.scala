@@ -206,6 +206,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.forall(_._1 >= 30000L), s"got $pairs")
   }
 
+  test("incremental dedup runs per micro-batch on a stream (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val base = corpus.filter($"doc_id" === 20).head().getString(1)
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData((40001L, base + " zz"), (40002L, "completely new text"))
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        found ++= Dedup.minhashPairsIncremental(batch, corpus,
+          "doc_id", "text", threshold = 0.7)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(found.contains((40001L, 20L)), found)
+    assert(!found.exists(_._1 == 40002L), found)
+  }
+
   test("tokenCount / langId / qualityScore basics") {
     val df = Seq(
       "the cat and the dog of the house is big",
