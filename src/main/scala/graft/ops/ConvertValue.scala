@@ -342,9 +342,10 @@ object ConvertValue {
         case s: String => s
         case _ => ctx.fail(s"Expecting STR, encountered ${token(v)}")
       }
+      // BIN and STR are distinct runtime token families: a plain string
+      // is NOT a valid bytes value (bytes.lua:57–61, bytes_promo.lua:7–11)
       case "bytes" => v match {
         case b: Array[Byte] => b
-        case s: String => s
         case _ => ctx.fail(s"Expecting BIN, encountered ${token(v)}")
       }
       case "null" => v match {
@@ -359,7 +360,14 @@ object ConvertValue {
       case ("int" | "long", "float" | "double") =>
         checked.asInstanceOf[Long].toDouble
       case ("float", "double") => checked
-      case ("string", "bytes") | ("bytes", "string") => checked
+      // string↔bytes promotion converts the representation (UTF-8), so a
+      // promoted slot carries the READER's token family
+      // (string_promo.lua:1–5, bytes_promo.lua:1–5)
+      case ("string", "bytes") => checked.asInstanceOf[String]
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case ("bytes", "string") => new String(
+        checked.asInstanceOf[Array[Byte]],
+        java.nio.charset.StandardCharsets.UTF_8)
       case _ => checked
     }
   }
