@@ -640,16 +640,19 @@ object Queries {
     }): Q, Some(jaccardAllPairsSql(0.7))),
 
     // ---- SimHash-block candidates + exact-Jaccard verify (same oracle
-    // contract as minhash above). The operating point (blocks=8,
-    // prefilter=12, cap=200) is EMPIRICAL, not guaranteed: the pigeonhole
-    // bound only covers Hamming ≤ 7 and planted pairs reach 12, but the
-    // hashing is seeded and the gate SF is fixed, so recall at sf0.01/
-    // sf0.001/sf0.1 is measured-total and reproducible. Regenerated
-    // testdata would need the point re-measured (tools/SimhashProfile). ----
+    // contract as minhash above). The operating point is DERIVED, not
+    // empirical: blocks=8 with probeBits=1 (1-bit multi-probe) guarantees
+    // by pigeonhole that every pair within Hamming 2*8-1 = 15 shares a
+    // join key, and prefilterHamming=15 equals that bound, so the
+    // pre-filter never cuts inside the guarantee. Planted true pairs
+    // measure max Hamming 12 ≤ 15 (3 bits of margin); the composite
+    // (including the maxBucketSize skew cap, which is outside the bound)
+    // is CI-guarded by SimhashRecallSpec at the gate SFs — regenerated
+    // testdata that moves the truth past the bound fails loudly there. ----
     ("simhash_pairs_documents", ((s: SparkSession, dir: String) => {
       Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        threshold = 0.8, blocks = 8, prefilterHamming = 12,
-        maxBucketSize = 200)
+        threshold = 0.8, blocks = 8, prefilterHamming = 15,
+        maxBucketSize = 200, probeBits = 1)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(jaccardAllPairsSql(0.8))),

@@ -433,39 +433,73 @@ object Dedup {
   }
 
   /** Candidate pairs sharing at least one of `blocks` equal-width SimHash
-    * blocks (pigeonhole: two docs within Hamming distance `blocks - 1`
-    * always share a block). Emits (id_a, id_b, hamming), deduplicated.
+    * blocks. Emits (id_a, id_b, hamming), deduplicated.
+    *
+    * Recall guarantee (pigeonhole, before the bucket cap):
+    *  - `probeBits = 0`: two docs within Hamming `blocks - 1` differ in
+    *    zero bits of some block, so they share an exact block value.
+    *  - `probeBits = 1` (multi-probe): two docs within Hamming
+    *    `2*blocks - 1` differ in AT MOST ONE bit of some block
+    *    (floor((2b-1)/b) = 1); the probe side additionally emits every
+    *    single-bit flip of each block value, so the flipped probe of one
+    *    doc equals the exact value of the other — they share a join key.
+    *    Cost: the probe side grows by `64/blocks` rows per doc and each
+    *    bucket join is `f_exact × f_probe` instead of `f²` — the classic
+    *    multi-probe LSH trade (bigger index, derived recall bound),
+    *    linear not quadratic in the probe count because only ONE join
+    *    side is expanded.
+    * The `maxBucketSize` cap can break either bound for pairs whose only
+    * shared bucket is oversized — a true near-dup pair shares MANY of the
+    * `blocks` blocks, so dropping its largest bucket almost never loses
+    * the pair; pass `Int.MaxValue` when the bound must be unconditional.
     */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       blocks: Int = 4, maxHamming: Int = 64,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, probeBits: Int = 0): DataFrame = {
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
+    // the expensive kernel (one simhash per doc) is the shared base of
+    // both join sides — persist it, the block explodes below are cheap
     val withSh = simhashDfJ(df, idCol, textCol)
-    val parts0 = withSh.select(col("id"), col("sh"),
-      explode(array((0 until blocks).map(q => struct(lit(q).as("q"),
-        shiftright(col("sh"), q * bits).bitwiseAND(mask).as("part"))): _*))
-        .as("bb"))
-      .select(col("id"), col("sh"), col("bb.q"), col("bb.part"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def partCol(q: Int): Column =
+      shiftright(col("sh"), q * bits).bitwiseAND(mask)
+    // j = -1 → the exact block value; j >= 0 → that value with bit j
+    // flipped (multi-probe expansion, probe side only)
+    def explodedParts(flips: Boolean): DataFrame = {
+      val js: Seq[Int] = if (flips) -1 until bits else Seq(-1)
+      val structs = for { q <- 0 until blocks; j <- js } yield
+        struct(lit(q).as("q"),
+          (if (j < 0) partCol(q)
+           else partCol(q).bitwiseXOR(lit(1L << j))).as("part"))
+      withSh.select(col("id"), col("sh"),
+          explode(array(structs: _*)).as("bb"))
+        .select(col("id"), col("sh"), col("bb.q"), col("bb.part"))
+    }
+    val exact = explodedParts(flips = false)
     // skew guard: simhash bits are biased on real text, so a block value
     // can capture a large corpus fraction — f docs in one (q,part) bucket
-    // emit f² join rows. A true near-dup pair (low Hamming) shares MANY
-    // of the `blocks` blocks, so dropping its largest shared bucket
-    // almost never loses the pair (it still collides in a smaller one).
+    // emit f² join rows. Oversized buckets are measured on the EXACT
+    // (corpus-distribution) side and anti-joined off both sides.
     // Broadcast anti-join on the (tiny) oversized list — no shuffle of
     // the bucket rows themselves.
-    val oversized = parts0.groupBy("q", "part").count()
+    val oversized = exact.groupBy("q", "part").count()
       .filter(col("count") > maxBucketSize).select("q", "part")
-    val parts = parts0
+    val l = exact.join(broadcast(oversized), Seq("q", "part"), "left_anti")
+      .select(col("q"), col("part"), col("id").as("id_a"),
+        col("sh").as("sh_a"))
+    val r = (if (probeBits == 0) exact else explodedParts(flips = true))
       .join(broadcast(oversized), Seq("q", "part"), "left_anti")
-    val l = parts.select(col("q"), col("part"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val r = parts.select(col("q"), col("part"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    l.join(r, Seq("q", "part")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("q"), col("part"), col("id").as("id_b"),
+        col("sh").as("sh_b"))
+    // `=!=` + least/greatest (not `<`): under probing a pair collides in
+    // BOTH orientations on different keys — keeping only one orientation
+    // would lose the pair when the cap drops just its `<`-ordered bucket
+    l.join(r, Seq("q", "part")).filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       // codegen'd bit_count filter BEFORE the distinct: a low-bit block
       // join can emit millions of junk pairs; dropping them here keeps the
@@ -492,9 +526,15 @@ object Dedup {
     * verifier: block-sharing candidates are re-checked against the true
     * shingle sets, so the output pair set is oracle-comparable (identical
     * to all-pairs Jaccard whenever every true pair shares a block and
-    * passes the Hamming pre-filter — near-dup pairs at Jaccard ≥0.8 sit
-    * far below `prefilterHamming` (measured max 12 vs random ~32 at
-    * sf0.1), so the pre-filter trims the candidate set, not the truth).
+    * passes the Hamming pre-filter). With `probeBits = 1` the candidate
+    * bound is DERIVED, not empirical: every pair within Hamming
+    * `2*blocks - 1` is guaranteed a shared join key (see
+    * [[simhashCandidatePairs]]), so set `prefilterHamming = 2*blocks - 1`
+    * and the pre-filter trims only candidates OUTSIDE the guarantee.
+    * True Jaccard ≥0.8 pairs sit far below it (measured max Hamming 12
+    * vs random ~32 at sf0.1; guarded by SimhashRecallSpec at the gate
+    * SFs, which fails loudly if regenerated testdata moves the truth
+    * past the bound).
     *
     * Scale note: small `blocks` (wide blocks, 2^(64/blocks) buckets) is
     * the 100 TB operating point; blocks=8 trades bucket skew for recall
@@ -503,9 +543,10 @@ object Dedup {
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       blocks: Int = 4, prefilterHamming: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, probeBits: Int = 0): DataFrame = {
     val cand = simhashCandidatePairs(df, idCol, textCol, blocks,
-      maxHamming = prefilterHamming, maxBucketSize = maxBucketSize)
+      maxHamming = prefilterHamming, maxBucketSize = maxBucketSize,
+      probeBits = probeBits)
       .select("id_a", "id_b")
     // joined on both pair sides — persist so the shingle kernel runs once
     val texts = shingleSets(df, idCol, textCol, shingleSize)

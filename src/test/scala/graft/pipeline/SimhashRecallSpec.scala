@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.{Queries, SparkTestBase}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI guard for the SimHash operating point used by
+  * `simhash_pairs_documents` (blocks=8, probeBits=1, prefilter=15,
+  * cap=200) — the promotion of tools/SimhashProfile from a measurement
+  * script into an asserting gate.
+  *
+  * Three claims, checked against the exact all-pairs n-gram Jaccard truth
+  * on the planted near-dup corpus at every gate SF present on disk:
+  *
+  *  1. DERIVATION HOLDS ON THE DATA: the max Hamming distance over true
+  *     (Jaccard ≥ 0.8) pairs is ≤ 2*blocks-1 = 15, the multi-probe
+  *     pigeonhole bound. If regenerated testdata pushes planted pairs
+  *     past the bound, this fails with the measured number.
+  *  2. CANDIDATE RECALL = 1.0: every true pair appears in the candidate
+  *     set of the EXACT operating point (including the skew cap, which
+  *     sits outside the pigeonhole bound — this is the composite the
+  *     derivation alone cannot promise).
+  *  3. END-TO-END EQUALITY: the verified SimHash pair set equals the
+  *     all-pairs set — the same contract the driver's DuckDB oracle
+  *     checks at sf0.01, held here at every local SF.
+  */
+class SimhashRecallSpec extends AnyFunSuite with SparkTestBase {
+
+  private val blocks = 8
+  private val probeBits = 1
+  private val bound = 2 * blocks - 1 // = prefilterHamming in Queries
+  private val cap = 200
+
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+
+  test("gate SFs exist") { assert(sfDirs.nonEmpty) }
+
+  for (dir <- sfDirs) {
+    test(s"operating point holds at $dir") {
+      val docs = Queries.docsWithNearDups(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.count()
+      assert(nTruth > 0, s"no planted true pairs at $dir — corpus changed?")
+
+      // claim 1: truth sits within the derived multi-probe bound
+      val sh = Dedup.simhashDfJ(docs, "doc_id", "text")
+      val truthHamming = truth
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("h"))
+        .agg(max("h")).head().getAs[Number](0).longValue()
+      info(s"$dir: true pairs=$nTruth, max Hamming=$truthHamming, " +
+        s"bound=$bound")
+      assert(truthHamming <= bound,
+        s"true-pair Hamming $truthHamming exceeds the multi-probe bound " +
+          s"$bound — the derived operating point no longer covers this " +
+          s"corpus; raise probeBits or lower blocks")
+
+      // claim 2: candidate recall (with the skew cap in force) is total
+      val cand = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+        blocks = blocks, maxHamming = bound, maxBucketSize = cap,
+        probeBits = probeBits)
+        .select("id_a", "id_b")
+      val found = truth.join(cand, Seq("id_a", "id_b")).count()
+      info(s"$dir: candidate recall $found/$nTruth")
+      assert(found == nTruth,
+        s"candidate recall $found/$nTruth < 1.0 at the operating point — " +
+          s"the bucket cap dropped a true pair's every shared bucket")
+
+      // claim 3: verified output == all-pairs truth, exactly
+      val verified = Dedup.simhashJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, blocks = blocks, prefilterHamming = bound,
+        maxBucketSize = cap, probeBits = probeBits)
+        .select("id_a", "id_b")
+      assert(verified.except(truth).count() == 0 &&
+        truth.except(verified).count() == 0,
+        "verified SimHash pair set differs from all-pairs Jaccard truth")
+
+      truth.unpersist(); docs.unpersist()
+    }
+  }
+}
