@@ -17,10 +17,13 @@ import java.nio.file.{Files, Paths}
   *
   * Timing protocol: one warm-up evaluation per query (populates codegen
   * caches, JIT, shuffle-file reuse) followed by `SPARK_GRAFT_BENCH_RUNS`
-  * (default 3) timed evaluations; the reported number is the median. A
-  * single cold measurement on a shared machine swung individual queries
-  * 2–24× between rounds on byte-identical code (BENCH_r03 vs r04), so the
-  * cold number measures the JVM, not the engine.
+  * (default 5) timed evaluations; `queries` reports the median and
+  * `spread` the per-query {min, med, max} over the timed runs — the
+  * spread is what distinguishes a real regression from scheduler noise
+  * (single cold/median numbers swung 0.15×–7.9× between rounds on
+  * byte-identical code, BENCH_r05 vs r06). `failures` counts queries
+  * whose evaluation threw (reported as -1 and excluded from `value`), so
+  * a partially-failed bench is distinguishable from a fast one.
   */
 object Bench {
 
@@ -66,8 +69,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
+    // fail fast on unparseable knobs (a silent runs=0 made every query
+    // report -1 with a misleading message); runs >= 1, warmups >= 0
+    def envInt(name: String, default: Int, floor: Int): Int =
+      sys.env.get(name) match {
+        case None => default
+        case Some(v) => v.toIntOption.filter(_ >= floor).getOrElse(
+          sys.error(s"$name must be an integer >= $floor, got '$v'"))
+      }
+    val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
+    val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS", 1, floor = 0)
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -75,22 +86,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up then median-of-N; a failed warm-up short-circuits to -1
-    def timeMedian(name: String)(body: => Unit): Double =
+    // warm-up then N timed runs, sorted; a failure yields an EMPTY sample
+    // list, which reports -1 below AND increments the failure count in
+    // the JSON, so a partially-failed bench can't read as a fast one
+    def timeSamples(name: String)(body: => Unit): Seq[Double] =
       try {
         (1 to warmups).foreach(_ => body)
-        val samples = (1 to runs).map(_ => time(body)).sorted
-        samples(samples.length / 2)
+        (1 to runs).map(_ => time(body)).sorted
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        Seq.empty
       }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // conventional median: mean of the two middle samples for even N
+    def median(s: Seq[Double]): Double =
+      if (s.isEmpty) -1.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
+    def timeMedian(name: String)(body: => Unit): Unit =
+      results(name) = timeSamples(name)(body)
 
     // family 1: the declared queries, fully evaluated
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timeMedian(name)(sink(fn(spark, sfDir)))
+      timeMedian(name)(sink(fn(spark, sfDir)))
     }
 
     // family 2: Person protocol (BASELINE.md), n scaled with SF dir
@@ -99,34 +120,40 @@ object Bench {
     val schema = graft.schema.Avro.create(personJson)
     val compiled = FlattenOps.compile(schema).fold(e => sys.error(e), identity)
     val df = personDf(spark, n)
-    results("person_validate") = timeMedian("person_validate")(
-      sink(Validate(schema, df)))
-    results("person_flatten") = timeMedian("person_flatten")(
-      sink(compiled.flatten(df)))
-    results("person_roundtrip") = timeMedian("person_roundtrip")(
+    timeMedian("person_validate")(sink(Validate(schema, df)))
+    timeMedian("person_flatten")(sink(compiled.flatten(df)))
+    timeMedian("person_roundtrip")(
       sink(compiled.unflatten(compiled.flatten(df))))
     val allStruct = struct(df.columns.map(col).toIndexedSeq: _*)
-    results("person_to_avro") = timeMedian("person_to_avro")(
+    timeMedian("person_to_avro")(
       sink(df.select(AvroBinary.toAvroBinary(allStruct, schema))))
-    results("person_avro_roundtrip") = timeMedian("person_avro_roundtrip")(
+    timeMedian("person_avro_roundtrip")(
       sink(df.select(AvroBinary.fromAvroBinary(
         AvroBinary.toAvroBinary(allStruct, schema), schema))))
     // optimizer on/off dimension: whole-stage codegen replaces the
     // reference's IL-optimizer toggle (BASELINE.md protocol)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    results("person_flatten_nocodegen") =
-      timeMedian("person_flatten_nocodegen")(sink(compiled.flatten(df)))
-    results("person_validate_nocodegen") =
-      timeMedian("person_validate_nocodegen")(sink(Validate(schema, df)))
+    timeMedian("person_flatten_nocodegen")(sink(compiled.flatten(df)))
+    timeMedian("person_validate_nocodegen")(sink(Validate(schema, df)))
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    results("person_rows") = n.toDouble
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(d: Double): String = // locale-pinned: '.' decimal separator
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+    val medians = results.map { case (k, s) => k -> median(s) }
+    val failures = results.count(_._2.isEmpty)
+    val qs = (medians.map { case (k, v) => "\"" + k + "\":" + v } ++
+        Seq("\"person_rows\":" + n.toDouble))
       .mkString("{", ",", "}")
-    val total = results.filter(_._1.startsWith("person_rows") == false)
-      .values.filter(_ >= 0).sum
+    // per-query spread {min, med, max} over the N timed runs — the
+    // stability evidence a single median cannot carry
+    val spread = results.collect { case (k, s) if s.nonEmpty =>
+      s""""$k":{"min":${fmt(s.head)},"med":${fmt(median(s))},"max":${fmt(s.last)}}"""
+    }.mkString("{", ",", "}")
+    val total = medians.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""spread":$spread,"runs":$runs,"warmups":$warmups,""" +
+        s""""failures":$failures,"sf":"$sfDir"}"""
     println(json)
     System.err.println(json)
     Files.writeString(Paths.get("BENCH_RESULT.json"), json + "\n")
