@@ -736,30 +736,46 @@ object Queries {
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 1 ORDER BY query_id, rank""")),
 
-    // ---- multimodal blob pipeline, reduced to hashable scalars for the
-    // comparator: byte length from the blob metadata (oracle: strlen of
-    // the source text), feature dims from BOTH extraction paths (batch
-    // mapPartitions + expression), and range checks on the derived
-    // metadata/features. ----
+    // ---- multimodal blob pipeline with a REAL image decode: every doc
+    // plants an in-memory PNG (even ids) / JPEG (odd ids) whose
+    // dimensions derive from doc_id, and the ImageIO header decode
+    // (Multimodal.withImageMeta, a mapPartitions batch stage over actual
+    // container bytes) must recover exactly those planted dimensions and
+    // formats — the oracle knows them arithmetically. Text byte-length
+    // and the two feature-extraction legs (batch mapPartitions +
+    // expression) ride along as before. ----
     ("multimodal_features", ((s: SparkSession, dir: String) => {
       import graft.pipeline.Multimodal
-      val blobs = rdPar(s, dir, "documents")
-        .select(col("doc_id"), Multimodal.asBlob(col("text"), "fake/image")
-          .as("blob"))
-      val batch = Multimodal.extractFeatures(blobs, "blob", 8)
+      import s.implicits._
+      val imgs = rdPar(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          (id, text, Multimodal.encodeImage((id % 13 + 1).toInt,
+            (id % 7 + 1).toInt, id, fmt))
+        }.toDF("doc_id", "text", "img")
+      val blobs = imgs.select(col("doc_id"), col("text"),
+        Multimodal.asBlob(col("img"), "unknown").as("blob"))
+      val batch = Multimodal.extractFeatures(
+        Multimodal.withImageMeta(blobs, "blob"), "blob", 8)
       batch.select(col("doc_id"),
-        col("blob.meta.n_bytes").as("n_bytes"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        col("blob.meta.format").as("img_format"),
+        col("blob.meta.width").as("img_w"),
+        col("blob.meta.height").as("img_h"),
         size(col("features")).as("batch_dim"),
         size(Multimodal.featureColumn(col("blob"), 8)).as("expr_dim"),
-        (col("blob.meta.width").between(32, 1951) &&
-          col("blob.meta.height").between(32, 1111)).as("meta_ok"),
         forall(Multimodal.featureColumn(col("blob"), 8),
           f => f >= 0f && f < 1f).as("feats_in_range"))
         .orderBy("doc_id")
     }): Q, Some("""
       SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+               AS img_format,
+             CAST(doc_id % 13 + 1 AS INTEGER) AS img_w,
+             CAST(doc_id % 7 + 1 AS INTEGER) AS img_h,
              CAST(8 AS INTEGER) AS batch_dim, CAST(8 AS INTEGER) AS expr_dim,
-             true AS meta_ok, true AS feats_in_range
+             true AS feats_in_range
       FROM documents ORDER BY doc_id""")))
 
   lazy val queries: Map[String, Q] =

@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus feature extraction staged for batch execution.
   *
-  * The actual media decode is STUBBED (`fakeDecode`) — the container has no
-  * image/audio libraries — but everything Spark-side is real and tested:
-  * the blob schema, partition sizing by byte budget, the mapPartitions
-  * batch shape (the Scala analog of a `mapInPandas` batch UDF), and the
-  * deterministic feature pipeline built on it.
+  * The IMAGE DECODE IS REAL: [[decodeImageMeta]] parses actual PNG/JPEG/
+  * GIF/BMP bytes with the JDK's `javax.imageio` (ships with Java — zero
+  * extra dependencies) and [[withImageMeta]] runs it as a mapPartitions
+  * batch stage, the Scala analog of a `mapInPandas` decode UDF. Only the
+  * FEATURE EMBEDDING (`fakeDecode`) remains a deterministic stub — the
+  * container has no ML feature libraries — clearly marked below.
   */
 object Multimodal {
 
@@ -25,21 +26,97 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true))),
       nullable = false)))
 
-  /** Wrap a source column into a blob struct. Deterministic fake
-    * width/height metadata derived from the content hash stand in for a
-    * real header parse (STUB — see object doc).
+  /** Wrap a source column into a blob struct. `format` is the CLAIMED
+    * container format (from the source system); width/height start null —
+    * unknown until [[withImageMeta]] decodes the actual bytes.
     */
   def asBlob(content: Column, format: String): Column = {
     val bytes = content.cast(BinaryType)
-    val h = abs(xxhash64(bytes))
     struct(
       bytes.as("content"),
       struct(
         lit(format).as("format"),
         length(bytes).cast(LongType).as("n_bytes"),
-        (pmod(h, lit(1920L)) + 32).cast(IntegerType).as("width"),
-        (pmod(shiftright(h, 16), lit(1080L)) + 32).cast(IntegerType)
-          .as("height")).as("meta"))
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height")).as("meta"))
+  }
+
+  /** REAL image header decode via the JDK's ImageIO: sniffs the container
+    * (png/jpeg/gif/bmp), reads width/height from the header WITHOUT
+    * decoding the raster — the right cost profile for a metadata pass
+    * over 100 TB of blobs. Returns None for bytes no installed reader
+    * recognizes (corrupt, truncated, or non-image).
+    */
+  def decodeImageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } catch { case _: java.io.IOException => None
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Decode stage: fills each blob's meta (format, width, height) from
+    * the REAL bytes via [[decodeImageMeta]], one mapPartitions pass
+    * (batch-UDF shape). Undecodable blobs keep their claimed format and
+    * null dimensions — route them to a quarantine sink downstream rather
+    * than failing the batch.
+    */
+  def withImageMeta(df: DataFrame, blobCol: String): DataFrame = {
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getStruct(blobIdx)
+        val out =
+          if (blob == null) blob
+          else {
+            val content = if (blob.isNullAt(0)) null
+              else blob.getAs[Array[Byte]](0)
+            val meta = blob.getStruct(1)
+            decodeImageMeta(content) match {
+              case Some((fmt, w, h)) =>
+                Row(content, Row(fmt, meta.getLong(1), w, h))
+              case None => blob
+            }
+          }
+        Row.fromSeq(r.toSeq.updated(blobIdx, out))
+      }
+    }(enc)
+  }
+
+  /** Deterministic in-memory image fixture: a real `w`×`h` PNG/JPEG/BMP
+    * encoded with the JDK (pixels seeded from `seed`). This is how specs
+    * and the driver query plant decodable bytes without fixture files —
+    * the decode path then proves itself by recovering the planted
+    * dimensions.
+    */
+  def encodeImage(w: Int, h: Int, seed: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (scala.util.hashing.byteswap64(seed * 31 + y * w + x)
+            & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
   }
 
   /** STUB decode: a real implementation would decode image bytes; this
@@ -83,12 +160,23 @@ object Multimodal {
 
   /** Repartition blobs so each task processes roughly `bytesPerTask` of
     * content — the knob that keeps decode batches memory-bounded at scale.
+    *
+    * The total is read from Catalyst plan statistics (for a parquet scan:
+    * file footer/size metadata) — DRIVER-SIDE ONLY, no job runs. Blob
+    * content dominates row size in a media table, so the whole-row
+    * estimate is the right magnitude. Pass `exact = true` to pay one
+    * aggregate scan of `meta.n_bytes` when the table mixes blobs with
+    * wide non-blob columns and the estimate would oversize tasks.
     */
   def repartitionByBytes(df: DataFrame, blobCol: String,
-      bytesPerTask: Long): DataFrame = {
-    val total = df.select(sum(col(blobCol).getField("meta")
-      .getField("n_bytes"))).head().getLong(0)
-    val parts = math.max(1, math.min(200000, total / bytesPerTask)).toInt
+      bytesPerTask: Long, exact: Boolean = false): DataFrame = {
+    val total: Long =
+      if (exact)
+        df.select(sum(col(blobCol).getField("meta")
+          .getField("n_bytes"))).head().getLong(0)
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    val parts = math.max(1L, math.min(200000L, total / bytesPerTask)).toInt
     df.repartition(parts)
   }
 

@@ -279,7 +279,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "struct<content:binary,meta:struct<format:string,n_bytes:bigint,width:int,height:int>>")
     val meta = blobs.select($"blob.meta.n_bytes", $"blob.meta.width",
       $"blob.meta.height").head()
-    assert(meta.getLong(0) > 0 && meta.getInt(1) >= 32 && meta.getInt(2) >= 32)
+    // width/height unknown (null) until an actual decode fills them
+    assert(meta.getLong(0) > 0 && meta.isNullAt(1) && meta.isNullAt(2))
     // expression featurizer
     val f1 = blobs.select($"doc_id",
       Multimodal.featureColumn($"blob", 8).as("features"))
@@ -293,5 +294,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val b = Multimodal.extractFeatures(blobs.filter($"doc_id" === 0),
       "blob", 8).head().getSeq[Float](2)
     assert(a == b)
+  }
+
+  test("multimodal REAL image decode: ImageIO recovers planted dims") {
+    // kernel level: round-trip every JDK-writable container
+    for ((wfmt, rfmt) <- Seq("png" -> "png", "jpg" -> "jpeg",
+        "bmp" -> "bmp", "gif" -> "gif")) {
+      val bytes = Multimodal.encodeImage(17, 9, seed = 7L, wfmt)
+      assert(Multimodal.decodeImageMeta(bytes).contains((rfmt, 17, 9)),
+        s"format $wfmt")
+    }
+    // non-image / degenerate bytes decode to None, never throw
+    assert(Multimodal.decodeImageMeta(null).isEmpty)
+    assert(Multimodal.decodeImageMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImageMeta("not an image".getBytes).isEmpty)
+    // truncated header: PNG magic without the IHDR payload
+    val png = Multimodal.encodeImage(4, 4, 1L, "png")
+    assert(Multimodal.decodeImageMeta(png.take(12)).isEmpty)
+
+    // dataframe level: the mapPartitions decode stage fills meta from
+    // the real bytes; undecodable rows keep claimed format + null dims
+    val rows = Seq(
+      (1L, Multimodal.encodeImage(5, 3, 1L, "png")),
+      (2L, Multimodal.encodeImage(8, 2, 2L, "jpg")),
+      (3L, "garbage".getBytes)).toDF("id", "img")
+    val decoded = Multimodal.withImageMeta(
+      rows.select($"id", Multimodal.asBlob($"img", "claimed").as("blob")),
+      "blob")
+      .select($"id", $"blob.meta.format", $"blob.meta.width",
+        $"blob.meta.height")
+      .orderBy("id").collect()
+    assert(decoded(0).getString(1) == "png" &&
+      decoded(0).getInt(2) == 5 && decoded(0).getInt(3) == 3)
+    assert(decoded(1).getString(1) == "jpeg" &&
+      decoded(1).getInt(2) == 8 && decoded(1).getInt(3) == 2)
+    assert(decoded(2).getString(1) == "claimed" &&
+      decoded(2).isNullAt(2) && decoded(2).isNullAt(3))
+  }
+
+  test("repartitionByBytes sizes from plan stats without running a job") {
+    val blobs = docs.select($"doc_id",
+      Multimodal.asBlob($"text", "text/plain").as("blob"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    val sized = Multimodal.repartitionByBytes(blobs, "blob",
+      bytesPerTask = 1L << 20)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    assert(after == before, "stats path must not launch a Spark job")
+    assert(sized.rdd.getNumPartitions >= 1)
+    // exact opt-in still works (and pays its one aggregate job)
+    val exact = Multimodal.repartitionByBytes(blobs, "blob",
+      bytesPerTask = 1L << 20, exact = true)
+    assert(exact.rdd.getNumPartitions >= 1)
   }
 }
