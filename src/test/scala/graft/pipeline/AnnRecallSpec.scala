@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured ANN recall@k on NON-CONSTRUCTED queries — the first number a
+  * 100 TB user asks for, and the one the driver's oracle queries cannot
+  * supply (those use the ×1.5 scale-invariance construction, which makes
+  * LSH/IVF recall 1 by design). Here the queries are held-out corpus
+  * vectors used AS-IS, so the approximate indexes face real neighborhood
+  * structure and the recall floor below is an actual measured guarantee,
+  * not a construction artifact.
+  */
+class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
+
+  // largest SF on disk = hardest neighborhood structure; fall back so the
+  // gate still runs where only small SFs are generated
+  private val dir = Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01")
+    .find(d => new java.io.File(s"$d/embeddings.parquet").exists())
+    .getOrElse(fail("no embeddings testdata on disk"))
+
+  private val k = 10
+
+  test(s"recall@$k of LSH and IVF vs brute force on held-out queries") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nQ = queries.count()
+    assert(nQ >= 10, s"want >=10 held-out queries, got $nQ")
+
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "qid", "qv", k).select("query_id", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def recall(approx: DataFrame): Double =
+      truth.join(approx.select("query_id", "id"), Seq("query_id", "id"))
+        .count().toDouble / (nQ * k)
+
+    val centroids = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 16, sampleN = 2000, iters = 4)
+    val ivfCurve = Seq(1, 2, 4, 8, 12).map { p =>
+      p -> recall(Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "qid", "qv", k, centroids, nProbe = p))
+    }
+    info(s"$dir IVF recall@$k curve: " + ivfCurve.map { case (p, r) =>
+      f"nProbe=$p -> $r%.3f" }.mkString(", "))
+    val lshCurve = Seq((10, 4), (8, 8), (6, 8), (4, 16)).map {
+      case (nBits, tables) => (nBits, tables) ->
+        recall(Similarity.lshTopK(e, "vec_id", "embedding",
+          queries, "qid", "qv", k, dim = 64, nBits = nBits,
+          tables = tables))
+    }
+    info(s"$dir LSH recall@$k curve: " + lshCurve.map {
+      case ((b, t), r) => f"nBits=$b,tables=$t -> $r%.3f" }.mkString(", "))
+
+    // The synthetic embeddings are near-uniform — NO cluster structure —
+    // which is the adversarial case for any ANN index: recall can't beat
+    // the probed-fraction by much. Even so, both indexes have measured
+    // operating points clearing 0.9 (IVF nProbe=12/16 → 0.938, LSH
+    // nBits=4/tables=16 → 0.938 at last measurement); on real clustered
+    // embeddings the same floor comes far cheaper. Assertions pin those
+    // operating points plus regression floors on the cheap defaults.
+    val ivfMap = ivfCurve.toMap
+    assert(ivfCurve.sliding(2).forall(w => w(1)._2 >= w(0)._2 - 1e-9),
+      s"IVF recall must be non-decreasing in nProbe: $ivfCurve")
+    assert(ivfMap(12) >= 0.9,
+      f"IVF nProbe=12 recall@$k ${ivfMap(12)}%.3f below the 0.9 floor")
+    assert(lshCurve.toMap.apply((4, 16)) >= 0.9,
+      f"LSH nBits=4/tables=16 recall@$k below the 0.9 floor")
+    assert(ivfMap(2) >= 0.45, "default IVF operating point regressed")
+    assert(lshCurve.toMap.apply((10, 4)) >= 0.18,
+      "default LSH operating point regressed")
+    truth.unpersist()
+  }
+}
