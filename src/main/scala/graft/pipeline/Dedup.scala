@@ -522,6 +522,34 @@ object Dedup {
     simhashCandidatePairs(df, idCol, textCol, blocks = 4,
       maxHamming = maxHamming, maxBucketSize = Int.MaxValue)
 
+  /** Derived SimHash operating point: the `blocks` choice covering
+    * Hamming `radius` (with 1-bit probing, radius ≤ 2*blocks-1) whose
+    * per-block key space still SPREADS the corpus, or None when no such
+    * point exists — in which case SimHash is outside its envelope for
+    * this (radius, corpus) and MinHash is the right tool.
+    *
+    * Envelope rule (measured in DEDUP_DRYRUN.md at 50k docs): block
+    * bucketing holds its recall bound only while the skew cap stays
+    * disengaged, i.e. `corpusSize * biasFactor <= maxBucketSize *
+    * 2^(64/blocks)` — simhash bits are heavily biased on real text
+    * (`biasFactor` ~10 covers the measured concentration), so capacity
+    * is cap × key-space, not corpus ≤ key-space. Fewer blocks widen the
+    * keys (better spread) but shrink the guaranteed radius, so the
+    * radius constraint picks the SMALLEST feasible `blocks` and the
+    * spread constraint then accepts or rejects it: a corpus needing both
+    * a large radius and a large corpus has no valid point (the WWW'07
+    * small-radius shape of SimHash).
+    */
+  def simhashOperatingPoint(radius: Int, corpusSize: Long,
+      maxBucketSize: Int = 1000, biasFactor: Int = 10): Option[Int] = {
+    require(radius >= 0 && radius <= 31, "radius must be in [0, 31]")
+    // smallest divisor of 64 with 2*blocks-1 >= radius (widest keys)
+    Seq(2, 4, 8, 16).find(b => 2 * b - 1 >= radius).filter { b =>
+      val keySpace = BigInt(1) << (64 / b)
+      BigInt(corpusSize) * biasFactor <= BigInt(maxBucketSize) * keySpace
+    }
+  }
+
   /** SimHash as *candidate generation*, exact n-gram Jaccard as the
     * verifier: block-sharing candidates are re-checked against the true
     * shingle sets, so the output pair set is oracle-comparable (identical
@@ -536,9 +564,13 @@ object Dedup {
     * SFs, which fails loudly if regenerated testdata moves the truth
     * past the bound).
     *
-    * Scale note: small `blocks` (wide blocks, 2^(64/blocks) buckets) is
-    * the 100 TB operating point; blocks=8 trades bucket skew for recall
-    * and suits corpus sizes where 256 buckets per block still spread.
+    * Scale note: pick `blocks` with [[simhashOperatingPoint]] — the
+    * guaranteed radius (2*blocks-1) trades directly against per-block
+    * key spread (2^(64/blocks) values vs corpus size). DEDUP_DRYRUN.md
+    * measures both sides at 50k docs: blocks=8 saturates its 256-value
+    * keys and collapses; blocks=4 holds its full guarantee with the cap
+    * disengaged. When no blocks choice satisfies both constraints,
+    * SimHash is outside its envelope — use [[minhashPairs]].
     */
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,

@@ -36,6 +36,20 @@ class SimhashRecallSpec extends AnyFunSuite with SparkTestBase {
 
   test("gate SFs exist") { assert(sfDirs.nonEmpty) }
 
+  test("simhashOperatingPoint derivation matches the dry-run evidence") {
+    // the gate point: radius 12 over ~5k docs fits blocks=8
+    assert(Dedup.simhashOperatingPoint(12, 5000,
+      maxBucketSize = cap).contains(8))
+    // measured collapse at 10x (DEDUP_DRYRUN.md): same point, 50k docs
+    assert(Dedup.simhashOperatingPoint(12, 50000,
+      maxBucketSize = cap).isEmpty)
+    // measured hold at 10x: radius 7 swaps to blocks=4 (16-bit keys)
+    assert(Dedup.simhashOperatingPoint(7, 50000).contains(4))
+    // 100 TB shape: small radius, huge corpus -> blocks=2 (32-bit keys)
+    assert(Dedup.simhashOperatingPoint(3, 1L << 40,
+      maxBucketSize = 10000).contains(2))
+  }
+
   for (dir <- sfDirs) {
     test(s"operating point holds at $dir") {
       val docs = Queries.docsWithNearDups(spark, dir)
