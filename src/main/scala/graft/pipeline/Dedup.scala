@@ -467,15 +467,24 @@ object Dedup {
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
     // j = -1 → the exact block value; j >= 0 → that value with bit j
-    // flipped (multi-probe expansion, probe side only)
+    // SET (multi-probe expansion, probe side only). Only 0→1 flips are
+    // emitted: for a pair differing in one bit of a block, exactly one
+    // side has a 0 there, and ITS set-flip equals the other side's exact
+    // value — one collision suffices since pair orientation is
+    // canonicalized below. Halves the probe rows vs flipping both ways.
     def explodedParts(flips: Boolean): DataFrame = {
       val js: Seq[Int] = if (flips) -1 until bits else Seq(-1)
-      val structs = for { q <- 0 until blocks; j <- js } yield
-        struct(lit(q).as("q"),
-          (if (j < 0) partCol(q)
-           else partCol(q).bitwiseXOR(lit(1L << j))).as("part"))
+      val structs = for { q <- 0 until blocks; j <- js } yield {
+        val p = partCol(q)
+        if (j < 0) struct(lit(q).as("q"), p.as("part"), lit(true).as("ok"))
+        else {
+          val f = p.bitwiseOR(lit(1L << j))
+          struct(lit(q).as("q"), f.as("part"), (f =!= p).as("ok"))
+        }
+      }
       withSh.select(col("id"), col("sh"),
           explode(array(structs: _*)).as("bb"))
+        .filter(col("bb.ok"))
         .select(col("id"), col("sh"), col("bb.q"), col("bb.part"))
     }
     val exact = explodedParts(flips = false)

@@ -49,7 +49,10 @@ object Multimodal {
     */
   def decodeImageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // explicit memory-cache stream: ImageIO.createImageInputStream
+    // defaults to a DISK-backed cache file per image — a silent temp-file
+    // write per blob, ruinous at scale for bytes already in memory
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
