@@ -326,12 +326,16 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxDocFreq: Int = 0): DataFrame = {
     val exploded = shingleIndex(df, idCol, textCol, shingleSize)
+    // stop-shingle guard via broadcast anti-join (same shape as the
+    // minhash/simhash caps): the oversized list is tiny after map-side
+    // partial aggregation, so no per-row exchange + window sort — the
+    // only full shuffle on `s` stays the candidate join itself
     val bounded =
-      if (maxDocFreq > 0)
-        exploded.withColumn("df",
-          count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("df") <= maxDocFreq).drop("df")
-      else exploded
+      if (maxDocFreq > 0) {
+        val oversized = exploded.groupBy("s").count()
+          .filter(col("count") > maxDocFreq).select("s")
+        exploded.join(broadcast(oversized), Seq("s"), "left_anti")
+      } else exploded
     // both join sides read this subtree; persist so the shingle hashing
     // runs once (self-joins do not reuse exchanges across projections)
     val cached = bounded.persist(StorageLevel.MEMORY_AND_DISK)
@@ -591,6 +595,85 @@ object Dedup {
       .select("id_a", "id_b")
     // joined on both pair sides — persist so the shingle kernel runs once
     val texts = shingleSets(df, idCol, textCol, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verifyPairs(cand, texts, threshold)
+  }
+
+  /** Incremental SimHash near-dup detection — the
+    * [[minhashPairsIncremental]] shape for the SimHash index: a NEW batch
+    * against an EXISTING corpus plus batch-internal pairs; corpus-internal
+    * pairs are excluded (found when the corpus was indexed) and every
+    * bucket join keeps the batch on one side, so cost scales with
+    * |batch|, not |corpus|². Multi-probe is asymmetric (only the side
+    * holding the 0-bit probes — see [[simhashCandidatePairs]]), so TWO
+    * joins cover both orientations: exact(all) ⋈ probe(batch) and
+    * exact(batch) ⋈ probe(corpus). Ids must be disjoint; batch ids come
+    * out as `id_a` for batch-vs-corpus pairs, `a < b` for batch-internal.
+    */
+  def simhashPairsIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      shingleSize: Int = 3, blocks: Int = 4, prefilterHamming: Int = 7,
+      maxBucketSize: Int = 1000, probeBits: Int = 1): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1
+    val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
+      .union(simhashDfJ(corpus, idCol, textCol)
+        .withColumn("new", lit(false)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def partCol(q: Int): Column =
+      shiftright(col("sh"), q * bits).bitwiseAND(mask)
+    def parts(src: DataFrame, flips: Boolean): DataFrame = {
+      val js: Seq[Int] =
+        if (flips && probeBits == 1) -1 until bits else Seq(-1)
+      val structs = for { q <- 0 until blocks; j <- js } yield {
+        val p = partCol(q)
+        if (j < 0) struct(lit(q).as("q"), p.as("part"), lit(true).as("ok"))
+        else {
+          val f = p.bitwiseOR(lit(1L << j))
+          struct(lit(q).as("q"), f.as("part"), (f =!= p).as("ok"))
+        }
+      }
+      src.select(col("id"), col("sh"), col("new"),
+          explode(array(structs: _*)).as("bb"))
+        .filter(col("bb.ok"))
+        .select(col("id"), col("sh"), col("new"), col("bb.q"),
+          col("bb.part"))
+    }
+    val exactAll = parts(sh, flips = false)
+    val oversized = exactAll.groupBy("q", "part").count()
+      .filter(col("count") > maxBucketSize).select("q", "part")
+    def bounded(df: DataFrame): DataFrame =
+      df.join(broadcast(oversized), Seq("q", "part"), "left_anti")
+    def side(df: DataFrame, suf: String): DataFrame =
+      df.select(col("q"), col("part"), col("id").as(s"id$suf"),
+        col("sh").as(s"sh$suf"), col("new").as(s"new$suf"))
+    val j1 = side(bounded(exactAll), "_x")
+      .join(side(bounded(parts(sh.filter(col("new")), flips = true)),
+        "_y"), Seq("q", "part"))
+    val j2 = side(bounded(parts(sh.filter(col("new")), flips = false)),
+        "_x")
+      .join(side(bounded(parts(sh.filter(!col("new")), flips = true)),
+        "_y"), Seq("q", "part"))
+    val cand = j1.union(j2)
+      .filter(col("id_x") =!= col("id_y"))
+      // batch id first for batch-vs-corpus; a<b when both are batch
+      .select(
+        when(col("new_x") && col("new_y"),
+          least(col("id_x"), col("id_y")))
+          .when(col("new_x"), col("id_x")).otherwise(col("id_y"))
+          .as("id_a"),
+        when(col("new_x") && col("new_y"),
+          greatest(col("id_x"), col("id_y")))
+          .when(col("new_x"), col("id_y")).otherwise(col("id_x"))
+          .as("id_b"),
+        bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
+      .filter(col("hamming") <= prefilterHamming)
+      .select("id_a", "id_b").distinct()
+    val texts = shingleSets(batch.select(col(idCol), col(textCol))
+        .union(corpus.select(col(idCol), col(textCol))),
+        idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     verifyPairs(cand, texts, threshold)
   }

@@ -202,6 +202,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // corpus-internal dup (0, 9001) must NOT appear
     assert(!pairs.exists(p => p._1 == 0L || p._1 == 9001L ||
       (p._2 == 9001L && p._1 < 30000L)), s"got $pairs")
+
+    // the SimHash index under the same contract (both multi-probe
+    // orientations must fire: either side may hold the probing 0-bit)
+    val sPairs = Dedup.simhashPairsIncremental(b, corpus,
+      "doc_id", "text", threshold = 0.7, blocks = 8,
+      prefilterHamming = 15, maxBucketSize = 200)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sPairs.contains((30001L, 20L)), s"got $sPairs")
+    assert(sPairs.contains((30002L, 20L)), s"got $sPairs")
+    assert(sPairs.contains((30003L, 40L)), s"got $sPairs")
+    assert(sPairs.contains((30001L, 30002L)), s"got $sPairs")
+    assert(!sPairs.exists(p => p._1 == 0L || p._1 == 9001L ||
+      (p._2 == 9001L && p._1 < 30000L)), s"got $sPairs")
+    // agreement with the MinHash index on the same inputs
+    assert(sPairs == pairs, s"simhash $sPairs != minhash $pairs")
     // every pair involves at least one batch doc
     assert(pairs.forall(_._1 >= 30000L), s"got $pairs")
   }
