@@ -193,8 +193,7 @@ object Queries {
     * candidates with the same exact Jaccard, so the verified pair set must
     * equal this all-pairs set whenever candidate recall is total.
     */
-  def jaccardAllPairsSql(threshold: Double): String = s"""
-      WITH all_docs AS ($docsNearDupsSql),
+  private val shingleCteSql: String = """
       sh AS (
         SELECT doc_id, list_distinct(CASE
           WHEN len(string_split(lower(trim(text)), ' ')) < 3
@@ -202,15 +201,33 @@ object Queries {
           ELSE [array_to_string(string_split(lower(trim(text)), ' ')[i:i+2], ' ')
                 FOR i IN range(1, len(string_split(lower(trim(text)), ' ')) - 1)]
           END) AS shingles
-        FROM all_docs)
+        FROM all_docs)"""
+
+  private def jaccardSelectSql(threshold: Double, joinCond: String): String =
+    s"""
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                    / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
                AS jacc
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON $joinCond
       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= $threshold
       ORDER BY id_a, id_b"""
+
+  def jaccardAllPairsSql(threshold: Double): String =
+    s"WITH all_docs AS ($docsNearDupsSql), $shingleCteSql " +
+      jaccardSelectSql(threshold, "a.doc_id < b.doc_id")
+
+  /** Oracle for the incremental (batch-vs-corpus) contract: batch ids are
+    * the +20000 near-copies, corpus is the base table; every pair has a
+    * batch member, batch id first, batch-internal pairs once (a < b),
+    * corpus-internal pairs excluded.
+    */
+  def incrementalJaccardSql(threshold: Double): String =
+    s"WITH all_docs AS ($docsNearDupsSql), $shingleCteSql " +
+      jaccardSelectSql(threshold,
+        "a.doc_id >= 20000 AND a.doc_id <> b.doc_id " +
+          "AND (b.doc_id < 20000 OR a.doc_id < b.doc_id)")
 
   def tokenCountSql(textExpr: String): String =
     s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
@@ -680,6 +697,22 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(jaccardAllPairsSql(0.7))),
+
+    // ---- incremental (batch-vs-corpus) dedup, the daily production
+    // shape: the +20000 near-copies arrive as a NEW batch against the
+    // documents corpus. Oracle = all pairs with a batch member, batch id
+    // first, corpus-internal excluded — the minhashPairsIncremental
+    // contract verified end-to-end, not just spec-checked. ----
+    ("dedup_incremental_documents", ((s: SparkSession, dir: String) => {
+      val corpus = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text"))
+      Dedup.minhashPairsIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(incrementalJaccardSql(0.7))),
 
     // ---- SimHash-block candidates + exact-Jaccard verify (same oracle
     // contract as minhash above). The operating point is DERIVED, not
