@@ -236,6 +236,37 @@ class SchemaSpec extends AnyFunSuite {
       Right(Map("a" -> 0L, "b" -> "", "e" -> "X")))
   }
 
+  test("canonical form + SHA-256 fingerprint match Avro Java (PCF oracle)") {
+    // Avro's SchemaNormalization is an INDEPENDENT implementation of
+    // Parsing Canonical Form — byte-equality here pins our canonical
+    // form and digest to the published spec, not just to ourselves
+    val cases = Seq(
+      """{"name":"person","type":"record","fields":[
+        {"name":"FirstName","type":"string"},{"name":"Age","type":"int"},
+        {"name":"Score","type":"double"},
+        {"name":"Stats","type":{"type":"record","name":"Stats","fields":[
+          {"name":"s1","type":"long"},{"name":"s2","type":"long"}]}}]}""",
+      """{"type":"enum","name":"Suit",
+        "symbols":["SPADES","HEARTS","CLUBS"]}""",
+      """{"type":"array","items":{"type":"map","values":"bytes"}}""",
+      """{"name":"u","type":"record","fields":[
+        {"name":"pv","type":["null","int","string"]}]}""",
+      """{"type":"fixed","name":"Hash","size":16}""",
+      """{"name":"ns.Rec","type":"record","fields":[
+        {"name":"self","type":["null","ns.Rec"]}]}""")
+    for (json <- cases) {
+      val ours = Avro.create(json)
+      val theirs = new org.apache.avro.Schema.Parser().parse(json)
+      assert(SchemaIO.canonicalForm(ours) ==
+        org.apache.avro.SchemaNormalization.toParsingForm(theirs),
+        s"canonical form diverges for $json")
+      assert(SchemaIO.fingerprint(ours, "SHA-256", 32).toSeq ==
+        org.apache.avro.SchemaNormalization
+          .parsingFingerprint("SHA-256", theirs).toSeq,
+        s"fingerprint diverges for $json")
+    }
+  }
+
   test("export round-trip + fingerprint stability") {
     val json = """{"name":"person","type":"record","fields":[
       {"name":"FirstName","type":"string"},{"name":"Age","type":"int"}]}"""
