@@ -41,6 +41,7 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   test("no accidental cartesian products anywhere") {
     for (q <- Seq("dedup_ngram_documents", "minhash_pairs_documents",
         "simhash_pairs_documents", "embedding_dedup_pairs",
+        "dedup_incremental_documents", "multimodal_features",
         "similarity_lsh_topk", "similarity_ivf_topk")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
