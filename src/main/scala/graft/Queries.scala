@@ -548,6 +548,46 @@ object Queries {
       WHERE list_cosine_similarity(a.v, b.v) >= 0.999
       ORDER BY id_a, id_b""")),
 
+    // ---- incremental (batch-vs-corpus) embedding dedup — the same daily
+    // contract as dedup_incremental_documents, on vectors: two clone
+    // waves arrive as a NEW batch (+100000 at x1.001 for vec_id%50,
+    // +200000 at x1.002 for vec_id%100), so the batch holds both
+    // batch-vs-corpus matches AND batch-internal pairs (the two clones of
+    // the same source). Oracle = all cosine>=0.999 pairs with a batch
+    // member, batch id first, batch-internal once (a<b), corpus-internal
+    // excluded. Hyperplane signatures are scale-invariant, so every
+    // planted pair shares buckets by construction. ----
+    ("embedding_incremental_pairs", ((s: SparkSession, dir: String) => {
+      val e = rd(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding")
+      val batch = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * 1.001f).as("embedding"))
+        .union(e.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("embedding"), x => x * 1.002f).as("embedding")))
+      Dedup.embeddingPairsIncremental(batch, corpus, "vec_id", "embedding",
+        dim = 64, threshold = 0.999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      batch AS (
+        SELECT vec_id + 100000 AS vec_id, CAST(list_transform(embedding,
+          x -> x * CAST(1.001 AS FLOAT)) AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id, CAST(list_transform(embedding,
+          x -> x * CAST(1.002 AS FLOAT)) AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 100 = 0),
+      allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch)
+      SELECT b.vec_id AS id_a, o.vec_id AS id_b
+      FROM batch b JOIN allv o
+        ON CASE WHEN o.vec_id >= 100000 THEN b.vec_id < o.vec_id
+                ELSE TRUE END
+      WHERE list_cosine_similarity(b.v, o.v) >= 0.999
+      ORDER BY id_a, id_b""")),
+
     // ---- ANN: brute-force top-k (ids + ranks; cosine is rank-internal) ----
     ("similarity_topk", ((s: SparkSession, dir: String) => {
       val e = rd(s, dir, "embeddings")

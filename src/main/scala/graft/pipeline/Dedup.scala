@@ -709,4 +709,42 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Incremental (batch-vs-corpus) variant of [[embeddingPairs]],
+    * completing the family symmetry with [[minhashPairsIncremental]] and
+    * [[simhashPairsIncremental]]: corpus-internal pairs are excluded,
+    * batch-internal pairs appear once (`id_a < id_b`), batch-vs-corpus
+    * pairs carry the batch id first. The hyperplane seeds are fixed per
+    * table, so batch and corpus signatures land in comparable buckets
+    * without re-indexing the corpus; every bucket join keeps the batch on
+    * one side, so candidate cost scales with |batch|, and `maxBucketSize`
+    * drops degenerate buckets (the same guard as the text indexes).
+    */
+  def embeddingPairsIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
+      nBits: Int = 12, tables: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val all0 = Similarity.hyperplaneBucketsDf(batch, idCol, vecCol,
+        dim, nBits, tables).withColumn("new", lit(true))
+      .union(Similarity.hyperplaneBucketsDf(corpus, idCol, vecCol,
+        dim, nBits, tables).withColumn("new", lit(false)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oversized = all0.groupBy("t", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("t", "bucket")
+    val all = all0
+      .join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
+    val l = all.filter(col("new")).select(col("t"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val r = all.select(col("t"), col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("new").as("new_b"))
+    l.join(r, Seq("t", "bucket"))
+      // batch-internal pairs once (a < b); batch-vs-corpus always
+      .filter((col("new_b") && col("id_a") < col("id_b")) ||
+        (!col("new_b") && col("id_a") =!= col("id_b")))
+      .select("id_a", "v_a", "id_b", "v_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosineC(col("v_a"), col("v_b"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -89,6 +89,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(found == 20, s"all 20 planted clones must be found, got $found")
   }
 
+  test("incremental embedding dedup: batch vs corpus, same contract") {
+    // corpus contains an internal dup pair (6000 ~ clone of vec 0)
+    val corpus = embs.select("vec_id", "embedding")
+      .union(embs.filter($"vec_id" === 0)
+        .select(($"vec_id" + 6000).as("vec_id"),
+          transform($"embedding", x => x * 1.001f).as("embedding")))
+    // batch: near-clones of corpus vecs 25 and 50, plus an internal
+    // batch dup pair (7001/7002 both clone vec 25)
+    val b = embs.filter($"vec_id" === 25)
+      .select(lit(7001L).as("vec_id"),
+        transform($"embedding", x => x * 1.001f).as("embedding"))
+      .union(embs.filter($"vec_id" === 25)
+        .select(lit(7002L).as("vec_id"),
+          transform($"embedding", x => x * 1.002f).as("embedding")))
+      .union(embs.filter($"vec_id" === 50)
+        .select(lit(7003L).as("vec_id"),
+          transform($"embedding", x => x * 1.001f).as("embedding")))
+    val pairs = Dedup.embeddingPairsIncremental(b, corpus,
+      "vec_id", "embedding", dim = 64, threshold = 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-vs-corpus hits, batch id first
+    assert(pairs.contains((7001L, 25L)), s"got $pairs")
+    assert(pairs.contains((7002L, 25L)), s"got $pairs")
+    assert(pairs.contains((7003L, 50L)), s"got $pairs")
+    // batch-internal pair found once, oriented a<b
+    assert(pairs.contains((7001L, 7002L)), s"got $pairs")
+    // corpus-internal dup (0, 6000) must NOT appear; every pair has a
+    // batch doc on the left
+    assert(pairs.forall(_._1 >= 7000L), s"got $pairs")
+    // agreement with the all-pairs operator restricted to batch rows
+    val full = Dedup.embeddingPairs(corpus.union(b), "vec_id",
+      "embedding", dim = 64, threshold = 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 7000L || p._2 >= 7000L)
+      .map(p => if (p._2 >= 7000L && p._1 < 7000L) (p._2, p._1) else p)
+    assert(pairs == full, s"incremental $pairs != all-pairs $full")
+  }
+
   test("brute-force top-k: self is rank 1 with cosine 1") {
     val queries = embs.filter($"vec_id" < 3)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
