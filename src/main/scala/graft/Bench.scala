@@ -86,15 +86,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Cache isolation: the dedup/similarity operators persist shared
+    // subtrees into the session CacheScope; without a release every
+    // evaluation (6 per query × 31 queries) pins ANOTHER copy until
+    // eviction thrash contaminates later timings (r7: minhash med 6.5×
+    // on unchanged code). Releasing after each evaluation keeps every
+    // run independent AND charges each run its full cache-population
+    // cost — the honest number. Targeted release (not a blunt
+    // spark.catalog.clearCache()) so the image-fixture cache — input
+    // construction, deliberately outside the timed body — stays warm.
+    def release(): Unit = graft.pipeline.CacheScope.releaseSession(spark)
+
     // warm-up then N timed runs, sorted; a failure yields an EMPTY sample
     // list, which reports -1 below AND increments the failure count in
     // the JSON, so a partially-failed bench can't read as a fast one
     def timeSamples(name: String)(body: => Unit): Seq[Double] =
       try {
-        (1 to warmups).foreach(_ => body)
-        (1 to runs).map(_ => time(body)).sorted
+        (1 to warmups).foreach { _ => body; release() }
+        (1 to runs).map { _ => val t = time(body); release(); t }.sorted
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        release()
         Seq.empty
       }
 
@@ -157,6 +169,7 @@ object Bench {
     println(json)
     System.err.println(json)
     Files.writeString(Paths.get("BENCH_RESULT.json"), json + "\n")
+    Queries.releaseFixtures(spark)
     spark.stop()
   }
 }

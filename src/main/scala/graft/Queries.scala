@@ -107,9 +107,12 @@ object Queries {
     * change results.
     */
   private val imageBlobCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def imageBlobsFor(s: SparkSession, dir: String): DataFrame =
-    imageBlobCache.computeIfAbsent(dir, { d =>
+    // keyed by (session, dir): a persisted DataFrame is bound to the
+    // session that built it — a stopped/recreated session in the same JVM
+    // must rebuild, not trip over a stale cached plan
+    imageBlobCache.computeIfAbsent((s, dir), { case (_, d) =>
       import s.implicits._
       import graft.pipeline.Multimodal
       val imgs = rdPar(s, d, "documents")
@@ -125,6 +128,22 @@ object Queries {
       imgs.count() // materialize at build time, not first evaluation
       imgs
     })
+
+  /** Unpersist and forget this session's fixture caches (the planted
+    * image blobs above). The bench keeps fixtures warm across
+    * evaluations on purpose — they are input construction, not query
+    * work — and calls this once before the session stops.
+    */
+  def releaseFixtures(s: SparkSession): Unit = {
+    val it = imageBlobCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
 
   /** Read + spread for CPU-bound per-row stages (codec, JSON parse,
     * wide text expressions). The local testdata is one row group per

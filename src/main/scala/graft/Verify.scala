@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator intermediates after each terminal action so a
+      // 31-query dump never accumulates pinned caches (fixture caches
+      // stay warm — released once below)
+      finally graft.pipeline.CacheScope.releaseSession(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -40,6 +44,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Queries.releaseFixtures(spark)
     spark.stop()
   }
 }

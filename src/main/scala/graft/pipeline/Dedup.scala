@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -205,7 +204,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, df.sparkSession)
     val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands,
       shingleSize)
     // skew guard via broadcast anti-join: the oversized-bucket list is
@@ -214,17 +215,15 @@ object Dedup {
     // exchanges EVERY row on the bucket key before filtering
     val oversized = buckets.groupBy("band", "bucket").count()
       .filter(col("count") > maxBucketSize).select("band", "bucket")
-    val bounded = buckets
-      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
+    val bounded = sc.persist(buckets // used by both join sides
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti"))
     val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // joined on both pair sides — persist so the shingle kernel runs once
-    val texts = shingleSets(df, idCol, textCol, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val texts = sc.persist(shingleSets(df, idCol, textCol, shingleSize))
     verifyPairs(cand, texts, threshold)
   }
 
@@ -240,14 +239,15 @@ object Dedup {
   def minhashPairsIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
     val bBuckets = minhashBuckets(batch, idCol, textCol, numHashes, bands,
       shingleSize)
     val cBuckets = minhashBuckets(corpus, idCol, textCol, numHashes, bands,
       shingleSize)
-    val all0 = bBuckets.withColumn("new", lit(true))
-      .union(cBuckets.withColumn("new", lit(false)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val all0 = sc.persist(bBuckets.withColumn("new", lit(true))
+      .union(cBuckets.withColumn("new", lit(false))))
     val oversized = all0.groupBy("band", "bucket").count()
       .filter(col("count") > maxBucketSize).select("band", "bucket")
     val all = all0
@@ -261,10 +261,10 @@ object Dedup {
       .filter((col("new_b") && col("id_a") < col("id_b")) ||
         (!col("new_b") && col("id_a") =!= col("id_b")))
       .select("id_a", "id_b").distinct()
-    val texts = shingleSets(batch.select(col(idCol), col(textCol))
+    val texts = sc.persist(shingleSets(
+      batch.select(col(idCol), col(textCol))
         .union(corpus.select(col(idCol), col(textCol))),
-        idCol, textCol, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      idCol, textCol, shingleSize))
     verifyPairs(cand, texts, threshold)
   }
 
@@ -324,7 +324,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, df.sparkSession)
     val exploded = shingleIndex(df, idCol, textCol, shingleSize)
     // stop-shingle guard via broadcast anti-join (same shape as the
     // minhash/simhash caps): the oversized list is tiny after map-side
@@ -338,7 +340,7 @@ object Dedup {
       } else exploded
     // both join sides read this subtree; persist so the shingle hashing
     // runs once (self-joins do not reuse exchanges across projections)
-    val cached = bounded.persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = sc.persist(bounded)
     val l = cached.select(col("s"), col("id").as("id_a"),
       col("nsh").as("n_a"))
     val r = cached.select(col("s"), col("id").as("id_b"),
@@ -459,15 +461,16 @@ object Dedup {
     */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       blocks: Int = 4, maxHamming: Int = 64,
-      maxBucketSize: Int = 1000, probeBits: Int = 0): DataFrame = {
+      maxBucketSize: Int = 1000, probeBits: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val sc = CacheScope.resolve(scope, df.sparkSession)
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
     // the expensive kernel (one simhash per doc) is the shared base of
     // both join sides — persist it, the block explodes below are cheap
-    val withSh = simhashDfJ(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withSh = sc.persist(simhashDfJ(df, idCol, textCol))
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
     // j = -1 → the exact block value; j >= 0 → that value with bit j
@@ -553,6 +556,16 @@ object Dedup {
     * a large radius and a large corpus has no valid point (the WWW'07
     * small-radius shape of SimHash).
     */
+  /** Hamming radius the block join GUARANTEES to cover: `blocks - 1`
+    * exact (pigeonhole over `blocks` blocks), `2*blocks - 1` with 1-bit
+    * multi-probe (see [[simhashCandidatePairs]]). A prefilter beyond this
+    * keeps pairs the candidate generation never promised to produce.
+    */
+  def guaranteedRadius(blocks: Int, probeBits: Int): Int = {
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    (probeBits + 1) * blocks - 1
+  }
+
   def simhashOperatingPoint(radius: Int, corpusSize: Long,
       maxBucketSize: Int = 1000, biasFactor: Int = 10): Option[Int] = {
     require(radius >= 0 && radius <= 31, "radius must be in [0, 31]")
@@ -587,15 +600,23 @@ object Dedup {
     */
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      blocks: Int = 4, prefilterHamming: Int = 16,
-      maxBucketSize: Int = 1000, probeBits: Int = 0): DataFrame = {
+      blocks: Int = 4, prefilterHamming: Int = -1,
+      maxBucketSize: Int = 1000, probeBits: Int = 1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, df.sparkSession)
+    // default prefilter = the DERIVED candidate bound: a caller passing
+    // nothing gets a filter exactly as wide as what the generation
+    // guarantees, never wider (prefilter > bound keeps pairs the join was
+    // never promised to emit — wrong-by-default; prefilter < bound wastes
+    // part of the guarantee). Explicit values still override for tuning.
+    val pf = if (prefilterHamming < 0) guaranteedRadius(blocks, probeBits)
+      else prefilterHamming
     val cand = simhashCandidatePairs(df, idCol, textCol, blocks,
-      maxHamming = prefilterHamming, maxBucketSize = maxBucketSize,
-      probeBits = probeBits)
+      maxHamming = pf, maxBucketSize = maxBucketSize,
+      probeBits = probeBits, scope = sc)
       .select("id_a", "id_b")
     // joined on both pair sides — persist so the shingle kernel runs once
-    val texts = shingleSets(df, idCol, textCol, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val texts = sc.persist(shingleSets(df, idCol, textCol, shingleSize))
     verifyPairs(cand, texts, threshold)
   }
 
@@ -612,16 +633,21 @@ object Dedup {
     */
   def simhashPairsIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      shingleSize: Int = 3, blocks: Int = 4, prefilterHamming: Int = 7,
-      maxBucketSize: Int = 1000, probeBits: Int = 1): DataFrame = {
+      shingleSize: Int = 3, blocks: Int = 4, prefilterHamming: Int = -1,
+      maxBucketSize: Int = 1000, probeBits: Int = 1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
+    // default prefilter = the derived bound (see simhashJaccardPairs)
+    val pf = if (prefilterHamming < 0) guaranteedRadius(blocks, probeBits)
+      else prefilterHamming
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
-    val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
-      .union(simhashDfJ(corpus, idCol, textCol)
-        .withColumn("new", lit(false)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sc.persist(
+      simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
+        .union(simhashDfJ(corpus, idCol, textCol)
+          .withColumn("new", lit(false))))
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
     def parts(src: DataFrame, flips: Boolean): DataFrame = {
@@ -669,12 +695,12 @@ object Dedup {
           .when(col("new_x"), col("id_y")).otherwise(col("id_x"))
           .as("id_b"),
         bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
-      .filter(col("hamming") <= prefilterHamming)
+      .filter(col("hamming") <= pf)
       .select("id_a", "id_b").distinct()
-    val texts = shingleSets(batch.select(col(idCol), col(textCol))
+    val texts = sc.persist(shingleSets(
+      batch.select(col(idCol), col(textCol))
         .union(corpus.select(col(idCol), col(textCol))),
-        idCol, textCol, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      idCol, textCol, shingleSize))
     verifyPairs(cand, texts, threshold)
   }
 
@@ -691,12 +717,12 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nBits: Int = 12,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4, scope: CacheScope = CacheScope.session): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val withBuckets = Similarity.hyperplaneBucketsDf(df, idCol, vecCol,
-      dim, nBits, tables)
-      .persist(StorageLevel.MEMORY_AND_DISK) // used by both join sides
+    val sc = CacheScope.resolve(scope, spark)
+    val withBuckets = sc.persist( // used by both join sides
+      Similarity.hyperplaneBucketsDf(df, idCol, vecCol, dim, nBits, tables))
     val l = withBuckets.select(col("t"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val r = withBuckets.select(col("t"), col("bucket"),
@@ -723,12 +749,14 @@ object Dedup {
   def embeddingPairsIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
       nBits: Int = 12, tables: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val all0 = Similarity.hyperplaneBucketsDf(batch, idCol, vecCol,
+      maxBucketSize: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
+    val all0 = sc.persist(
+      Similarity.hyperplaneBucketsDf(batch, idCol, vecCol,
         dim, nBits, tables).withColumn("new", lit(true))
       .union(Similarity.hyperplaneBucketsDf(corpus, idCol, vecCol,
-        dim, nBits, tables).withColumn("new", lit(false)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        dim, nBits, tables).withColumn("new", lit(false))))
     val oversized = all0.groupBy("t", "bucket").count()
       .filter(col("count") > maxBucketSize).select("t", "bucket")
     val all = all0
