@@ -787,11 +787,15 @@ object Queries {
     // tightly (~16% of ALL pairs sit within Hamming 15 at sf0.1,
     // SimhashCostProfile), so the verify stage sees an adversarially
     // dense candidate set here; real text spreads toward Hamming ~32
-    // and the same prefilter is far more selective. ----
+    // and the same prefilter is far more selective. verifyRankCap=32
+    // trims that dense mass before the shingle join: true pairs rank
+    // p99=4 / max=22 from their best endpoint (SimhashRankProfile at
+    // sf0.1; max=6 at sf0.01), so 32 holds every planted pair with
+    // margin — CI-guarded by SimhashRecallSpec claim 4. ----
     ("simhash_pairs_documents", ((s: SparkSession, dir: String) => {
       Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8, blocks = 8, prefilterHamming = 15,
-        maxBucketSize = 200, probeBits = 1)
+        maxBucketSize = 200, probeBits = 1, verifyRankCap = 32)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(jaccardAllPairsSql(0.8))),

@@ -89,6 +89,18 @@ object Dedup {
   // relational shape (explode → join → groupBy) stays declarative.
   // -------------------------------------------------------------------
 
+  /** Spread few-split inputs to full parallelism before a per-row JVM
+    * kernel: a local parquet file or single-partition stream otherwise
+    * runs the kernel — and everything downstream until the first
+    * exchange, including bucket-join collision production — on 1-4
+    * cores. No-op when the input already has enough splits (the 100 TB
+    * case: never shuffle a corpus for parallelism it already has).
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   private[pipeline] def hashBytes(b: Array[Byte], seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(b,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
@@ -122,7 +134,7 @@ object Dedup {
       shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    spread(df.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val hs = shingleHashArray(if (text == null) "" else text, shingleSize)
@@ -135,7 +147,7 @@ object Dedup {
       shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    spread(df.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, shingleHashArray(if (text == null) "" else text, shingleSize))
@@ -148,7 +160,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    spread(df.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val hs = shingleHashArray(if (text == null) "" else text, shingleSize)
@@ -431,7 +443,7 @@ object Dedup {
   def simhashDfJ(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    spread(df.select(col(idCol).cast("long"), col(textCol).cast("string")))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, simhash64(if (text == null) "" else text))
@@ -469,7 +481,11 @@ object Dedup {
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
     // the expensive kernel (one simhash per doc) is the shared base of
-    // both join sides — persist it, the block explodes below are cheap
+    // both join sides — persist it, the block explodes below are cheap.
+    // The kernel input is `spread` (simhashDfJ): when the exact side
+    // broadcasts, the bucket join's collision-production loop (the
+    // dominant cost — ~4x the candidate count in raw join rows) streams
+    // at this very partitioning.
     val withSh = sc.persist(simhashDfJ(df, idCol, textCol))
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
@@ -602,6 +618,7 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3,
       blocks: Int = 4, prefilterHamming: Int = -1,
       maxBucketSize: Int = 1000, probeBits: Int = 1,
+      verifyRankCap: Int = 0,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, df.sparkSession)
     // default prefilter = the DERIVED candidate bound: a caller passing
@@ -611,10 +628,39 @@ object Dedup {
     // part of the guarantee). Explicit values still override for tuning.
     val pf = if (prefilterHamming < 0) guaranteedRadius(blocks, probeBits)
       else prefilterHamming
-    val cand = simhashCandidatePairs(df, idCol, textCol, blocks,
+    val candAll = simhashCandidatePairs(df, idCol, textCol, blocks,
       maxHamming = pf, maxBucketSize = maxBucketSize,
       probeBits = probeBits, scope = sc)
-      .select("id_a", "id_b")
+    // Verify-density second tier (off by default): keep a candidate pair
+    // only if it ranks within `verifyRankCap` by ascending exact Hamming
+    // from AT LEAST ONE of its endpoints. On low-entropy corpora the
+    // Hamming prefilter alone admits a dense candidate mass (sf0.1
+    // synthetic: ~16% of ALL pairs within the bound) while true near-dups
+    // rank at the very top of their endpoint's list (measured best-
+    // endpoint rank p99=4, max=22 vs cap 32 — SimhashRankProfile); the
+    // cap trims the dense junk BEFORE the expensive shingle-set join
+    // instead of after. This is an empirical dial OUTSIDE the pigeonhole
+    // guarantee (a true pair outranked at both endpoints by >cap closer
+    // junk would be lost) — CI guards it against the planted truth at
+    // the gate SFs (SimhashRecallSpec claim 4); leave 0 when the
+    // candidate bound must be the only filter. Ranking windows partition
+    // by each pair ORIENTATION (id_a side, id_b side): each window sees
+    // a subset of the endpoint's true neighborhood, so ranks are never
+    // larger than full-neighborhood ranks — recall-safe, and two narrow
+    // window shuffles cost far less than the verify join they prune.
+    val cand =
+      if (verifyRankCap <= 0) candAll.select("id_a", "id_b")
+      else {
+        val wA = Window.partitionBy("id_a")
+          .orderBy(col("hamming").asc, col("id_b").asc)
+        val wB = Window.partitionBy("id_b")
+          .orderBy(col("hamming").asc, col("id_a").asc)
+        candAll.withColumn("rn_a", row_number().over(wA))
+          .withColumn("rn_b", row_number().over(wB))
+          .filter(col("rn_a") <= verifyRankCap ||
+            col("rn_b") <= verifyRankCap)
+          .select("id_a", "id_b")
+      }
     // joined on both pair sides — persist so the shingle kernel runs once
     val texts = sc.persist(shingleSets(df, idCol, textCol, shingleSize))
     verifyPairs(cand, texts, threshold)

@@ -129,7 +129,8 @@ object Similarity {
     import spark.implicits._
     val signsAll = Array.tabulate(tables)(t =>
       planeSigns(dim, nBits, tableSeed(t)))
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    Dedup.spread(
+      df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         (0 until signsAll.length).map(t =>

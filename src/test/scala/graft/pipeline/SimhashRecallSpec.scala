@@ -94,7 +94,24 @@ class SimhashRecallSpec extends AnyFunSuite with SparkTestBase {
         truth.except(verified).count() == 0,
         "verified SimHash pair set differs from all-pairs Jaccard truth")
 
+      // claim 4: the verify-density rank cap used by the gate query
+      // (verifyRankCap=32) is an empirical dial OUTSIDE the pigeonhole
+      // guarantee — this is its guard: with the cap in force the output
+      // must STILL equal the truth (true pairs rank max 22 at sf0.1 /
+      // 6 at sf0.01 from their best endpoint, SimhashRankProfile). If
+      // regenerated testdata pushes a true pair below rank 32 at both
+      // endpoints, this fails and the cap must be raised.
+      val capped = Dedup.simhashJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, blocks = blocks, prefilterHamming = bound,
+        maxBucketSize = cap, probeBits = probeBits, verifyRankCap = 32)
+        .select("id_a", "id_b")
+      assert(capped.except(truth).count() == 0 &&
+        truth.except(capped).count() == 0,
+        "rank-capped SimHash pair set differs from truth — raise " +
+          "verifyRankCap in Queries.simhash_pairs_documents")
+
       truth.unpersist(); docs.unpersist()
+      CacheScope.releaseSession(spark)
     }
   }
 }
