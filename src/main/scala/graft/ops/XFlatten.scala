@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.schema._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType,
+  StructField, StructType}
 
 /** Update-operation extraction — the analog of the reference's `xflatten`
   * (reference: compiler.lua:920–1024): a *partial* object becomes the list
@@ -22,12 +23,107 @@ object XFlatten {
   def apply(c: Compiled, df: DataFrame): DataFrame =
     df.withColumn("ops", opsColumn(c, name => df(name)))
 
-  /** Serialized update-op list — the `xflatten_msgpack` analog
-    * (reference: init.lua:462–470): ops rendered as a compact JSON array
-    * string ready for a log/bus sink.
+  /** Serialized update-op list as JSON (the readable sink form): ops
+    * rendered as a compact JSON array string ready for a log/bus sink.
+    * For the reference's BYTE contract use [[opsMsgpack]].
     */
   def opsSerialized(c: Compiled, in: String => Column): Column =
     to_json(opsColumn(c, in))
+
+  /** Msgpack byte framing of the update-op list — the `xflatten_msgpack`
+    * analog (reference: init.lua:462–470 calling runtime msgpack encode,
+    * runtime.lua:158–187): each row's ops encode as ONE msgpack array of
+    * `["=", pos, value]` triples with the VALUE typed per the reader's
+    * flat slot — int family for int/long/enum-index/union tag, float32/
+    * float64 for float/double, bool for boolean, str for string/bytes —
+    * and a union's value op resolves its runtime branch type through the
+    * tag op at `pos - 1` (the two-op union contract,
+    * compiler.lua:1002–1013). Container slots (array/map) encode as
+    * their string rendering, matching this engine's flat-slot form — a
+    * documented deviation from the reference's structural encode.
+    * Output: the input columns plus `ops` and a binary column `as`.
+    */
+  def opsMsgpack(c: Compiled, df: DataFrame,
+      as: String = "ops_msgpack"): DataFrame = {
+    val withOps = apply(c, df)
+    // driver-side: resolve every slot to a plain string descriptor so
+    // the task closure ships only these (Compiled/AvroSchema stay on the
+    // driver — they are not serializable, by design)
+    val slots = flatSlots(c.reader)
+    val sfOffset = c.serviceFields.length
+    val outSchema = StructType(withOps.schema.fields :+
+      StructField(as, BinaryType, nullable = false))
+    val opsIdx = withOps.schema.fieldIndex("ops")
+    withOps.mapPartitions { rows =>
+      rows.map { r =>
+        val ops = r.getSeq[Row](opsIdx)
+        val byPos = ops.iterator.map(o => o.getInt(1) -> o.getString(2)).toMap
+        val triples: Seq[Seq[Any]] = ops.map { o =>
+          val pos = o.getInt(1)
+          val raw = o.getString(2)
+          val typed = slots(pos - sfOffset - 1) match {
+            case Slot.Tag => if (raw == null) null else raw.toLong
+            case Slot.UnionValue(kinds) =>
+              // branch kind via the tag op the two-op contract
+              // guarantees at pos - 1
+              byPos.get(pos - 1).flatMap(Option(_))
+                .map(t => Slot.parse(kinds(t.toInt), raw)).orNull
+            case Slot.Value(k) => Slot.parse(k, raw)
+          }
+          Seq("=", pos, typed)
+        }
+        Row.fromSeq(r.toSeq :+ graft.functions.Msgpack.encode(triples))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Flat-slot value descriptors, aligned with `getTypes` order (one
+    * entry per tuple position before the service-field offset). Plain
+    * strings + case classes: the executor-side typed-value parser must
+    * not drag schema objects into the closure.
+    */
+  private[ops] object Slot {
+    sealed trait T extends Serializable
+    final case class Value(kind: String) extends T
+    case object Tag extends T
+    final case class UnionValue(branchKinds: Vector[String]) extends T
+
+    def parse(kind: String, raw: String): Any =
+      if (raw == null) null
+      else kind match {
+        case "int" | "long" => raw.toLong
+        case "float" => raw.toFloat
+        case "double" => raw.toDouble
+        case "boolean" => raw.toBoolean
+        case "null" => null
+        // enum flat slots carry the S2I index (or the symbol under
+        // utf8_enums) — int when integral, str otherwise
+        case "enum" => raw.toLongOption.getOrElse(raw): Any
+        case _ => raw // string/bytes/fixed/containers: str rendering
+      }
+  }
+
+  private def kindOf(s: AvroSchema, t: AvroType): String =
+    s.resolve(t) match {
+      case p: PrimitiveType => p.typeName
+      case _: EnumType => "enum"
+      case _ => "str"
+    }
+
+  private def flatSlots(s: AvroSchema): Vector[Slot.T] = {
+    val out = Vector.newBuilder[Slot.T]
+    def walk(rec: RecordType): Unit = rec.fields.foreach { f =>
+      s.resolve(f.tpe) match {
+        case r: RecordType if !r.nullable => walk(r)
+        case u: UnionType =>
+          out += Slot.Tag
+          out += Slot.UnionValue(u.branches.map(kindOf(s, _)))
+        case other => out += Slot.Value(kindOf(s, other))
+      }
+    }
+    walk(s.rootRecord)
+    out.result()
+  }
 
   def opsColumn(c: Compiled, in: String => Column): Column = {
     val rm = FlattenOps.rootRecordMapping(c.mapping)

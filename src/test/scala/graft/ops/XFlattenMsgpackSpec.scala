@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.schema.Avro
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-BYTE contract for the msgpack framing of xflatten op lists —
+  * the `xflatten_msgpack` analog (reference: init.lua:462–470,
+  * runtime.lua:158–187; two-op union contract compiler.lua:1002–1013).
+  *
+  * Every golden below is a hand-computed msgpack byte string (format
+  * bytes from the PUBLIC msgpack spec), NOT derived from the codec under
+  * test — op-list encoding and byte layout are pinned independently.
+  */
+class XFlattenMsgpackSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  private val schema = Avro.create(
+    """{"name":"p","type":"record","fields":[
+      {"name":"a","type":"long"},
+      {"name":"b","type":"string"},
+      {"name":"u","type":["null","int"]}]}""")
+  private val c = FlattenOps.compile(schema).fold(e => sys.error(e), identity)
+
+  test("scalar + two-op union encode as typed [\"=\",pos,value] triples") {
+    // row (a=7, b="x", u=int 5) → ops [["=",1,7],["=",2,"x"],["=",3,1],
+    // ["=",4,5]]: tag op carries the branch index (int branch = 1), the
+    // value op carries the TYPED branch value (msgpack int, not str)
+    // writer ["null","int"] is the nullable-scalar union shape: the
+    // source column is a plain nullable int
+    val df = Seq((7L, "x", 5)).toDF("a", "b", "u")
+    val bytes = XFlatten.opsMsgpack(c, df)
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // 94                       array(4)
+    //  93 a1 3d 01 07          ["=" 1 7]
+    //  93 a1 3d 02 a1 78       ["=" 2 "x"]
+    //  93 a1 3d 03 01          ["=" 3 1]     (union tag, int)
+    //  93 a1 3d 04 05          ["=" 4 5]     (union value, TYPED int)
+    assert(hex(bytes) ==
+      "94" + "93a13d0107" + "93a13d02a178" + "93a13d0301" + "93a13d0405")
+  }
+
+  test("absent fields (NULL) contribute no ops; empty list is 0x90") {
+    val df = Seq((Some(9L), Option.empty[String])).toDF("a", "b")
+      .selectExpr("a", "b", "cast(null as int) as u")
+    val bytes = XFlatten.opsMsgpack(c, df)
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // only a present: 91 93 a1 3d 01 09
+    assert(hex(bytes) == "91" + "93a13d0109")
+
+    val none = Seq((Option.empty[Long], Option.empty[String]))
+      .toDF("a", "b")
+      .selectExpr("a", "b", "cast(null as int) as u")
+    val noneBytes = XFlatten.opsMsgpack(c, none)
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    assert(hex(noneBytes) == "90")
+  }
+
+  test("double and boolean values keep their msgpack scalar formats") {
+    val s2 = Avro.create(
+      """{"name":"q","type":"record","fields":[
+        {"name":"d","type":"double"},{"name":"f","type":"boolean"}]}""")
+    val c2 = FlattenOps.compile(s2).fold(e => sys.error(e), identity)
+    val df = Seq((1.5, true)).toDF("d", "f")
+    val bytes = XFlatten.opsMsgpack(c2, df)
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // 92 | ["=" 1 1.5]: 93 a1 3d 01 cb 3ff8000000000000
+    //    | ["=" 2 true]: 93 a1 3d 02 c3
+    assert(hex(bytes) ==
+      "92" + "93a13d01cb3ff8000000000000" + "93a13d02c3")
+  }
+
+  test("service-field offset shifts positions like the reference tuple") {
+    val s3 = Avro.create(
+      """{"name":"r","type":"record","fields":[
+        {"name":"a","type":"long"}]}""")
+    val c3 = FlattenOps.compile(s3, s3,
+      serviceFields = Seq(org.apache.spark.sql.types.LongType))
+      .fold(e => sys.error(e), identity)
+    val df = Seq(Tuple1(7L)).toDF("a")
+    val bytes = XFlatten.opsMsgpack(c3, df)
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // one service field → a sits at tuple position 2: 91 93 a1 3d 02 07
+    assert(hex(bytes) == "91" + "93a13d0207")
+  }
+
+  test("msgpack ops agree with the JSON ops on a real table shape") {
+    // same schema as the xflatten_events_props gate query — the two
+    // serializations must describe identical (op,pos,value) triples
+    val props = Avro.create(
+      """{"name":"update","type":"record","fields":[
+        {"name":"event_id","type":"long"},{"name":"k","type":"int"}]}""")
+    val cp = FlattenOps.compile(props).fold(e => sys.error(e), identity)
+    val df = Seq((10L, 3), (11L, 4)).toDF("event_id", "k")
+    val enc = XFlatten.opsMsgpack(cp, df)
+    val decoded = enc.select("ops_msgpack").collect().map(r =>
+      graft.functions.Msgpack.decode(r.getAs[Array[Byte]](0)))
+    val fromJson = enc.select("ops").collect().map(r =>
+      r.getSeq[org.apache.spark.sql.Row](0).map(o =>
+        Vector("=", o.getInt(1).toLong, o.getString(2).toLong)))
+    assert(decoded.toVector == fromJson.toVector.map(_.toVector))
+  }
+}

@@ -45,6 +45,14 @@ object OpsDrive {
       col("c_nationkey"), lit(null).cast("double").as("c_acctbal"), col("c_mktsegment"))
     val cid = FlattenOps.compile(writer).fold(e => sys.error(e), identity)
     XFlatten(cid, partial).select("c_custkey","ops").orderBy("c_custkey").show(2, false)
+    // xflatten_msgpack byte framing over the same partial update
+    val mp = XFlatten.opsMsgpack(cid, partial)
+      .select(col("c_custkey"), hex(col("ops_msgpack")).as("ops_hex"))
+      .orderBy("c_custkey")
+    mp.show(2, false)
+    val firstBytes = XFlatten.opsMsgpack(cid, partial).orderBy("c_custkey")
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    println("MSGPACK_DECODED=" + graft.functions.Msgpack.decode(firstBytes))
     spark.stop()
   }
 }
