@@ -98,6 +98,27 @@ object Queries {
       Similarity.trainIvfCentroids(rd(s, d, "embeddings"), "vec_id",
         "embedding", k = 16, sampleN = 2000, iters = 4))
 
+  /** Persisted IVF index for a testdata dir, WRITTEN ONCE per
+    * (session, dir): the offline index-build step of
+    * [[Similarity.writeIvfIndex]] — assign cells, write
+    * `partitionBy(cid)` parquet + centroid sidecar. The
+    * `similarity_ivf_index_topk` query then exercises the SEARCH path
+    * ([[Similarity.ivfTopKFromIndex]]): centroid reload, query probing,
+    * and the `cid IN (probes)` partition-pruned scan. Like centroid
+    * training, the build sits outside the repeatedly-evaluated query
+    * body; determinism means caching cannot change results.
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def ivfIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.writeIvfIndex(rd(s, d, "embeddings"), "vec_id",
+        "embedding", ivfCentroidsFor(s, d), path)
+      path
+    })
+
   /** Planted image fixtures for `multimodal_features`, built ONCE per
     * dir and persisted: a real PNG (even ids) / JPEG (odd ids) per
     * document with doc_id-derived dimensions. Fixture ENCODING is input
@@ -852,6 +873,43 @@ object Queries {
                         CAST(list_transform(embedding,
                           x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 1 ORDER BY query_id, rank""")),
+
+    // ---- ANN against the PERSISTED IVF index: writeIvfIndex lays the
+    // assigned corpus out partitionBy(cid) with a centroid sidecar (the
+    // offline build, cached per session+dir); the query body reloads
+    // centroids, probes each x1.5-scaled query's nearest cell and scans
+    // ONLY the probed cell directories (partition pruning — the
+    // 100 TB read path where a top-k touches nProbe/k_centroids of the
+    // bytes). Same top-1 guarantee as similarity_ivf_topk: cosine is
+    // scale-invariant, so the scaled query probes its original's cell
+    // and the true top-1 sits inside it. ----
+    ("similarity_ivf_index_topk", ((s: SparkSession, dir: String) => {
+      val path = ivfIndexFor(s, dir)
+      val e = rd(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("qv"))
+      Similarity.ivfTopKFromIndex(s, path, queries, "qid", "qv",
+        k = 1, nProbe = 1)
+        .select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(list_transform(embedding,
+                          x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
       scored AS (
         SELECT q.query_id, e.vec_id AS id,
                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
