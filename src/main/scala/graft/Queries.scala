@@ -150,21 +150,49 @@ object Queries {
       imgs
     })
 
+  /** Planted WAV fixtures for `multimodal_audio_meta`, same pattern as
+    * [[imageBlobsFor]]: a real PCM RIFF/WAVE stream per document with
+    * doc_id-derived rate/channels/frames the oracle knows arithmetically.
+    */
+  private val audioBlobCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def audioBlobsFor(s: SparkSession, dir: String): DataFrame =
+    audioBlobCache.computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val wavs = rdPar(s, d, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          (id, Multimodal.encodeWav(
+            sampleRate = 8000 + (id % 8).toInt * 1000,
+            channels = 1 + (id % 2).toInt,
+            bitsPerSample = 16,
+            nFrames = 100 + (id % 50).toInt,
+            seed = id))
+        }.toDF("doc_id", "wav")
+        .select(col("doc_id"),
+          Multimodal.asAudioBlob(col("wav"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wavs.count() // materialize at build time, not first evaluation
+      wavs
+    })
+
   /** Unpersist and forget this session's fixture caches (the planted
-    * image blobs above). The bench keeps fixtures warm across
+    * image/audio blobs above). The bench keeps fixtures warm across
     * evaluations on purpose — they are input construction, not query
     * work — and calls this once before the session stops.
     */
-  def releaseFixtures(s: SparkSession): Unit = {
-    val it = imageBlobCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) {
-        e.getValue.unpersist(blocking = false)
-        it.remove()
+  def releaseFixtures(s: SparkSession): Unit =
+    Seq(imageBlobCache, audioBlobCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) {
+          e.getValue.unpersist(blocking = false)
+          it.remove()
+        }
       }
     }
-  }
 
   /** Read + spread for CPU-bound per-row stages (codec, JSON parse,
     * wide text expressions). The local testdata is one row group per
@@ -922,6 +950,33 @@ object Queries {
         FROM scored)
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 1 ORDER BY query_id, rank""")),
+
+    // ---- multimodal AUDIO with a REAL header decode: every doc plants
+    // an in-memory PCM RIFF/WAVE stream whose rate/channels/frames
+    // derive from doc_id; the zero-dependency chunk-walk parse
+    // (Multimodal.withAudioMeta) must recover exactly those planted
+    // values — the oracle knows them arithmetically, duration included
+    // (integer ms = frames*1000 // rate on BOTH sides). ----
+    ("multimodal_audio_meta", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.withAudioMeta(audioBlobsFor(s, dir), "blob")
+        .select(col("doc_id"),
+          col("blob.meta.format").as("audio_format"),
+          col("blob.meta.sample_rate").as("sample_rate"),
+          col("blob.meta.channels").as("channels"),
+          col("blob.meta.bits_per_sample").as("bits"),
+          col("blob.meta.n_frames").as("n_frames"),
+          col("blob.meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      SELECT doc_id, 'wav' AS audio_format,
+             CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(16 AS INTEGER) AS bits,
+             CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+             CAST((100 + doc_id % 50) * 1000 // (8000 + (doc_id % 8) * 1000)
+               AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""")),
 
     // ---- multimodal blob pipeline with a REAL image decode: every doc
     // plants an in-memory PNG (even ids) / JPEG (odd ids) whose

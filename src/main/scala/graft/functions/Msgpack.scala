@@ -248,6 +248,14 @@ object Msgpack {
         arr.map(coerce(_, et))
       case (MapType(kt, vt, _), m: Map[Any, Any] @unchecked) =>
         m.map { case (k, mv) => coerce(k, kt) -> coerce(mv, vt) }
-      case _ => v // String, Boolean, Array[Byte] pass through
+      // expected passthroughs, matched EXPLICITLY: anything else is a
+      // type mismatch and must fail HERE with the field type named, not
+      // later as an opaque RowEncoder ClassCastException
+      case (StringType, s: String) => s
+      case (BooleanType, b: Boolean) => b
+      case (BinaryType, b: Array[Byte]) => b
+      case _ => throw new IllegalArgumentException(
+        s"msgpack: cannot decode ${v.getClass.getSimpleName} value" +
+          s" '$v' as ${dt.simpleString}")
     }
 }

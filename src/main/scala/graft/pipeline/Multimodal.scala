@@ -61,8 +61,16 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(iis, true, true)
-          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
-        } catch { case _: java.io.IOException => None
+          // Locale.ROOT: under a Turkish default locale "GIF" lowercases
+          // to a dotless-i "gıf", breaking format equality checks
+          Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            r.getWidth(0), r.getHeight(0)))
+        } catch {
+          // ImageIO readers throw unchecked exceptions on crafted headers
+          // (IllegalArgument, IndexOutOfBounds) — the contract is
+          // "quarantine downstream, never fail the batch", so any
+          // non-fatal decode failure is a None
+          case scala.util.control.NonFatal(_) => None
         } finally r.dispose()
       }
     } finally iis.close()
@@ -95,6 +103,133 @@ object Multimodal {
         Row.fromSeq(r.toSeq.updated(blobIdx, out))
       }
     }(enc)
+  }
+
+  // ------------------------------------------------------------- audio
+
+  /** Audio blob schema: content + typed audio metadata (the audio analog
+    * of [[blobSchema]]).
+    */
+  val audioBlobSchema: StructType = StructType(Seq(
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits_per_sample", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))),
+      nullable = false)))
+
+  /** Wrap a source column into an audio blob struct (metadata unknown
+    * until [[withAudioMeta]] parses the actual bytes).
+    */
+  def asAudioBlob(content: Column, format: String): Column = {
+    val bytes = content.cast(BinaryType)
+    struct(
+      bytes.as("content"),
+      struct(
+        lit(format).as("format"),
+        length(bytes).cast(LongType).as("n_bytes"),
+        lit(null).cast(IntegerType).as("sample_rate"),
+        lit(null).cast(IntegerType).as("channels"),
+        lit(null).cast(IntegerType).as("bits_per_sample"),
+        lit(null).cast(LongType).as("n_frames"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** REAL audio header decode: a zero-dependency RIFF/WAVE parse (chunk
+    * walk → `fmt ` + `data`) recovering sample rate, channels, bit
+    * depth, frame count and duration WITHOUT touching the sample data —
+    * the audio analog of [[decodeImageMeta]]'s header-only cost profile.
+    * Returns None for anything that is not a well-formed PCM WAV
+    * (corrupt, truncated, non-RIFF) — quarantine downstream, never fail
+    * the batch.
+    */
+  def decodeAudioMeta(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Long, Long)] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+      var dataSize = -1L
+      while (off + 8 <= bytes.length && (rate == 0 || dataSize < 0)) {
+        val id = tag(off)
+        val size = u32(off + 4)
+        if (id == "fmt " && size >= 16) {
+          channels = u16(off + 10)
+          rate = u32(off + 12).toInt
+          blockAlign = u16(off + 20)
+          bits = u16(off + 22)
+        } else if (id == "data") dataSize = size
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are 2-aligned
+      }
+      if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
+      else {
+        val frames = dataSize / blockAlign
+        Some(("wav", rate, channels, bits, frames,
+          frames * 1000L / rate))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode stage for audio blobs: fills meta from the REAL bytes via
+    * [[decodeAudioMeta]] in one mapPartitions pass. Undecodable blobs
+    * keep their claimed format and null fields.
+    */
+  def withAudioMeta(df: DataFrame, blobCol: String): DataFrame = {
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getStruct(blobIdx)
+        val out =
+          if (blob == null) blob
+          else {
+            val content = if (blob.isNullAt(0)) null
+              else blob.getAs[Array[Byte]](0)
+            val meta = blob.getStruct(1)
+            decodeAudioMeta(content) match {
+              case Some((fmt, rate, ch, bits, frames, ms)) =>
+                Row(content, Row(fmt, meta.getLong(1), rate, ch, bits,
+                  frames, ms))
+              case None => blob
+            }
+          }
+        Row.fromSeq(r.toSeq.updated(blobIdx, out))
+      }
+    }(enc)
+  }
+
+  /** Deterministic in-memory WAV fixture: a real PCM RIFF/WAVE byte
+    * stream (seeded sample data) — how specs and the driver query plant
+    * decodable audio without fixture files; the decode proves itself by
+    * recovering the planted rate/channels/frames.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int, seed: Long): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nFrames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      out.put(scala.util.hashing.byteswap64(seed * 131 + i).toByte)
+      i += 1
+    }
+    out.array()
   }
 
   /** Deterministic in-memory image fixture: a real `w`×`h` PNG/JPEG/BMP

@@ -285,6 +285,77 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!found.exists(_._1 == 40002L), found)
   }
 
+  test("incremental simhash runs per micro-batch on a stream (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val base = corpus.filter($"doc_id" === 20).head().getString(1)
+    val batchRows = Seq((60001L, base + " zz"), (60002L, "completely new text"))
+    // the contract: each micro-batch must produce exactly what the batch
+    // operator produces for the same (batch, corpus) inputs
+    val expected = Dedup.simhashPairsIncremental(
+      batchRows.toDF("doc_id", "text"), corpus, "doc_id", "text",
+      threshold = 0.7, blocks = 8, prefilterHamming = 15,
+      maxBucketSize = 200)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(batchRows: _*)
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        found ++= Dedup.simhashPairsIncremental(batch, corpus,
+          "doc_id", "text", threshold = 0.7, blocks = 8,
+          prefilterHamming = 15, maxBucketSize = 200)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // the long-running-driver pattern: release the micro-batch's
+        // operator caches after its terminal action
+        CacheScope.releaseSession(spark)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(found.toSet == expected,
+      s"stream ${found.toSet} != batch contract $expected")
+    assert(found.contains((60001L, 20L)), found)
+    assert(!found.exists(_._1 == 60002L), found)
+  }
+
+  test("incremental embedding dedup runs per micro-batch on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = embs.select("vec_id", "embedding")
+    val v25 = embs.filter($"vec_id" === 25)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val novel = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val batchRows = Seq(
+      (70001L, v25.map(_ * 1.001f)), (70002L, novel))
+    val expected = Dedup.embeddingPairsIncremental(
+      batchRows.toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", dim = 64, threshold = 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    input.addData(batchRows: _*)
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        found ++= Dedup.embeddingPairsIncremental(batch, corpus,
+          "vec_id", "embedding", dim = 64, threshold = 0.999)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        CacheScope.releaseSession(spark)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(found.toSet == expected,
+      s"stream ${found.toSet} != batch contract $expected")
+    assert(found.contains((70001L, 25L)), found)
+    assert(!found.exists(_._1 == 70002L), found)
+  }
+
   test("tokenCount / langId / qualityScore basics") {
     val df = Seq(
       "the cat and the dog of the house is big",
@@ -386,6 +457,44 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       decoded(1).getInt(2) == 8 && decoded(1).getInt(3) == 2)
     assert(decoded(2).getString(1) == "claimed" &&
       decoded(2).isNullAt(2) && decoded(2).isNullAt(3))
+  }
+
+  test("multimodal REAL audio decode: RIFF parse recovers planted meta") {
+    // kernel level: recover every planted parameter, duration included
+    val wav = Multimodal.encodeWav(sampleRate = 11000, channels = 2,
+      bitsPerSample = 16, nFrames = 123, seed = 9L)
+    assert(Multimodal.decodeAudioMeta(wav)
+      .contains(("wav", 11000, 2, 16, 123L, 123L * 1000 / 11000)))
+    // mono 8-bit, blockAlign 1
+    val mono = Multimodal.encodeWav(8000, 1, 8, 100, 1L)
+    assert(Multimodal.decodeAudioMeta(mono)
+      .contains(("wav", 8000, 1, 8, 100L, 12L)))
+    // degenerate bytes: None, never throw (quarantine contract)
+    assert(Multimodal.decodeAudioMeta(null).isEmpty)
+    assert(Multimodal.decodeAudioMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeAudioMeta("RIFFnot really a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeAudioMeta(wav.take(30)).isEmpty) // truncated
+    // an image is not audio (and vice versa — the sniffs are disjoint)
+    val png = Multimodal.encodeImage(4, 4, 1L, "png")
+    assert(Multimodal.decodeAudioMeta(png).isEmpty)
+    assert(Multimodal.decodeImageMeta(wav).isEmpty)
+
+    // dataframe level: the mapPartitions stage fills meta from real
+    // bytes; undecodable rows keep claimed format + null fields
+    val rows = Seq(
+      (1L, Multimodal.encodeWav(16000, 1, 16, 160, 1L)),
+      (2L, "garbage".getBytes)).toDF("id", "wav")
+    val decoded = Multimodal.withAudioMeta(
+      rows.select($"id",
+        Multimodal.asAudioBlob($"wav", "claimed").as("blob")), "blob")
+      .select($"id", $"blob.meta.format", $"blob.meta.sample_rate",
+        $"blob.meta.channels", $"blob.meta.n_frames",
+        $"blob.meta.duration_ms")
+      .orderBy("id").collect()
+    assert(decoded(0).getString(1) == "wav" &&
+      decoded(0).getInt(2) == 16000 && decoded(0).getInt(3) == 1 &&
+      decoded(0).getLong(4) == 160L && decoded(0).getLong(5) == 10L)
+    assert(decoded(1).getString(1) == "claimed" && decoded(1).isNullAt(2))
   }
 
   test("repartitionByBytes sizes from plan stats without running a job") {
