@@ -119,6 +119,25 @@ object Queries {
       path
     })
 
+  /** Persisted MinHash text index for a testdata dir, WRITTEN ONCE per
+    * (session, dir): the offline corpus-index build of
+    * [[Dedup.writeMinhashIndex]]. The `dedup_index_documents` query then
+    * exercises the daily-batch SEARCH path
+    * ([[Dedup.minhashPairsFromIndex]]): batch kernel pass + bucket joins
+    * against the index scan, nothing corpus-sized recomputed.
+    */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def minhashIndexFor(s: SparkSession, dir: String): String =
+    minhashIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_minhash_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Dedup.writeMinhashIndex(
+        rd(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      path
+    })
+
   /** Planted image fixtures for `multimodal_features`, built ONCE per
     * dir and persisted: a real PNG (even ids) / JPEG (odd ids) per
     * document with doc_id-derived dimensions. Fixture ENCODING is input
@@ -817,6 +836,25 @@ object Queries {
         .select((col("doc_id") + 20000).as("doc_id"),
           concat(col("text"), lit(" zz qq xx")).as("text"))
       Dedup.minhashPairsIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(incrementalJaccardSql(0.7))),
+
+    // ---- incremental dedup against the PERSISTED corpus index — the
+    // same daily contract and ORACLE as dedup_incremental_documents,
+    // but the corpus side is the writeMinhashIndex parquet layout
+    // (bucket rows + shingle sets indexed once per session+dir, the
+    // offline build): the query pays only the batch's kernel pass plus
+    // joins against the index scan. At 100 TB this is the difference
+    // between re-hashing the corpus daily and scanning an index. ----
+    ("dedup_index_documents", ((s: SparkSession, dir: String) => {
+      val path = minhashIndexFor(s, dir)
+      val corpus = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text"))
+      Dedup.minhashPairsFromIndex(s, path, batch, "doc_id", "text",
         threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")

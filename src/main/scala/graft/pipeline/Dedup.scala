@@ -258,6 +258,22 @@ object Dedup {
       shingleSize)
     val cBuckets = minhashBuckets(corpus, idCol, textCol, numHashes, bands,
       shingleSize)
+    val texts = shingleSets(
+      batch.select(col(idCol), col(textCol))
+        .union(corpus.select(col(idCol), col(textCol))),
+      idCol, textCol, shingleSize)
+    incrementalBucketPairs(bBuckets, cBuckets, texts, threshold,
+      maxBucketSize, sc)
+  }
+
+  /** Shared incremental candidate+verify core: batch bucket rows against
+    * corpus bucket rows (however the corpus side was produced — a fresh
+    * kernel pass or a persisted index scan), then exact-Jaccard verify
+    * against `texts` (the UNION of batch and corpus shingle sets).
+    */
+  private def incrementalBucketPairs(bBuckets: DataFrame,
+      cBuckets: DataFrame, texts: DataFrame, threshold: Double,
+      maxBucketSize: Int, sc: CacheScope): DataFrame = {
     val all0 = sc.persist(bBuckets.withColumn("new", lit(true))
       .union(cBuckets.withColumn("new", lit(false))))
     val oversized = all0.groupBy("band", "bucket").count()
@@ -273,11 +289,59 @@ object Dedup {
       .filter((col("new_b") && col("id_a") < col("id_b")) ||
         (!col("new_b") && col("id_a") =!= col("id_b")))
       .select("id_a", "id_b").distinct()
-    val texts = sc.persist(shingleSets(
-      batch.select(col(idCol), col(textCol))
-        .union(corpus.select(col(idCol), col(textCol))),
-      idCol, textCol, shingleSize))
-    verifyPairs(cand, texts, threshold)
+    verifyPairs(cand, sc.persist(texts), threshold)
+  }
+
+  /** Persist a MinHash LSH text index: the corpus's banded bucket rows
+    * and shingle sets written as parquet, plus a params sidecar. This is
+    * the daily-production layout [[minhashPairsFromIndex]] queries: the
+    * corpus (the expensive side — one shingle+signature kernel pass over
+    * everything) is indexed ONCE; each incoming batch then pays only its
+    * own kernel pass plus bucket joins against the index scan. At 100 TB
+    * the alternative — re-deriving corpus buckets per batch, what
+    * [[minhashPairsIncremental]] does — re-reads and re-hashes the whole
+    * corpus every day.
+    */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    minhashBuckets(corpus, idCol, textCol, numHashes, bands, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    shingleSets(corpus, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((numHashes, bands, shingleSize))
+      .toDF("numHashes", "bands", "shingleSize").coalesce(1)
+      .write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental near-dup pairs of a NEW batch against a PERSISTED
+    * corpus index ([[writeMinhashIndex]]) — identical output contract to
+    * [[minhashPairsIncremental]] (batch id first, batch-internal pairs
+    * once, corpus-internal excluded; ids disjoint), but the corpus side
+    * is an index SCAN, so per-batch cost is the batch kernel pass plus
+    * joins — nothing corpus-sized is recomputed. Signature params come
+    * from the index's sidecar (they are part of the index identity: a
+    * batch hashed with different params would never collide correctly).
+    */
+  def minhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, spark)
+    val p = spark.read.json(s"$path/params").head()
+    val (numHashes, bands, shingleSize) = (
+      p.getAs[Long]("numHashes").toInt, p.getAs[Long]("bands").toInt,
+      p.getAs[Long]("shingleSize").toInt)
+    val bBuckets = minhashBuckets(batch, idCol, textCol, numHashes, bands,
+      shingleSize)
+    val cBuckets = spark.read.parquet(s"$path/buckets")
+    val texts = shingleSets(batch.select(col(idCol), col(textCol)),
+        idCol, textCol, shingleSize)
+      .union(spark.read.parquet(s"$path/shingles"))
+    incrementalBucketPairs(bBuckets, cBuckets, texts, threshold,
+      maxBucketSize, sc)
   }
 
   /** Scale entry point for [[ngramJaccardPairs]]: the stop-shingle skew

@@ -285,6 +285,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!found.exists(_._1 == 40002L), found)
   }
 
+  test("minhash index: from-index pairs equal the kernel-path incremental") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = corpus.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" zz qq xx")).as("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_index").toString
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", path)
+    // params sidecar round-trips the index identity
+    val p = spark.read.json(s"$path/params").head()
+    assert(p.getAs[Long]("numHashes") == 64 && p.getAs[Long]("bands") == 16)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = pairs(Dedup.minhashPairsFromIndex(spark, path, batch,
+      "doc_id", "text", threshold = 0.7))
+    val kernelPath = pairs(Dedup.minhashPairsIncremental(batch, corpus,
+      "doc_id", "text", threshold = 0.7))
+    assert(fromIndex == kernelPath,
+      s"index path $fromIndex != kernel path $kernelPath")
+    assert(fromIndex.nonEmpty && fromIndex.forall(_._1 >= 20000L))
+    CacheScope.releaseSession(spark)
+  }
+
   test("incremental simhash runs per micro-batch on a stream (foreachBatch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = spark.read
