@@ -138,6 +138,34 @@ object Queries {
       path
     })
 
+  /** Persisted SimHash index (fingerprints + shingle sets), same
+    * once-per-(session, dir) offline-build pattern as [[minhashIndexFor]].
+    */
+  private val simhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def simhashIndexFor(s: SparkSession, dir: String): String =
+    simhashIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_simhash_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Dedup.writeSimhashIndex(
+        rd(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      path
+    })
+
+  /** Persisted hyperplane-LSH embedding index, same pattern. */
+  private val embeddingIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def embeddingIndexFor(s: SparkSession, dir: String): String =
+    embeddingIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_embedding_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Dedup.writeEmbeddingIndex(
+        rd(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", path, dim = 64)
+      path
+    })
+
   /** Planted image fixtures for `multimodal_features`, built ONCE per
     * dir and persisted: a real PNG (even ids) / JPEG (odd ids) per
     * document with doc_id-derived dimensions. Fixture ENCODING is input
@@ -407,6 +435,38 @@ object Queries {
         .select(col("event_id"), explode(col("ops")).as("op_entry"))
         .select(col("event_id"), col("op_entry.op"), col("op_entry.pos"),
           col("op_entry.value"))
+        .orderBy("event_id", "pos")
+    }): Q, Some("""
+      WITH ops AS (
+        SELECT event_id, '=' AS op, 1 AS pos,
+               CAST(event_id AS VARCHAR) AS value FROM events
+        UNION ALL
+        SELECT event_id, '=', 2, json_extract_string(props, '$.k')
+        FROM events)
+      SELECT * FROM ops ORDER BY event_id, pos""")),
+
+    // ---- xflatten_msgpack byte path, driver-verified: ops encode to
+    // the msgpack ["=",pos,value] framing (typed values), the bytes are
+    // DECODED back in a second distributed pass, and the recovered
+    // triples must match the same arithmetic oracle as the JSON form
+    // (xflatten_events_props) — so the byte contract round-trips under
+    // the oracle, not just under golden specs. ----
+    ("xflatten_msgpack_events", ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = FlattenOps.compile(propsSchema).fold(e => sys.error(e), identity)
+      val ev = rdPar(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      graft.ops.XFlatten.opsMsgpack(c, ev)
+        .select(col("event_id"), col("ops_msgpack"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          graft.functions.Msgpack.decode(bytes)
+            .asInstanceOf[Vector[Any]].map { t =>
+              val trip = t.asInstanceOf[Vector[Any]]
+              (id, trip(0).toString, trip(1).asInstanceOf[Long].toInt,
+                Option(trip(2)).map(_.toString).orNull)
+            }
+        }.toDF("event_id", "op", "pos", "value")
         .orderBy("event_id", "pos")
     }): Q, Some("""
       WITH ops AS (
@@ -859,6 +919,61 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(incrementalJaccardSql(0.7))),
+
+    // ---- incremental SimHash against the PERSISTED fingerprint index
+    // (writeSimhashIndex): same contract and oracle as the minhash
+    // variants; corpus side is a 16-byte-per-doc fingerprint scan plus
+    // the persisted shingle sets — no corpus re-hash per batch. Gate
+    // operating point as elsewhere: blocks=8, probeBits=1, prefilter=15
+    // (the derived bound), cap=200. ----
+    ("simhash_index_documents", ((s: SparkSession, dir: String) => {
+      val path = simhashIndexFor(s, dir)
+      val corpus = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text"))
+      Dedup.simhashPairsFromIndex(s, path, batch, "doc_id", "text",
+        threshold = 0.7, blocks = 8, prefilterHamming = 15,
+        maxBucketSize = 200, probeBits = 1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(incrementalJaccardSql(0.7))),
+
+    // ---- incremental embedding dedup against the PERSISTED bucket
+    // index (writeEmbeddingIndex): same batch waves and oracle as
+    // embedding_incremental_pairs; fixed per-table hyperplane seeds are
+    // what make the index reusable — a batch signed later lands in
+    // comparable buckets without re-signing the corpus. ----
+    ("embedding_index_pairs", ((s: SparkSession, dir: String) => {
+      val path = embeddingIndexFor(s, dir)
+      val e = rd(s, dir, "embeddings")
+      val batch = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * 1.001f).as("embedding"))
+        .union(e.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("embedding"), x => x * 1.002f).as("embedding")))
+      Dedup.embeddingPairsFromIndex(s, path, batch, "vec_id", "embedding",
+        threshold = 0.999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      batch AS (
+        SELECT vec_id + 100000 AS vec_id, CAST(list_transform(embedding,
+          x -> x * CAST(1.001 AS FLOAT)) AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id, CAST(list_transform(embedding,
+          x -> x * CAST(1.002 AS FLOAT)) AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 100 = 0),
+      allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch)
+      SELECT b.vec_id AS id_a, o.vec_id AS id_b
+      FROM batch b JOIN allv o
+        ON CASE WHEN o.vec_id >= 100000 THEN b.vec_id < o.vec_id
+                ELSE TRUE END
+      WHERE list_cosine_similarity(b.v, o.v) >= 0.999
+      ORDER BY id_a, id_b""")),
 
     // ---- SimHash-block candidates + exact-Jaccard verify (same oracle
     // contract as minhash above). The operating point is DERIVED, not

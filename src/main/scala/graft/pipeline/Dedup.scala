@@ -746,18 +746,78 @@ object Dedup {
       shingleSize: Int = 3, blocks: Int = 4, prefilterHamming: Int = -1,
       maxBucketSize: Int = 1000, probeBits: Int = 1,
       scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
+    val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
+      .union(simhashDfJ(corpus, idCol, textCol)
+        .withColumn("new", lit(false)))
+    val texts = shingleSets(
+      batch.select(col(idCol), col(textCol))
+        .union(corpus.select(col(idCol), col(textCol))),
+      idCol, textCol, shingleSize)
+    simhashIncrementalCore(sh, texts, threshold, blocks, prefilterHamming,
+      maxBucketSize, probeBits, sc)
+  }
+
+  /** Persist a SimHash text index: the corpus's 64-bit fingerprints and
+    * shingle sets as parquet plus a params sidecar. The fingerprint
+    * table is TINY (16 bytes/doc) — block explodes and multi-probe
+    * expansion happen at query time from it, so `blocks`/`probeBits`
+    * remain query-time knobs; `shingleSize` is index identity (baked
+    * into the persisted shingle sets the verify stage joins).
+    */
+  def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    simhashDfJ(corpus, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    shingleSets(corpus, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    Seq(Tuple1(shingleSize)).toDF("shingleSize").coalesce(1)
+      .write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental SimHash near-dup pairs of a NEW batch against a
+    * PERSISTED corpus index ([[writeSimhashIndex]]) — the
+    * [[minhashPairsFromIndex]] shape for the SimHash family: identical
+    * output contract to [[simhashPairsIncremental]], corpus side read
+    * from the index scan (no corpus re-hash per batch).
+    */
+  def simhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, blocks: Int = 4, prefilterHamming: Int = -1,
+      maxBucketSize: Int = 1000, probeBits: Int = 1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, spark)
+    val shingleSize =
+      spark.read.json(s"$path/params").head()
+        .getAs[Long]("shingleSize").toInt
+    val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
+      .union(spark.read.parquet(s"$path/fingerprints")
+        .withColumn("new", lit(false)))
+    val texts = shingleSets(batch.select(col(idCol), col(textCol)),
+        idCol, textCol, shingleSize)
+      .union(spark.read.parquet(s"$path/shingles"))
+    simhashIncrementalCore(sh, texts, threshold, blocks, prefilterHamming,
+      maxBucketSize, probeBits, sc)
+  }
+
+  /** Shared incremental SimHash core over an (id, sh, new) fingerprint
+    * frame — however the corpus rows were produced (kernel pass or index
+    * scan). See [[simhashPairsIncremental]] for the two-join multi-probe
+    * orientation argument.
+    */
+  private def simhashIncrementalCore(sh0: DataFrame, texts: DataFrame,
+      threshold: Double, blocks: Int, prefilterHamming: Int,
+      maxBucketSize: Int, probeBits: Int, sc: CacheScope): DataFrame = {
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
-    val sc = CacheScope.resolve(scope, batch.sparkSession)
     // default prefilter = the derived bound (see simhashJaccardPairs)
     val pf = if (prefilterHamming < 0) guaranteedRadius(blocks, probeBits)
       else prefilterHamming
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
-    val sh = sc.persist(
-      simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
-        .union(simhashDfJ(corpus, idCol, textCol)
-          .withColumn("new", lit(false))))
+    val sh = sc.persist(sh0)
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
     def parts(src: DataFrame, flips: Boolean): DataFrame = {
@@ -807,11 +867,7 @@ object Dedup {
         bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
       .filter(col("hamming") <= pf)
       .select("id_a", "id_b").distinct()
-    val texts = sc.persist(shingleSets(
-      batch.select(col(idCol), col(textCol))
-        .union(corpus.select(col(idCol), col(textCol))),
-      idCol, textCol, shingleSize))
-    verifyPairs(cand, texts, threshold)
+    verifyPairs(cand, sc.persist(texts), threshold)
   }
 
   // -------------------------------------------------------------------
@@ -862,14 +918,59 @@ object Dedup {
       maxBucketSize: Int = 1000,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, batch.sparkSession)
-    val all0 = sc.persist(
+    val all0 =
       Similarity.hyperplaneBucketsDf(batch, idCol, vecCol,
         dim, nBits, tables).withColumn("new", lit(true))
       .union(Similarity.hyperplaneBucketsDf(corpus, idCol, vecCol,
-        dim, nBits, tables).withColumn("new", lit(false))))
-    val oversized = all0.groupBy("t", "bucket").count()
+        dim, nBits, tables).withColumn("new", lit(false)))
+    embeddingIncrementalCore(all0, threshold, maxBucketSize, sc)
+  }
+
+  /** Persist a hyperplane-LSH embedding index: the corpus's per-table
+    * bucket rows (with vectors) as parquet plus a params sidecar. The
+    * hyperplane seeds are fixed per table, so a later batch signed with
+    * the same (dim, nBits, tables) lands in comparable buckets — those
+    * three are the index identity.
+    */
+  def writeEmbeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nBits: Int = 12, tables: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Similarity.hyperplaneBucketsDf(corpus, idCol, vecCol, dim, nBits,
+        tables)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((dim, nBits, tables)).toDF("dim", "nBits", "tables").coalesce(1)
+      .write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental embedding near-dup pairs of a NEW batch against a
+    * PERSISTED corpus index ([[writeEmbeddingIndex]]) — identical output
+    * contract to [[embeddingPairsIncremental]], corpus side read from
+    * the index scan (no corpus re-signing per batch).
+    */
+  def embeddingPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, maxBucketSize: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, spark)
+    val p = spark.read.json(s"$path/params").head()
+    val all0 = Similarity.hyperplaneBucketsDf(batch, idCol, vecCol,
+        p.getAs[Long]("dim").toInt, p.getAs[Long]("nBits").toInt,
+        p.getAs[Long]("tables").toInt).withColumn("new", lit(true))
+      .union(spark.read.parquet(s"$path/buckets")
+        .withColumn("new", lit(false)))
+    embeddingIncrementalCore(all0, threshold, maxBucketSize, sc)
+  }
+
+  /** Shared incremental embedding core over (t, bucket, id, v, new)
+    * bucket rows — kernel pass or index scan on the corpus side.
+    */
+  private def embeddingIncrementalCore(all0: DataFrame, threshold: Double,
+      maxBucketSize: Int, sc: CacheScope): DataFrame = {
+    val cached = sc.persist(all0)
+    val oversized = cached.groupBy("t", "bucket").count()
       .filter(col("count") > maxBucketSize).select("t", "bucket")
-    val all = all0
+    val all = cached
       .join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
     val l = all.filter(col("new")).select(col("t"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))

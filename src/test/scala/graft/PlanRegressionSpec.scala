@@ -42,10 +42,21 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     for (q <- Seq("dedup_ngram_documents", "minhash_pairs_documents",
         "simhash_pairs_documents", "embedding_dedup_pairs",
         "dedup_incremental_documents", "multimodal_features",
-        "similarity_lsh_topk", "similarity_ivf_topk")) {
+        "similarity_lsh_topk", "similarity_ivf_topk",
+        "embedding_incremental_pairs", "dedup_index_documents",
+        "similarity_ivf_index_topk", "multimodal_audio_meta")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("similarity_ivf_index_topk prunes to the probed cid partitions") {
+    val plan = executed("similarity_ivf_index_topk")
+    // a non-empty partition filter on cid (every FileScan prints an
+    // empty "PartitionFilters: []" — the bracket must open on cid)
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"index scan must partition-prune on cid:\n$plan")
   }
 
   test("json_union_ingest parses each row exactly once") {

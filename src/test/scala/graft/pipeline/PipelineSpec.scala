@@ -311,6 +311,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     CacheScope.releaseSession(spark)
   }
 
+  test("simhash index: from-index pairs equal the kernel-path incremental") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = corpus.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" zz qq xx")).as("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sh_index").toString
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", path)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = pairs(Dedup.simhashPairsFromIndex(spark, path, batch,
+      "doc_id", "text", threshold = 0.7, blocks = 8,
+      prefilterHamming = 15, maxBucketSize = 200))
+    val kernelPath = pairs(Dedup.simhashPairsIncremental(batch, corpus,
+      "doc_id", "text", threshold = 0.7, blocks = 8,
+      prefilterHamming = 15, maxBucketSize = 200))
+    assert(fromIndex == kernelPath,
+      s"index path $fromIndex != kernel path $kernelPath")
+    assert(fromIndex.nonEmpty && fromIndex.forall(_._1 >= 20000L))
+    CacheScope.releaseSession(spark)
+  }
+
+  test("embedding index: from-index pairs equal the kernel-path incremental") {
+    val corpus = embs.select("vec_id", "embedding")
+    val batch = embs.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * 1.001f).as("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_emb_index").toString
+    Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", path, dim = 64)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = pairs(Dedup.embeddingPairsFromIndex(spark, path, batch,
+      "vec_id", "embedding", threshold = 0.999))
+    val kernelPath = pairs(Dedup.embeddingPairsIncremental(batch, corpus,
+      "vec_id", "embedding", dim = 64, threshold = 0.999))
+    assert(fromIndex == kernelPath,
+      s"index path $fromIndex != kernel path $kernelPath")
+    assert(fromIndex.nonEmpty && fromIndex.forall(_._1 >= 100000L))
+    CacheScope.releaseSession(spark)
+  }
+
   test("incremental simhash runs per micro-batch on a stream (foreachBatch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = spark.read
