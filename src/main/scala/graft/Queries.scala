@@ -934,7 +934,7 @@ object Queries {
           concat(col("text"), lit(" zz qq xx")).as("text"))
       Dedup.simhashPairsFromIndex(s, path, batch, "doc_id", "text",
         threshold = 0.7, blocks = 8, prefilterHamming = 15,
-        maxBucketSize = 200, probeBits = 1)
+        maxBucketSize = 200, probeBits = 1, verifyRankCap = 32)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(incrementalJaccardSql(0.7))),

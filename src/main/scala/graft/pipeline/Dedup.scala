@@ -712,39 +712,47 @@ object Dedup {
     // a subset of the endpoint's true neighborhood, so ranks are never
     // larger than full-neighborhood ranks — recall-safe, and two narrow
     // window shuffles cost far less than the verify join they prune.
-    val cand =
-      if (verifyRankCap <= 0) candAll.select("id_a", "id_b")
-      else {
-        val wA = Window.partitionBy("id_a")
-          .orderBy(col("hamming").asc, col("id_b").asc)
-        val wB = Window.partitionBy("id_b")
-          .orderBy(col("hamming").asc, col("id_a").asc)
-        candAll.withColumn("rn_a", row_number().over(wA))
-          .withColumn("rn_b", row_number().over(wB))
-          .filter(col("rn_a") <= verifyRankCap ||
-            col("rn_b") <= verifyRankCap)
-          .select("id_a", "id_b")
-      }
+    val cand = rankCapPairs(candAll, verifyRankCap)
     // joined on both pair sides — persist so the shingle kernel runs once
     val texts = sc.persist(shingleSets(df, idCol, textCol, shingleSize))
     verifyPairs(cand, texts, threshold)
   }
+
+  /** The verify-density second tier shared by the all-pairs and
+    * incremental SimHash operators (see [[simhashJaccardPairs]] for the
+    * rationale and recall evidence): keep a candidate only if it ranks
+    * within `cap` by ascending Hamming from at least one endpoint.
+    * `cap <= 0` disables (exact candidate-bound semantics).
+    */
+  private def rankCapPairs(cand: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) cand.select("id_a", "id_b")
+    else {
+      val wA = Window.partitionBy("id_a")
+        .orderBy(col("hamming").asc, col("id_b").asc)
+      val wB = Window.partitionBy("id_b")
+        .orderBy(col("hamming").asc, col("id_a").asc)
+      cand.withColumn("rn_a", row_number().over(wA))
+        .withColumn("rn_b", row_number().over(wB))
+        .filter(col("rn_a") <= cap || col("rn_b") <= cap)
+        .select("id_a", "id_b")
+    }
 
   /** Incremental SimHash near-dup detection — the
     * [[minhashPairsIncremental]] shape for the SimHash index: a NEW batch
     * against an EXISTING corpus plus batch-internal pairs; corpus-internal
     * pairs are excluded (found when the corpus was indexed) and every
     * bucket join keeps the batch on one side, so cost scales with
-    * |batch|, not |corpus|². Multi-probe is asymmetric (only the side
-    * holding the 0-bit probes — see [[simhashCandidatePairs]]), so TWO
-    * joins cover both orientations: exact(all) ⋈ probe(batch) and
-    * exact(batch) ⋈ probe(corpus). Ids must be disjoint; batch ids come
-    * out as `id_a` for batch-vs-corpus pairs, `a < b` for batch-internal.
+    * |batch|, not |corpus|². Multi-probe expansion happens ONLY on the
+    * batch side, with XOR (both-direction) bit flips covering both
+    * orientations in a single join — see [[simhashIncrementalCore]].
+    * Ids must be disjoint; batch ids come out as `id_a` for
+    * batch-vs-corpus pairs, `a < b` for batch-internal.
     */
   def simhashPairsIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       shingleSize: Int = 3, blocks: Int = 4, prefilterHamming: Int = -1,
       maxBucketSize: Int = 1000, probeBits: Int = 1,
+      verifyRankCap: Int = 0,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, batch.sparkSession)
     val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
@@ -755,7 +763,7 @@ object Dedup {
         .union(corpus.select(col(idCol), col(textCol))),
       idCol, textCol, shingleSize)
     simhashIncrementalCore(sh, texts, threshold, blocks, prefilterHamming,
-      maxBucketSize, probeBits, sc)
+      maxBucketSize, probeBits, verifyRankCap, sc)
   }
 
   /** Persist a SimHash text index: the corpus's 64-bit fingerprints and
@@ -787,6 +795,7 @@ object Dedup {
       path: String, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, blocks: Int = 4, prefilterHamming: Int = -1,
       maxBucketSize: Int = 1000, probeBits: Int = 1,
+      verifyRankCap: Int = 0,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, spark)
     val shingleSize =
@@ -799,17 +808,29 @@ object Dedup {
         idCol, textCol, shingleSize)
       .union(spark.read.parquet(s"$path/shingles"))
     simhashIncrementalCore(sh, texts, threshold, blocks, prefilterHamming,
-      maxBucketSize, probeBits, sc)
+      maxBucketSize, probeBits, verifyRankCap, sc)
   }
 
   /** Shared incremental SimHash core over an (id, sh, new) fingerprint
     * frame — however the corpus rows were produced (kernel pass or index
-    * scan). See [[simhashPairsIncremental]] for the two-join multi-probe
-    * orientation argument.
+    * scan).
+    *
+    * ONE join covers both multi-probe orientations: the batch probe side
+    * emits each block value XOR'd with every single bit (BOTH flip
+    * directions, unlike the symmetric all-pairs operator's 0→1-only
+    * trick). For a (batch, corpus) pair differing in ≤1 bit of some
+    * block, either the values are equal (exact–exact collision) or the
+    * batch value XOR that bit EQUALS the corpus value — whichever side
+    * holds the 0. Cost: probe expansion is `batch × blocks × (bits+1)`
+    * rows — proportional to the BATCH; the corpus side stays exact-only
+    * (the earlier two-join form exploded the CORPUS with flips for the
+    * second orientation, a corpus-sized blowup exactly where the
+    * incremental contract promises batch-sized cost).
     */
   private def simhashIncrementalCore(sh0: DataFrame, texts: DataFrame,
       threshold: Double, blocks: Int, prefilterHamming: Int,
-      maxBucketSize: Int, probeBits: Int, sc: CacheScope): DataFrame = {
+      maxBucketSize: Int, probeBits: Int, verifyRankCap: Int,
+      sc: CacheScope): DataFrame = {
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     // default prefilter = the derived bound (see simhashJaccardPairs)
@@ -820,20 +841,19 @@ object Dedup {
     val sh = sc.persist(sh0)
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
+    // j = -1 → exact block value; j >= 0 → value with bit j FLIPPED
+    // (XOR — both directions, see scaladoc)
     def parts(src: DataFrame, flips: Boolean): DataFrame = {
       val js: Seq[Int] =
         if (flips && probeBits == 1) -1 until bits else Seq(-1)
       val structs = for { q <- 0 until blocks; j <- js } yield {
         val p = partCol(q)
-        if (j < 0) struct(lit(q).as("q"), p.as("part"), lit(true).as("ok"))
-        else {
-          val f = p.bitwiseOR(lit(1L << j))
-          struct(lit(q).as("q"), f.as("part"), (f =!= p).as("ok"))
-        }
+        if (j < 0) struct(lit(q).as("q"), p.as("part"))
+        else struct(lit(q).as("q"),
+          p.bitwiseXOR(lit(1L << j)).as("part"))
       }
       src.select(col("id"), col("sh"), col("new"),
           explode(array(structs: _*)).as("bb"))
-        .filter(col("bb.ok"))
         .select(col("id"), col("sh"), col("new"), col("bb.q"),
           col("bb.part"))
     }
@@ -842,32 +862,26 @@ object Dedup {
       .filter(col("count") > maxBucketSize).select("q", "part")
     def bounded(df: DataFrame): DataFrame =
       df.join(broadcast(oversized), Seq("q", "part"), "left_anti")
-    def side(df: DataFrame, suf: String): DataFrame =
-      df.select(col("q"), col("part"), col("id").as(s"id$suf"),
-        col("sh").as(s"sh$suf"), col("new").as(s"new$suf"))
-    val j1 = side(bounded(exactAll), "_x")
-      .join(side(bounded(parts(sh.filter(col("new")), flips = true)),
-        "_y"), Seq("q", "part"))
-    val j2 = side(bounded(parts(sh.filter(col("new")), flips = false)),
-        "_x")
-      .join(side(bounded(parts(sh.filter(!col("new")), flips = true)),
-        "_y"), Seq("q", "part"))
-    val cand = j1.union(j2)
+    val l = bounded(exactAll)
+      .select(col("q"), col("part"), col("id").as("id_x"),
+        col("sh").as("sh_x"), col("new").as("new_x"))
+    val r = bounded(parts(sh.filter(col("new")), flips = true))
+      .select(col("q"), col("part"), col("id").as("id_y"),
+        col("sh").as("sh_y"), col("new").as("new_y"))
+    val cand = l.join(r, Seq("q", "part"))
       .filter(col("id_x") =!= col("id_y"))
-      // batch id first for batch-vs-corpus; a<b when both are batch
+      // y is always a batch doc; batch id first for batch-vs-corpus,
+      // a<b when both are batch
       .select(
-        when(col("new_x") && col("new_y"),
-          least(col("id_x"), col("id_y")))
-          .when(col("new_x"), col("id_x")).otherwise(col("id_y"))
-          .as("id_a"),
-        when(col("new_x") && col("new_y"),
-          greatest(col("id_x"), col("id_y")))
-          .when(col("new_x"), col("id_y")).otherwise(col("id_x"))
-          .as("id_b"),
+        when(col("new_x"), least(col("id_x"), col("id_y")))
+          .otherwise(col("id_y")).as("id_a"),
+        when(col("new_x"), greatest(col("id_x"), col("id_y")))
+          .otherwise(col("id_x")).as("id_b"),
         bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
       .filter(col("hamming") <= pf)
-      .select("id_a", "id_b").distinct()
-    verifyPairs(cand, sc.persist(texts), threshold)
+      .select("id_a", "id_b", "hamming").distinct()
+    verifyPairs(rankCapPairs(cand, verifyRankCap), sc.persist(texts),
+      threshold)
   }
 
   // -------------------------------------------------------------------

@@ -333,6 +333,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(fromIndex == kernelPath,
       s"index path $fromIndex != kernel path $kernelPath")
     assert(fromIndex.nonEmpty && fromIndex.forall(_._1 >= 20000L))
+    // the gate query's verify-density rank cap must not change the
+    // verified output (same guard shape as SimhashRecallSpec claim 4)
+    val capped = pairs(Dedup.simhashPairsFromIndex(spark, path, batch,
+      "doc_id", "text", threshold = 0.7, blocks = 8,
+      prefilterHamming = 15, maxBucketSize = 200, verifyRankCap = 32))
+    assert(capped == kernelPath,
+      s"rank-capped index path $capped != kernel path $kernelPath")
     CacheScope.releaseSession(spark)
   }
 
