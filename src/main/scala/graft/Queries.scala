@@ -901,6 +901,45 @@ object Queries {
         .orderBy("id_a", "id_b")
     }): Q, Some(incrementalJaccardSql(0.7))),
 
+    // ---- incremental EXACT dedup (content-hash family member): the
+    // +10000 exact copies arrive as a batch; every pair has a batch
+    // member, batch id first — one md5 hash join, batch on the small
+    // side. ----
+    ("dedup_exact_incremental", ((s: SparkSession, dir: String) => {
+      val corpus = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.exactPairsIncremental(batch, corpus, "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0),
+      allv AS (
+        SELECT doc_id, text, FALSE AS new FROM documents
+        UNION ALL SELECT doc_id, text, TRUE FROM batch)
+      SELECT b.doc_id AS id_a, o.doc_id AS id_b
+      FROM batch b JOIN allv o ON md5(b.text) = md5(o.text)
+      WHERE (o.new AND b.doc_id < o.doc_id)
+         OR (NOT o.new AND b.doc_id <> o.doc_id)
+      ORDER BY id_a, id_b""")),
+
+    // ---- incremental EXACT n-gram Jaccard (inverted-index family
+    // member): same incremental contract and oracle as the minhash/
+    // simhash variants but with EXACT semantics — no candidate bound to
+    // reason about, identical to all-pairs Jaccard restricted to
+    // batch-involving pairs. ----
+    ("dedup_ngram_incremental", ((s: SparkSession, dir: String) => {
+      val corpus = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text"))
+      Dedup.ngramJaccardPairsIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(incrementalJaccardSql(0.8))),
+
     // ---- incremental dedup against the PERSISTED corpus index — the
     // same daily contract and ORACLE as dedup_incremental_documents,
     // but the corpus side is the writeMinhashIndex parquet layout

@@ -29,6 +29,27 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Incremental exact-duplicate pairs — the content-hash member of the
+    * incremental family: batch docs whose content equals a corpus doc
+    * (batch id first) or another batch doc (once, `a < b`);
+    * corpus-internal duplicates excluded. One hash join on md5, batch on
+    * the small side.
+    */
+  def exactPairsIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val l = batch.select(col(idCol).cast("long").as("id_a"),
+      md5(col(textCol)).as("h"))
+    val r = corpus.select(col(idCol).cast("long").as("id_b"),
+        md5(col(textCol)).as("h")).withColumn("new_b", lit(false))
+      .union(batch.select(col(idCol).cast("long").as("id_b"),
+        md5(col(textCol)).as("h")).withColumn("new_b", lit(true)))
+    l.join(r, "h")
+      // batch-internal pairs once (a < b); batch-vs-corpus always
+      .filter((col("new_b") && col("id_a") < col("id_b")) ||
+        (!col("new_b") && col("id_a") =!= col("id_b")))
+      .select("id_a", "id_b")
+  }
+
   /** Keep one row per distinct content (the min-id row). */
   def dropExactDuplicates(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -426,6 +447,91 @@ object Dedup {
       // so size-mismatched pairs cannot reach the threshold — prune them
       // BEFORE the per-pair aggregation (codegen'd filter on the join
       // output, no correctness impact)
+      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
+        col("n_b") >= lit(threshold) * col("n_a"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental EXACT n-gram Jaccard — the inverted-index member of the
+    * incremental family, with the others' output contract (batch id
+    * first, batch-internal once, corpus-internal excluded) but EXACT
+    * semantics: identical to all-pairs Jaccard restricted to pairs with
+    * a batch member (every J>0 pair shares a shingle, so the index join
+    * finds it — no candidate bound, no cap unless `maxDocFreq` guards
+    * stop-shingles). Join work is Σ_s freq_batch(s)·freq_all(s): scales
+    * with the BATCH's shingle frequencies, not the corpus pair count.
+    */
+  def ngramJaccardPairsIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      shingleSize: Int = 3, maxDocFreq: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
+    val all0 = shingleIndex(batch, idCol, textCol, shingleSize)
+      .withColumn("new", lit(true))
+      .union(shingleIndex(corpus, idCol, textCol, shingleSize)
+        .withColumn("new", lit(false)))
+    ngramIncrementalCore(all0, threshold, maxDocFreq, sc)
+  }
+
+  /** Persist an inverted n-gram shingle index (id, nsh, s) plus params —
+    * the exact-Jaccard member of the persisted-index family.
+    */
+  def writeNgramIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    shingleIndex(corpus, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/shingle_index")
+    Seq(Tuple1(shingleSize)).toDF("shingleSize").coalesce(1)
+      .write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** [[ngramJaccardPairsIncremental]] against a persisted
+    * [[writeNgramIndex]] — corpus side is an index scan, per-batch cost
+    * is the batch's shingle kernel plus the index join.
+    */
+  def ngramJaccardPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxDocFreq: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, spark)
+    val shingleSize =
+      spark.read.json(s"$path/params").head()
+        .getAs[Long]("shingleSize").toInt
+    val all0 = shingleIndex(batch, idCol, textCol, shingleSize)
+      .withColumn("new", lit(true))
+      .union(spark.read.parquet(s"$path/shingle_index")
+        .withColumn("new", lit(false)))
+    ngramIncrementalCore(all0, threshold, maxDocFreq, sc)
+  }
+
+  /** Shared incremental exact-Jaccard core over (id, nsh, s, new)
+    * inverted-index rows (kernel pass or index scan on the corpus side).
+    * Same per-pair arithmetic as [[ngramJaccardPairs]].
+    */
+  private def ngramIncrementalCore(all0: DataFrame, threshold: Double,
+      maxDocFreq: Int, sc: CacheScope): DataFrame = {
+    val bounded =
+      if (maxDocFreq > 0) {
+        val oversized = all0.groupBy("s").count()
+          .filter(col("count") > maxDocFreq).select("s")
+        all0.join(broadcast(oversized), Seq("s"), "left_anti")
+      } else all0
+    val cached = sc.persist(bounded)
+    val l = cached.filter(col("new")).select(col("s"),
+      col("id").as("id_a"), col("nsh").as("n_a"))
+    val r = cached.select(col("s"), col("id").as("id_b"),
+      col("nsh").as("n_b"), col("new").as("new_b"))
+    l.join(r, "s")
+      // batch-internal pairs once (a < b); batch-vs-corpus always
+      .filter((col("new_b") && col("id_a") < col("id_b")) ||
+        (!col("new_b") && col("id_a") =!= col("id_b")))
+      // exact length block (see ngramJaccardPairs)
       .filter(col("n_a") >= lit(threshold) * col("n_b") &&
         col("n_b") >= lit(threshold) * col("n_a"))
       .groupBy("id_a", "id_b", "n_a", "n_b")

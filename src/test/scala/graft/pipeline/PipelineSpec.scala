@@ -311,6 +311,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     CacheScope.releaseSession(spark)
   }
 
+  test("exact + ngram incremental: contract parity with all-pairs truth") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // exact: planted exact copies must pair with their originals only
+    val exactBatch = corpus.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val ep = Dedup.exactPairsIncremental(exactBatch, corpus,
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ep == corpus.filter($"doc_id" % 10 === 0).select($"doc_id")
+      .collect().map(r => (r.getLong(0) + 10000, r.getLong(0))).toSet)
+
+    // ngram: incremental output == all-pairs output restricted to
+    // batch-involving pairs (exact semantics, so equality is EXACT)
+    val nearBatch = corpus.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" zz qq xx")).as("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(Dedup.ngramJaccardPairsIncremental(nearBatch, corpus,
+      "doc_id", "text", threshold = 0.8))
+    val full = pairs(Dedup.ngramJaccardPairs(
+      corpus.union(nearBatch), "doc_id", "text", threshold = 0.8))
+      .collect { case (a, b) if a >= 20000 || b >= 20000 =>
+        if (b >= 20000 && a < 20000) (b, a) else (a, b) }
+    assert(inc == full, s"incremental $inc != all-pairs-restricted $full")
+    assert(inc.nonEmpty && inc.forall(_._1 >= 20000L))
+
+    // from-index parity for the ngram family
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ng_index").toString
+    Dedup.writeNgramIndex(corpus, "doc_id", "text", path)
+    val fromIndex = pairs(Dedup.ngramJaccardPairsFromIndex(spark, path,
+      nearBatch, "doc_id", "text", threshold = 0.8))
+    assert(fromIndex == inc,
+      s"index path $fromIndex != kernel path $inc")
+    CacheScope.releaseSession(spark)
+  }
+
   test("simhash index: from-index pairs equal the kernel-path incremental") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
