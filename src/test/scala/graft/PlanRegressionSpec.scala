@@ -44,7 +44,9 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         "dedup_incremental_documents", "multimodal_features",
         "similarity_lsh_topk", "similarity_ivf_topk",
         "embedding_incremental_pairs", "dedup_index_documents",
-        "similarity_ivf_index_topk", "multimodal_audio_meta")) {
+        "similarity_ivf_index_topk", "multimodal_audio_meta",
+        "dedup_exact_incremental", "dedup_ngram_incremental",
+        "simhash_index_documents", "embedding_index_pairs")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
