@@ -163,6 +163,44 @@ object DedupScaleDryRun {
       log("")
     }
 
+    // ---- incremental + persisted index at 10x: the daily-batch story --
+    log("## incremental + persisted index at 10x (batch=2500 near-copies)")
+    val batch = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zz qq xx")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    log(s"  batch docs=${batch.count()}")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("dryrun_mh_index").toString
+    timed("writeMinhashIndex (offline, once per corpus)")(
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxPath))
+    val fromIdx = timed("minhashPairsFromIndex (per-batch cost)")(
+      Dedup.minhashPairsFromIndex(spark, idxPath, batch,
+        "doc_id", "text", threshold = 0.8).count())
+    graft.pipeline.CacheScope.releaseSession(spark)
+    val kernel = timed("minhashPairsIncremental (corpus re-hashed per batch)")(
+      Dedup.minhashPairsIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.8).count())
+    graft.pipeline.CacheScope.releaseSession(spark)
+    log(s"  pairs: fromIndex=$fromIdx kernelPath=$kernel (must be equal)")
+    log("  NOTE (measured, alternating-order runs agree): at LOCAL scale " +
+      "the kernel path is competitive or faster - the corpus text is a " +
+      "hot ~70 MB cache and re-hashing it on 32 cores costs less than " +
+      "decoding the index's array-typed parquet. The index path's win " +
+      "is IO-bound and appears at real scale: it reads signatures + " +
+      "shingle sets (a few % of corpus bytes) instead of re-reading " +
+      "and re-hashing the full text - at 100 TB that is the difference " +
+      "between a corpus-sized scan per daily batch and an index scan.")
+    val exactInc = timed("exactPairsIncremental")(
+      Dedup.exactPairsIncremental(batch, corpus, "doc_id", "text").count())
+    log(s"  exact incremental pairs=$exactInc (near-copies share no md5)")
+    val ngInc = timed("ngramJaccardPairsIncremental (exact semantics)")(
+      Dedup.ngramJaccardPairsIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.8, maxDocFreq = 1000).count())
+    graft.pipeline.CacheScope.releaseSession(spark)
+    log(s"  ngram incremental pairs=$ngInc")
+    log("")
+
     // ---- conclusion ----
     log("## conclusion")
     log(s"  ngram=$ng (exact truth)  minhash=$mh (probabilistic, " +
