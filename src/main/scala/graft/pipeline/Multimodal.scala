@@ -158,7 +158,9 @@ object Multimodal {
       var off = 12
       var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
       var dataSize = -1L
-      while (off + 8 <= bytes.length && (rate == 0 || dataSize < 0)) {
+      var walking = true
+      while (walking && off + 8 <= bytes.length &&
+          (rate == 0 || dataSize < 0)) {
         val id = tag(off)
         val size = u32(off + 4)
         if (id == "fmt " && size >= 16) {
@@ -167,7 +169,16 @@ object Multimodal {
           blockAlign = u16(off + 20)
           bits = u16(off + 22)
         } else if (id == "data") dataSize = size
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are 2-aligned
+        // advance in LONG space: `size` is u32, so an Int advance can be
+        // zero or negative (size 0xFFFFFFF8 → `8 + size.toInt` = 0 = no
+        // progress) and the walk would spin forever on crafted bytes —
+        // the contract is "quarantine, never fail (or hang) the batch".
+        // A chunk whose body runs past the buffer is the last chunk by
+        // construction (truncated or lying header): stop walking; the
+        // fields parsed so far still decide Some/None below.
+        val adv = 8L + size + (size & 1L) // chunks are 2-aligned
+        if (off + adv > bytes.length) walking = false
+        else off += adv.toInt
       }
       if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
       else {

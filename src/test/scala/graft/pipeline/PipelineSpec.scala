@@ -598,6 +598,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeAudioMeta(png).isEmpty)
     assert(Multimodal.decodeImageMeta(wav).isEmpty)
 
+    // crafted u32 chunk sizes must TERMINATE (quarantine, never hang):
+    // size 0xFFFFFFF8 made the old Int-space advance `8 + size.toInt`
+    // exactly 0 — an infinite loop on the executor thread
+    def riffWith(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val out = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    def chunk(id: String, size: Int, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(size).put(body)
+      out.array()
+    }
+    val junkBody = Array.fill[Byte](40)(7)
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFF0, 0x7FFFFFFF, -1)) {
+      assert(Multimodal.decodeAudioMeta(
+        riffWith(chunk("JUNK", evil, junkBody))).isEmpty)
+    }
+    // a lying size on the data chunk still terminates: declared frames
+    // are reported (truncated-file behavior), no walk past the buffer
+    val fmtBody = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).array()
+    assert(Multimodal.decodeAudioMeta(riffWith(
+      chunk("fmt ", 16, fmtBody),
+      chunk("data", 0x10000, Array.empty[Byte])))
+      .contains(("wav", 8000, 1, 16, 0x8000L, 0x8000L * 1000 / 8000)))
+    // legal zero-size chunk between fmt and data still walks through
+    assert(Multimodal.decodeAudioMeta(riffWith(
+      chunk("fmt ", 16, fmtBody),
+      chunk("JUNK", 0, Array.empty[Byte]),
+      chunk("data", 4, Array.fill[Byte](4)(1))))
+      .contains(("wav", 8000, 1, 16, 2L, 0L)))
+
     // dataframe level: the mapPartitions stage fills meta from real
     // bytes; undecodable rows keep claimed format + null fields
     val rows = Seq(
