@@ -224,13 +224,40 @@ object Queries {
       wavs
     })
 
+  /** Planted constant-cell grid images for `multimodal_embedding`, same
+    * pattern as [[imageBlobsFor]]: per doc a 4×4 grid of 2×2-px gray
+    * cells, cell `c` at luma `(doc_id*7 + c*11) % 256`, in a LOSSLESS
+    * container (png even ids / bmp odd) — so the full-raster luminance
+    * embedding must recover exactly those planted values and the oracle
+    * knows them arithmetically.
+    */
+  private val gridBlobCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def gridBlobsFor(s: SparkSession, dir: String): DataFrame =
+    gridBlobCache.computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val grids = rdPar(s, d, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val lumas = Array.tabulate(16)(c => ((id * 7 + c * 11) % 256).toInt)
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          (id, Multimodal.encodeCellImage(4, 4, cellPx = 2, lumas, fmt))
+        }.toDF("doc_id", "img")
+        .select(col("doc_id"),
+          Multimodal.asBlob(col("img"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      grids.count() // materialize at build time, not first evaluation
+      grids
+    })
+
   /** Unpersist and forget this session's fixture caches (the planted
     * image/audio blobs above). The bench keeps fixtures warm across
     * evaluations on purpose — they are input construction, not query
     * work — and calls this once before the session stops.
     */
   def releaseFixtures(s: SparkSession): Unit =
-    Seq(imageBlobCache, audioBlobCache).foreach { cache =>
+    Seq(imageBlobCache, audioBlobCache, gridBlobCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -1175,23 +1202,24 @@ object Queries {
     // dimensions derive from doc_id, and the ImageIO header decode
     // (Multimodal.withImageMeta, a mapPartitions batch stage over actual
     // container bytes) must recover exactly those planted dimensions and
-    // formats — the oracle knows them arithmetically. Text byte-length
-    // and the two feature-extraction legs (batch mapPartitions +
-    // expression) ride along as before. ----
+    // formats — the oracle knows them arithmetically. The REAL raster
+    // embedding rides along: a 4×2 luminance grid per blob (JPEG rasters
+    // are lossy so cell VALUES aren't oracle-predictable here — the
+    // lossless-container multimodal_embedding query below checks those —
+    // but dimensionality and the [0,1] range contract are). ----
     ("multimodal_features", ((s: SparkSession, dir: String) => {
       import graft.pipeline.Multimodal
       val blobs = imageBlobsFor(s, dir)
-      val batch = Multimodal.extractFeatures(
-        Multimodal.withImageMeta(blobs, "blob"), "blob", 8)
+      val batch = Multimodal.withImageEmbedding(
+        Multimodal.withImageMeta(blobs, "blob"), "blob", 4, 2)
       batch.select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         col("blob.meta.format").as("img_format"),
         col("blob.meta.width").as("img_w"),
         col("blob.meta.height").as("img_h"),
-        size(col("features")).as("batch_dim"),
-        size(Multimodal.featureColumn(col("blob"), 8)).as("expr_dim"),
-        forall(Multimodal.featureColumn(col("blob"), 8),
-          f => f >= 0f && f < 1f).as("feats_in_range"))
+        size(col("embedding")).as("emb_dim"),
+        forall(col("embedding"),
+          f => f >= 0f && f <= 1f).as("emb_in_range"))
         .orderBy("doc_id")
     }): Q, Some("""
       SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -1199,9 +1227,30 @@ object Queries {
                AS img_format,
              CAST(doc_id % 13 + 1 AS INTEGER) AS img_w,
              CAST(doc_id % 7 + 1 AS INTEGER) AS img_h,
-             CAST(8 AS INTEGER) AS batch_dim, CAST(8 AS INTEGER) AS expr_dim,
-             true AS feats_in_range
-      FROM documents ORDER BY doc_id""")))
+             CAST(8 AS INTEGER) AS emb_dim,
+             true AS emb_in_range
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- REAL image embedding against an arithmetic oracle: every doc
+    // plants a constant-cell gray grid image in a LOSSLESS container
+    // (png/bmp), so the full-raster BT.601 luminance-grid embedding
+    // (Multimodal.withImageEmbedding) must recover EXACTLY the planted
+    // per-cell lumas — integer-exact end to end: gray pixels luma to
+    // their value (the 299/587/114 weights sum to 1000), constant cells
+    // average to their value, and round(f*255) inverts the /255
+    // normalization. The oracle computes every cell arithmetically. ----
+    ("multimodal_embedding", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.withImageEmbedding(gridBlobsFor(s, dir), "blob", 4, 4)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").cast("int").as("cell"),
+          round(col("col") * 255).cast("int").as("lum"))
+        .orderBy("doc_id", "cell")
+    }): Q, Some("""
+      SELECT doc_id, CAST(cell AS INTEGER) AS cell,
+             CAST((doc_id * 7 + cell * 11) % 256 AS INTEGER) AS lum
+      FROM (SELECT doc_id, unnest(range(0, 16)) AS cell FROM documents)
+      ORDER BY doc_id, cell""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

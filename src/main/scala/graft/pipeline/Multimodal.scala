@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus feature extraction staged for batch execution.
   *
-  * The IMAGE DECODE IS REAL: [[decodeImageMeta]] parses actual PNG/JPEG/
-  * GIF/BMP bytes with the JDK's `javax.imageio` (ships with Java — zero
-  * extra dependencies) and [[withImageMeta]] runs it as a mapPartitions
-  * batch stage, the Scala analog of a `mapInPandas` decode UDF. Only the
-  * FEATURE EMBEDDING (`fakeDecode`) remains a deterministic stub — the
-  * container has no ML feature libraries — clearly marked below.
+  * EVERY DECODE HERE IS REAL, with zero extra dependencies:
+  * [[decodeImageMeta]] parses actual PNG/JPEG/GIF/BMP headers with the
+  * JDK's `javax.imageio`; [[decodeAudioMeta]] walks real RIFF/WAVE
+  * chunks; [[imageLumaGrid]]/[[imageEmbedding]] decode the FULL raster
+  * and compute a pHash-shaped luminance-grid embedding. Each runs as a
+  * mapPartitions batch stage ([[withImageMeta]], [[withAudioMeta]],
+  * [[withImageEmbedding]]) — the Scala analog of a `mapInPandas` decode
+  * UDF.
   */
 object Multimodal {
 
@@ -268,44 +270,111 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** STUB decode: a real implementation would decode image bytes; this
-    * deterministic fake derives `dim` floats from the content hash so the
-    * full pipeline (schema, batching, downstream ANN) is exercisable.
+  /** REAL perceptual image embedding, zero extra dependencies: full
+    * ImageIO raster decode → per-cell integer-luma average over a
+    * `gridW`×`gridH` grid. This is the pHash family's front half
+    * (luminance downsample): near-identical images (re-encodes, small
+    * edits) land near each other in cosine space, so the output plugs
+    * straight into [[Dedup.embeddingPairs]] / [[Similarity]] top-k.
+    *
+    * Luma is integer BT.601 — `(299·R + 587·G + 114·B) / 1000` — whose
+    * weights sum to exactly 1000, so a gray pixel (R=G=B=L) lumas to
+    * EXACTLY `L` and a constant-luma cell averages to EXACTLY its
+    * planted value: the property the `multimodal_embedding` oracle query
+    * checks arithmetically. Cell pixel ranges are the integer split
+    * `[c·w/grid, (c+1)·w/grid)` widened to at least one pixel, so images
+    * smaller than the grid replicate pixels rather than divide by zero.
+    * Returns None for undecodable bytes (quarantine contract, like the
+    * metadata decodes).
     */
-  def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
-    val base = scala.util.hashing.MurmurHash3.bytesHash(content, 42)
-    Array.tabulate(dim) { i =>
-      val h = scala.util.hashing.byteswap64(base.toLong * 2654435761L + i)
-      (h % 1000L) / 1000.0f
-    }
+  def imageLumaGrid(bytes: Array[Byte], gridW: Int, gridH: Int)
+      : Option[Array[Int]] = {
+    require(gridW > 0 && gridH > 0, "grid dims must be positive")
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      Some(Array.tabulate(gridH * gridW) { c =>
+        val cx = c % gridW; val cy = c / gridW
+        val x0 = cx * w / gridW
+        val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / gridW))
+        val y0 = cy * h / gridH
+        val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / gridH))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        ((sum + n / 2) / n).toInt // rounded mean; exact on constant cells
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Feature extraction over blob rows via mapPartitions — the batch-UDF
-    * shape: one iterator pass per partition, rows processed in order,
-    * output schema = input + `features array<float>`.
+  /** [[imageLumaGrid]] normalized to `[0, 1]` floats — the embedding
+    * vector consumed by the dedup/ANN operators.
     */
-  def extractFeatures(df: DataFrame, blobCol: String, dim: Int): DataFrame = {
+  def imageEmbedding(bytes: Array[Byte], gridW: Int, gridH: Int)
+      : Option[Array[Float]] =
+    imageLumaGrid(bytes, gridW, gridH).map(_.map(l => l / 255.0f))
+
+  /** Embedding extraction over blob rows via mapPartitions — the
+    * batch-UDF shape: one iterator pass per partition, output schema =
+    * input + `embedding array<float>` (null when the bytes don't decode
+    * — quarantine downstream, never fail the batch).
+    */
+  def withImageEmbedding(df: DataFrame, blobCol: String,
+      gridW: Int, gridH: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
+      StructField("embedding", ArrayType(FloatType, containsNull = false)))
     val blobIdx = df.schema.fieldIndex(blobCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
         val blob = r.getStruct(blobIdx)
-        val content = if (blob == null || blob.isNullAt(0)) Array.empty[Byte]
+        val content = if (blob == null || blob.isNullAt(0)) null
           else blob.getAs[Array[Byte]](0)
-        Row.fromSeq(r.toSeq :+ fakeDecode(content, dim).toSeq)
+        val emb = imageEmbedding(content, gridW, gridH)
+          .map(_.toSeq).orNull
+        Row.fromSeq(r.toSeq :+ emb)
       }
     }(enc)
   }
 
-  /** Expression-only variant of the fake feature map (stays inside
-    * whole-stage codegen; used when the decode stub suffices).
+  /** Deterministic constant-cell image fixture: a `gridW`×`gridH` grid
+    * of `cellPx`×`cellPx` gray cells, cell `c` at luma `lumas(c)` —
+    * planted so [[imageLumaGrid]] at the same grid recovers EXACTLY
+    * `lumas` (lossless containers: png/bmp). The oracle-side analog of
+    * [[encodeImage]] for the embedding query.
     */
-  def featureColumn(blob: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(blob.getField("content"), i), lit(1000L))
-        .cast(DoubleType) / 1000.0).cast(FloatType))
+  def encodeCellImage(gridW: Int, gridH: Int, cellPx: Int,
+      lumas: Array[Int], format: String): Array[Byte] = {
+    require(lumas.length == gridW * gridH, "one luma per cell")
+    val img = new java.awt.image.BufferedImage(gridW * cellPx,
+      gridH * cellPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < gridH * cellPx) {
+      var x = 0
+      while (x < gridW * cellPx) {
+        val l = lumas((y / cellPx) * gridW + x / cellPx) & 0xff
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
 
   /** Repartition blobs so each task processes roughly `bytesPerTask` of
     * content — the knob that keeps decode batches memory-bounded at scale.

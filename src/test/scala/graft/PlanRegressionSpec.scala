@@ -46,7 +46,8 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         "embedding_incremental_pairs", "dedup_index_documents",
         "similarity_ivf_index_topk", "multimodal_audio_meta",
         "dedup_exact_incremental", "dedup_ngram_incremental",
-        "simhash_index_documents", "embedding_index_pairs")) {
+        "simhash_index_documents", "embedding_index_pairs",
+        "multimodal_embedding")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }

@@ -518,7 +518,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(fps("b") != fps("c"))
   }
 
-  test("multimodal blob plumbing: schema, features, mapPartitions batch") {
+  test("multimodal blob plumbing: schema + REAL luminance-grid embedding") {
     val blobs = docs.limit(50).select($"doc_id",
       Multimodal.asBlob($"text", "fake/image").as("blob"))
     assert(blobs.schema("blob").dataType.simpleString ==
@@ -527,19 +527,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       $"blob.meta.height").head()
     // width/height unknown (null) until an actual decode fills them
     assert(meta.getLong(0) > 0 && meta.isNullAt(1) && meta.isNullAt(2))
-    // expression featurizer
-    val f1 = blobs.select($"doc_id",
-      Multimodal.featureColumn($"blob", 8).as("features"))
-    assert(f1.head().getSeq[Float](1).length == 8)
-    // mapPartitions featurizer (the batch-UDF shape)
-    val f2 = Multimodal.extractFeatures(blobs, "blob", 8)
-    assert(f2.columns.contains("features"))
-    assert(f2.head().getSeq[Float](2).length == 8)
-    // determinism: same content → same features
-    val a = f2.filter($"doc_id" === 0).head().getSeq[Float](2)
-    val b = Multimodal.extractFeatures(blobs.filter($"doc_id" === 0),
-      "blob", 8).head().getSeq[Float](2)
-    assert(a == b)
+
+    // kernel: planted constant-cell grids recover EXACTLY, both lossless
+    // containers, including a non-divisible raster (cellPx 3, grid 4)
+    val lumas = Array.tabulate(16)(c => (c * 17) % 256)
+    for (fmt <- Seq("png", "bmp"); cellPx <- Seq(1, 2, 3)) {
+      val bytes = Multimodal.encodeCellImage(4, 4, cellPx, lumas, fmt)
+      assert(Multimodal.imageLumaGrid(bytes, 4, 4)
+        .exists(_.sameElements(lumas)), s"$fmt cellPx=$cellPx")
+    }
+    // images SMALLER than the grid replicate pixels (no empty cells):
+    // a 1x1 gray image embeds as 16 copies of its single luma
+    val one = Multimodal.encodeCellImage(1, 1, 1, Array(123), "png")
+    assert(Multimodal.imageLumaGrid(one, 4, 4)
+      .exists(_.sameElements(Array.fill(16)(123))))
+    // jpeg rasters decode too (lossy, so near not exact) and stay bounded
+    val jpg = Multimodal.encodeImage(16, 16, seed = 5L, "jpg")
+    val jemb = Multimodal.imageEmbedding(jpg, 4, 4)
+    assert(jemb.exists(e => e.length == 16 && e.forall(f => f >= 0f && f <= 1f)))
+    // undecodable bytes → None kernel-side, null column row-side
+    assert(Multimodal.imageLumaGrid("not an image".getBytes, 4, 4).isEmpty)
+
+    // dataframe level: the mapPartitions stage adds `embedding`; text
+    // bytes are NOT an image, so every row lands null (quarantine shape)
+    val undec = Multimodal.withImageEmbedding(blobs, "blob", 4, 2)
+    assert(undec.columns.contains("embedding"))
+    assert(undec.filter($"embedding".isNotNull).count() == 0)
+    // and real planted grids come back exactly through the batch stage
+    val planted = Seq((1L, Multimodal.encodeCellImage(4, 4, 2, lumas, "png")))
+      .toDF("id", "img")
+      .select($"id", Multimodal.asBlob($"img", "png").as("blob"))
+    val emb = Multimodal.withImageEmbedding(planted, "blob", 4, 4)
+      .head().getSeq[Float](2)
+    assert(emb.map(f => math.round(f * 255)).sameElements(lumas))
   }
 
   test("multimodal REAL image decode: ImageIO recovers planted dims") {
