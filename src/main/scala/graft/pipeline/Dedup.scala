@@ -756,11 +756,35 @@ object Dedup {
       maxBucketSize: Int = 1000, biasFactor: Int = 10): Option[Int] = {
     require(radius >= 0 && radius <= 31, "radius must be in [0, 31]")
     // smallest divisor of 64 with 2*blocks-1 >= radius (widest keys)
-    Seq(2, 4, 8, 16).find(b => 2 * b - 1 >= radius).filter { b =>
-      val keySpace = BigInt(1) << (64 / b)
-      BigInt(corpusSize) * biasFactor <= BigInt(maxBucketSize) * keySpace
-    }
+    Seq(2, 4, 8, 16).find(b => 2 * b - 1 >= radius).filter(b =>
+      simhashEnvelopeHolds(b, corpusSize, maxBucketSize, biasFactor))
   }
+
+  /** The spread side of the envelope rule on its own: do `blocks`-wide
+    * block keys still SPREAD a corpus of `corpusSize` docs, i.e.
+    * `corpusSize * biasFactor <= maxBucketSize * 2^(64/blocks)`? (See
+    * [[simhashOperatingPoint]] for the rationale and the DEDUP_DRYRUN
+    * measurements behind `biasFactor`.)
+    */
+  def simhashEnvelopeHolds(blocks: Int, corpusSize: Long,
+      maxBucketSize: Int, biasFactor: Int = 10): Boolean =
+    BigInt(corpusSize) * biasFactor <=
+      BigInt(maxBucketSize) * (BigInt(1) << (64 / blocks))
+
+  /** The WIDEST-radius operating point a corpus supports — what a
+    * persisted index derives at BUILD time, when the eventual query
+    * radius is unknown: the LARGEST `blocks` (= largest guaranteed
+    * radius `2*blocks-1`) whose block keys still spread `corpusSize`
+    * docs. Candidates are {8, 4, 2}: blocks=16 would mean 4-bit keys
+    * (16 distinct values — no selectivity at any size worth indexing),
+    * and blocks=2 (32-bit keys) spreads anything real, so it is also
+    * the fallback when even 16-bit keys saturate.
+    */
+  def simhashBlocksForCorpus(corpusSize: Long, maxBucketSize: Int = 1000,
+      biasFactor: Int = 10): Int =
+    Seq(8, 4).find(b =>
+      simhashEnvelopeHolds(b, corpusSize, maxBucketSize, biasFactor))
+      .getOrElse(2)
 
   /** SimHash as *candidate generation*, exact n-gram Jaccard as the
     * verifier: block-sharing candidates are re-checked against the true
@@ -876,19 +900,36 @@ object Dedup {
     * shingle sets as parquet plus a params sidecar. The fingerprint
     * table is TINY (16 bytes/doc) — block explodes and multi-probe
     * expansion happen at query time from it, so `blocks`/`probeBits`
-    * remain query-time knobs; `shingleSize` is index identity (baked
-    * into the persisted shingle sets the verify stage joins).
+    * remain query-time OVERRIDES; but the index derives and STORES its
+    * operating point (`blocks` from corpus size via
+    * [[simhashBlocksForCorpus]] when not pinned), because an index
+    * outlives the corpus-size knowledge of whoever queries it: a reader
+    * defaulting to the stored point can never carry a saturated block
+    * count past its envelope (the silent-collapse mode DEDUP_DRYRUN.md
+    * measures at blocks=8 / 50k docs). `shingleSize` is index identity
+    * (baked into the persisted shingle sets the verify stage joins);
+    * `nDocs` is stored so reads can VALIDATE explicit overrides.
     */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      path: String, shingleSize: Int = 3): Unit = {
+      path: String, shingleSize: Int = 3, blocks: Int = -1,
+      probeBits: Int = 1, maxBucketSize: Int = 1000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    simhashDfJ(corpus, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    val fp = simhashDfJ(corpus, idCol, textCol)
+    fp.write.mode("overwrite").parquet(s"$path/fingerprints")
     shingleSets(corpus, idCol, textCol, shingleSize)
       .write.mode("overwrite").parquet(s"$path/shingles")
-    Seq(Tuple1(shingleSize)).toDF("shingleSize").coalesce(1)
-      .write.mode("overwrite").json(s"$path/params")
+    val nDocs = spark.read.parquet(s"$path/fingerprints").count()
+    val b = if (blocks > 0) blocks
+      else simhashBlocksForCorpus(nDocs, maxBucketSize)
+    require(simhashEnvelopeHolds(b, nDocs, maxBucketSize),
+      s"simhash index point blocks=$b saturates ${64 / b}-bit block keys " +
+        s"at $nDocs docs (maxBucketSize=$maxBucketSize) — the skew cap " +
+        "would silently drop in-guarantee candidates; lower blocks or " +
+        "raise maxBucketSize")
+    Seq((shingleSize, b, probeBits, maxBucketSize, nDocs))
+      .toDF("shingleSize", "blocks", "probeBits", "maxBucketSize", "nDocs")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
   }
 
   /** Incremental SimHash near-dup pairs of a NEW batch against a
@@ -896,25 +937,48 @@ object Dedup {
     * [[minhashPairsFromIndex]] shape for the SimHash family: identical
     * output contract to [[simhashPairsIncremental]], corpus side read
     * from the index scan (no corpus re-hash per batch).
+    *
+    * `blocks`/`probeBits`/`maxBucketSize` default to the point the index
+    * DERIVED AND STORED at build time (pass -1 = "use the index's").
+    * Explicit overrides are VALIDATED against the indexed corpus size:
+    * a block count whose key space the stored corpus saturates is
+    * refused loudly rather than silently dropping in-guarantee
+    * candidates — the failure mode an index FREEZES without this check,
+    * since its corpus only grows after build.
     */
   def simhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, blocks: Int = 4, prefilterHamming: Int = -1,
-      maxBucketSize: Int = 1000, probeBits: Int = 1,
+      threshold: Double = 0.8, blocks: Int = -1, prefilterHamming: Int = -1,
+      maxBucketSize: Int = -1, probeBits: Int = -1,
       verifyRankCap: Int = 0,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, spark)
-    val shingleSize =
-      spark.read.json(s"$path/params").head()
-        .getAs[Long]("shingleSize").toInt
+    val params = spark.read.json(s"$path/params").head()
+    def stored(field: String, legacy: Long): Long =
+      if (params.schema.fieldNames.contains(field))
+        params.getAs[Long](field)
+      else legacy // pre-params-sidecar index layouts
+    val shingleSize = params.getAs[Long]("shingleSize").toInt
+    val b = if (blocks > 0) blocks else stored("blocks", 4L).toInt
+    val pb = if (probeBits >= 0) probeBits else stored("probeBits", 1L).toInt
+    val cap = if (maxBucketSize > 0) maxBucketSize
+      else stored("maxBucketSize", 1000L).toInt
+    val nDocs = stored("nDocs", -1L)
+    require(nDocs < 0 || simhashEnvelopeHolds(b, nDocs, cap),
+      s"simhash index at $path holds $nDocs docs: blocks=$b gives " +
+        s"${64 / b}-bit block keys the corpus saturates " +
+        s"(maxBucketSize=$cap) and the skew cap would silently drop " +
+        "in-guarantee candidates — use the index's stored point " +
+        s"(blocks=${stored("blocks", 4L)}) or rebuild with a larger " +
+        "maxBucketSize")
     val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
       .union(spark.read.parquet(s"$path/fingerprints")
         .withColumn("new", lit(false)))
     val texts = shingleSets(batch.select(col(idCol), col(textCol)),
         idCol, textCol, shingleSize)
       .union(spark.read.parquet(s"$path/shingles"))
-    simhashIncrementalCore(sh, texts, threshold, blocks, prefilterHamming,
-      maxBucketSize, probeBits, verifyRankCap, sc)
+    simhashIncrementalCore(sh, texts, threshold, b, prefilterHamming,
+      cap, pb, verifyRankCap, sc)
   }
 
   /** Shared incremental SimHash core over an (id, sh, new) fingerprint

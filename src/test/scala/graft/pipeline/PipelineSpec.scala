@@ -380,6 +380,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       prefilterHamming = 15, maxBucketSize = 200, verifyRankCap = 32))
     assert(capped == kernelPath,
       s"rank-capped index path $capped != kernel path $kernelPath")
+
+    // the index STORED its derived operating point (blocks=8 at this
+    // corpus size) — a default read resolves it and matches the kernel
+    // path run at the same stored point
+    val params = spark.read.json(s"$path/params").head()
+    assert(params.getAs[Long]("blocks") == 8L &&
+      params.getAs[Long]("probeBits") == 1L &&
+      params.getAs[Long]("nDocs") == corpus.count())
+    val defaults = pairs(Dedup.simhashPairsFromIndex(spark, path, batch,
+      "doc_id", "text", threshold = 0.7))
+    val kernelAtStored = pairs(Dedup.simhashPairsIncremental(batch, corpus,
+      "doc_id", "text", threshold = 0.7, blocks = 8, maxBucketSize = 1000))
+    assert(defaults == kernelAtStored,
+      s"stored-point read $defaults != kernel at stored point $kernelAtStored")
+
+    // an explicit override the indexed corpus SATURATES is refused
+    // loudly (the frozen-saturated-point failure mode), not silently run
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFromIndex(spark, path, batch, "doc_id", "text",
+        threshold = 0.7, blocks = 16, maxBucketSize = 1)
+    }
+    assert(err.getMessage.contains("saturates"), err.getMessage)
     CacheScope.releaseSession(spark)
   }
 

@@ -6,8 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** CI guard for the SimHash operating point used by
   * `simhash_pairs_documents` (blocks=8, probeBits=1, prefilter=15,
-  * cap=200) — the promotion of tools/SimhashProfile from a measurement
-  * script into an asserting gate.
+  * cap=1000) — the promotion of tools/SimhashProfile from a measurement
+  * script into an asserting gate. The cap is the ENVELOPE value, not a
+  * tighter one: cap=200 measured 5 dropped true pairs at sf0.1 (the
+  * skew cap engaging outside the pigeonhole guarantee — exactly the
+  * failure this spec exists to catch, which is why sf0.1 is in the
+  * guarded SF list).
   *
   * Three claims, checked against the exact all-pairs n-gram Jaccard truth
   * on the planted near-dup corpus at every gate SF present on disk:
@@ -29,9 +33,10 @@ class SimhashRecallSpec extends AnyFunSuite with SparkTestBase {
   private val blocks = 8
   private val probeBits = 1
   private val bound = 2 * blocks - 1 // = prefilterHamming in Queries
-  private val cap = 200
+  private val cap = 1000
 
-  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
     .filter(d => new java.io.File(s"$d/documents.parquet").exists())
 
   test("gate SFs exist") { assert(sfDirs.nonEmpty) }
@@ -48,6 +53,21 @@ class SimhashRecallSpec extends AnyFunSuite with SparkTestBase {
     // 100 TB shape: small radius, huge corpus -> blocks=2 (32-bit keys)
     assert(Dedup.simhashOperatingPoint(3, 1L << 40,
       maxBucketSize = 10000).contains(2))
+  }
+
+  test("simhashBlocksForCorpus: the index build point tracks corpus size") {
+    // gate-scale corpora fit 8-bit-keyed blocks=8
+    assert(Dedup.simhashBlocksForCorpus(500) == 8)
+    assert(Dedup.simhashBlocksForCorpus(5000) == 8)
+    // the measured 10x collapse point (DEDUP_DRYRUN.md): 50k docs
+    // saturate 256-value keys -> the build derives blocks=4, holding
+    // its guarantee instead of freezing the saturated point
+    assert(Dedup.simhashBlocksForCorpus(50000) == 4)
+    // 16-bit keys saturate in the millions -> 32-bit blocks=2
+    assert(Dedup.simhashBlocksForCorpus(100L * 1000 * 1000) == 2)
+    // the envelope predicate agrees with the dry-run on both sides
+    assert(Dedup.simhashEnvelopeHolds(8, 5000, 200))
+    assert(!Dedup.simhashEnvelopeHolds(8, 50000, 1000))
   }
 
   for (dir <- sfDirs) {
