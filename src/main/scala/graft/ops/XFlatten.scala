@@ -35,12 +35,13 @@ object XFlatten {
     * runtime.lua:158–187): each row's ops encode as ONE msgpack array of
     * `["=", pos, value]` triples with the VALUE typed per the reader's
     * flat slot — int family for int/long/enum-index/union tag, float32/
-    * float64 for float/double, bool for boolean, str for string/bytes —
-    * and a union's value op resolves its runtime branch type through the
-    * tag op at `pos - 1` (the two-op union contract,
-    * compiler.lua:1002–1013). Container slots (array/map) encode as
-    * their string rendering, matching this engine's flat-slot form — a
-    * documented deviation from the reference's structural encode.
+    * float64 for float/double, bool for boolean, str for string/bytes,
+    * and array/map slots as STRUCTURAL msgpack containers (the
+    * reference's layout, runtime.lua:158–187 via unparse_msgpack:
+    * integral elements as msgpack ints, decimals as float64 — the same
+    * resolution msgpack-lua applies to Lua number values). A union's
+    * value op resolves its runtime branch type through the tag op at
+    * `pos - 1` (the two-op union contract, compiler.lua:1002–1013).
     * Output: the input columns plus `ops` and a binary column `as`.
     */
   def opsMsgpack(c: Compiled, df: DataFrame,
@@ -99,15 +100,56 @@ object XFlatten {
         // enum flat slots carry the S2I index (or the symbol under
         // utf8_enums) — int when integral, str otherwise
         case "enum" => raw.toLongOption.getOrElse(raw): Any
-        case _ => raw // string/bytes/fixed/containers: str rendering
+        // container slots arrive as the JSON rendering opsColumn emits
+        // for them; rebuild the structure so Msgpack writes a REAL
+        // msgpack array/map (the reference's structural layout), not a
+        // quoted string of one
+        case "array" | "map" => jsonToValue(
+          org.json4s.jackson.JsonMethods.parse(raw))
+        case _ => raw // string/bytes/fixed: str rendering
       }
+
+    /** json4s AST → the plain value tree [[graft.functions.Msgpack]]
+      * encodes: JSON ints become msgpack ints, JSON decimals float64 —
+      * the same number resolution msgpack-lua applies to Lua values —
+      * and object field order is preserved (deterministic bytes).
+      */
+    private def jsonToValue(v: org.json4s.JValue): Any = {
+      import org.json4s._
+      v match {
+        case JNull | JNothing => null
+        case JString(s) => s
+        case JBool(b) => b
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => d
+        case JDecimal(d) => d.toDouble
+        case JArray(xs) => xs.toVector.map(jsonToValue)
+        case JObject(fs) => scala.collection.immutable.ListMap(
+          fs.map { case (k, fv) => k -> jsonToValue(fv) }: _*)
+        case JSet(xs) => xs.toVector.map(jsonToValue)
+      }
+    }
   }
 
   private def kindOf(s: AvroSchema, t: AvroType): String =
     s.resolve(t) match {
       case p: PrimitiveType => p.typeName
       case _: EnumType => "enum"
+      case _: ArrayType => "array"
+      case _: MapType => "map"
       case _ => "str"
+    }
+
+  /** String rendering of a slot value for the ops column: containers as
+    * JSON (machine-parseable in the JSON sink AND re-buildable into
+    * structural msgpack by [[Slot.parse]]), everything else as the plain
+    * string cast.
+    */
+  private def renderSlot(s: AvroSchema, t: AvroType, v: Column): Column =
+    s.resolve(t) match {
+      case _: ArrayType | _: MapType => to_json(v)
+      case _ => v.cast(StringType)
     }
 
   private def flatSlots(s: AvroSchema): Vector[Slot.T] = {
@@ -189,13 +231,30 @@ object XFlatten {
       // absent union fields contribute nothing — identical to the
       // value-level ConvertValue.xflattenRecord and the struct-union case.
       val (tag, value) = FlattenOps.unionTagAndValue(c, um, src)
-      when(src.isNotNull,
-        array(op(pos, tag), op(pos + 1, value.cast(StringType))))
+      val readerNonNull = um.toBranches.zipWithIndex
+        .filter(_._1.typeName != "null")
+      val rendered =
+        if (readerNonNull.length <= 1)
+          readerNonNull.headOption
+            .map { case (rb, _) => renderSlot(c.reader, rb, value) }
+            .getOrElse(value.cast(StringType))
+        else
+          // multi-branch: the value op carries the ACTIVE branch's value
+          // (what the reference's two-op contract and this engine's
+          // value path ConvertValue.xflatten both emit), not the
+          // internal struct-slot rendering of the flat tuple form
+          readerNonNull.foldLeft(lit(null).cast(StringType)) {
+            case (acc, (rb, o)) =>
+              when(tag === o, renderSlot(c.reader, rb, value.getField(
+                SchemaConverters.branchFieldName(c.reader, rb))))
+                .otherwise(acc)
+          }
+      when(src.isNotNull, array(op(pos, tag), op(pos + 1, rendered)))
         .otherwise(typedEmpty())
     case other =>
       val slots = FlattenOps.slotsFor(c, other, src, readerT, "v")
       val cols = slots.zipWithIndex.map { case ((_, col), k) =>
-        op(pos + k, col)
+        op(pos + k, renderSlot(c.reader, readerT, col))
       }
       when(src.isNotNull, array(cols: _*)).otherwise(typedEmpty())
   }

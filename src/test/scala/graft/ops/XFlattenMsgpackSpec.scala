@@ -87,6 +87,60 @@ class XFlattenMsgpackSpec extends AnyFunSuite with SparkTestBase {
     assert(hex(bytes) == "91" + "93a13d0207")
   }
 
+  test("array and map slots encode as STRUCTURAL msgpack containers") {
+    // the reference encodes container slot values through its real
+    // msgpack encoder (init.lua:462–470, runtime.lua:158–187) — an
+    // array-valued op carries a msgpack ARRAY, not a string rendering
+    val s4 = Avro.create(
+      """{"name":"t","type":"record","fields":[
+        {"name":"tags","type":{"type":"array","items":"int"}},
+        {"name":"m","type":{"type":"map","values":"long"}}]}""")
+    val c4 = FlattenOps.compile(s4).fold(e => sys.error(e), identity)
+    val df = Seq((Seq(1, 2, 3), Map("a" -> 1L))).toDF("tags", "m")
+    val enc = XFlatten.opsMsgpack(c4, df)
+    val bytes = enc.select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // 92 | ["=" 1 [1,2,3]]: 93 a1 3d 01 93 01 02 03
+    //    | ["=" 2 {"a":1}]: 93 a1 3d 02 81 a1 61 01
+    assert(hex(bytes) ==
+      "92" + "93a13d0193010203" + "93a13d0281a16101")
+    // and the JSON ops form renders the same slots as JSON text
+    val ops = enc.select("ops").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ops.map(_.getString(2)) == Seq("[1,2,3]", """{"a":1}"""))
+  }
+
+  test("union with a container branch carries a structural value op") {
+    val s5 = Avro.create(
+      """{"name":"t","type":"record","fields":[
+        {"name":"u","type":["null",{"type":"array","items":"int"}]}]}""")
+    val c5 = FlattenOps.compile(s5).fold(e => sys.error(e), identity)
+    val df = Seq(Tuple1(Seq(7))).toDF("u")
+    val bytes = XFlatten.opsMsgpack(c5, df)
+      .select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // 92 | tag op ["=" 1 1]: 93 a1 3d 01 01
+    //    | value op ["=" 2 [7]]: 93 a1 3d 02 91 07
+    assert(hex(bytes) == "92" + "93a13d0101" + "93a13d029107")
+  }
+
+  test("multi-branch union value op carries the ACTIVE branch value") {
+    // the value-path ConvertValue.xflatten and the reference two-op
+    // contract both emit the branch VALUE — the Column path must not
+    // leak the internal struct slot rendering
+    val s6 = Avro.create(
+      """{"name":"t","type":"record","fields":[
+        {"name":"pv","type":["null","int","string"]}]}""")
+    val c6 = FlattenOps.compile(s6).fold(e => sys.error(e), identity)
+    val df = spark.sql(
+      """SELECT named_struct('$type$', 2, 'int', cast(null as int),
+        'string', 'hi') AS pv""")
+    val enc = XFlatten.opsMsgpack(c6, df)
+    val ops = enc.select("ops").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ops == Seq(org.apache.spark.sql.Row("=", 1, "2"),
+      org.apache.spark.sql.Row("=", 2, "hi")))
+    val bytes = enc.select("ops_msgpack").head().getAs[Array[Byte]](0)
+    // 92 | ["=" 1 2]: 93 a1 3d 01 02 | ["=" 2 "hi"]: 93 a1 3d 02 a2 68 69
+    assert(hex(bytes) == "92" + "93a13d0102" + "93a13d02a26869")
+  }
+
   test("msgpack ops agree with the JSON ops on a real table shape") {
     // same schema as the xflatten_events_props gate query — the two
     // serializations must describe identical (op,pos,value) triples
