@@ -108,12 +108,36 @@ object Queries {
     * training, the build sits outside the repeatedly-evaluated query
     * body; determinism means caching cannot change results.
     */
+  /** Drop fixture/index cache entries whose session's context has
+    * stopped (their persisted blocks died with it): without the sweep a
+    * stopped-but-unreleased session object stays strongly referenced for
+    * the JVM lifetime. Called on every cache access; the maps are tiny.
+    */
+  private def sweepStopped[V](
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V])
+      : java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V] = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    m
+  }
+
+  /** Tmp path for a per-process persisted test index: the pid suffix
+    * keeps concurrent JVMs on one machine (e.g. bench and verify) from
+    * overwriting an index the other is mid-scan on — the path, like the
+    * cache key, must be process-local.
+    */
+  private def indexTmpPath(kind: String, dir: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${kind}_index_p" +
+      java.lang.ProcessHandle.current().pid() + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   def ivfIndexFor(s: SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    sweepStopped(ivfIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("ivf", d)
       Similarity.writeIvfIndex(rd(s, d, "embeddings"), "vec_id",
         "embedding", ivfCentroidsFor(s, d), path)
       path
@@ -129,9 +153,8 @@ object Queries {
   private val minhashIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   def minhashIndexFor(s: SparkSession, dir: String): String =
-    minhashIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_minhash_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    sweepStopped(minhashIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("minhash", d)
       Dedup.writeMinhashIndex(
         rd(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", path)
@@ -144,9 +167,8 @@ object Queries {
   private val simhashIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   def simhashIndexFor(s: SparkSession, dir: String): String =
-    simhashIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_simhash_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    sweepStopped(simhashIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("simhash", d)
       Dedup.writeSimhashIndex(
         rd(s, d, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", path)
@@ -157,9 +179,8 @@ object Queries {
   private val embeddingIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   def embeddingIndexFor(s: SparkSession, dir: String): String =
-    embeddingIndexCache.computeIfAbsent((s, dir), { case (_, d) =>
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_embedding_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    sweepStopped(embeddingIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("embedding", d)
       Dedup.writeEmbeddingIndex(
         rd(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", path, dim = 64)
@@ -180,7 +201,7 @@ object Queries {
     // keyed by (session, dir): a persisted DataFrame is bound to the
     // session that built it — a stopped/recreated session in the same JVM
     // must rebuild, not trip over a stale cached plan
-    imageBlobCache.computeIfAbsent((s, dir), { case (_, d) =>
+    sweepStopped(imageBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
       import s.implicits._
       import graft.pipeline.Multimodal
       val imgs = rdPar(s, d, "documents")
@@ -204,7 +225,7 @@ object Queries {
   private val audioBlobCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def audioBlobsFor(s: SparkSession, dir: String): DataFrame =
-    audioBlobCache.computeIfAbsent((s, dir), { case (_, d) =>
+    sweepStopped(audioBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
       import s.implicits._
       import graft.pipeline.Multimodal
       val wavs = rdPar(s, d, "documents")
@@ -234,7 +255,7 @@ object Queries {
   private val gridBlobCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def gridBlobsFor(s: SparkSession, dir: String): DataFrame =
-    gridBlobCache.computeIfAbsent((s, dir), { case (_, d) =>
+    sweepStopped(gridBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
       import s.implicits._
       import graft.pipeline.Multimodal
       val grids = rdPar(s, d, "documents")
@@ -635,7 +656,7 @@ object Queries {
     // ---- near-dup by exact n-gram Jaccard (length-blocked) ----
     ("dedup_ngram_documents", ((s: SparkSession, dir: String) => {
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, maxDocFreq = 0) // exact mode: oracle = all-pairs
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(jaccardAllPairsSql(0.8))),
@@ -962,7 +983,7 @@ object Queries {
         .select((col("doc_id") + 20000).as("doc_id"),
           concat(col("text"), lit(" zz qq xx")).as("text"))
       Dedup.ngramJaccardPairsIncremental(batch, corpus, "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, maxDocFreq = 0) // exact mode: oracle = all-pairs
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(incrementalJaccardSql(0.8))),

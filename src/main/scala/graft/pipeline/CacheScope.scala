@@ -69,11 +69,27 @@ object CacheScope {
   private val sessionScopes =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, CacheScope]()
 
+  /** Drop map entries whose session's context has stopped: their cached
+    * blocks died with the executors, so only the entry itself leaks —
+    * holding the session object, its plans, and the scope alive for the
+    * JVM lifetime in long-lived multi-session hosts. Swept on every
+    * scope access (the map is tiny; the check is a flag read). No
+    * unpersist: there is nothing left to unpersist on a stopped context.
+    */
+  private def sweepStopped(): Unit = {
+    val it = sessionScopes.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+  }
+
   /** The shared scope default-parameter calls persist into, one per
     * SparkSession (sessions in one JVM don't release each other's caches).
     */
-  def forSession(spark: SparkSession): CacheScope =
+  def forSession(spark: SparkSession): CacheScope = {
+    sweepStopped()
     sessionScopes.computeIfAbsent(spark, _ => new CacheScope)
+  }
 
   /** Resolve the sentinel default against the session owning `ds`. */
   private[graft] def resolve(scope: CacheScope, spark: SparkSession): CacheScope =

@@ -365,15 +365,9 @@ object Dedup {
       maxBucketSize, sc)
   }
 
-  /** Scale entry point for [[ngramJaccardPairs]]: the stop-shingle skew
-    * guard defaults ON (`maxDocFreq = 1000`). A shingle appearing in f docs
-    * contributes f² join rows on one key; boilerplate shingles in a 100 TB
-    * corpus make that unbounded, so candidate generation drops
-    * ultra-common shingles. Recall caveat: a true pair sharing ONLY
-    * dropped shingles is missed — for near-dup thresholds (≥0.8) such
-    * pairs share many shingles, so in practice only pathological
-    * boilerplate-only pairs are affected. Use [[ngramJaccardPairs]]
-    * (guard off) when exactness is required.
+  /** Alias for [[ngramJaccardPairs]] from when the stop-shingle guard
+    * was opt-IN; the guard now defaults ON in the bare operator (round-9
+    * change), so this adds nothing — kept for source compatibility.
     */
   def ngramJaccardPairsAtScale(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
@@ -415,13 +409,19 @@ object Dedup {
     * shuffle on the shingle key.
     *
     * Scale guard: `maxDocFreq` drops shingles present in more docs than
-    * the cap from candidate *generation* (stop-shingle skew guard). Any
-    * true pair sharing only ultra-common shingles would be missed, so the
-    * default (0 = off) keeps exact semantics.
+    * the cap from candidate *generation* (stop-shingle skew guard) —
+    * ON BY DEFAULT (1000): a shingle in f docs contributes f² join rows
+    * on one key, and boilerplate shingles in a 100 TB corpus make that
+    * unbounded, so the undecorated name must not be the unguarded
+    * self-join. Recall caveat: a true pair sharing ONLY dropped shingles
+    * is missed — at near-dup thresholds such pairs share many shingles,
+    * so only boilerplate-only pairs are affected. Pass `maxDocFreq = 0`
+    * to opt INTO exact mode (what the oracle queries and every truth
+    * computation do explicitly).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      maxDocFreq: Int = 0,
+      maxDocFreq: Int = 1000,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, df.sparkSession)
     val exploded = shingleIndex(df, idCol, textCol, shingleSize)
@@ -468,7 +468,7 @@ object Dedup {
     */
   def ngramJaccardPairsIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      shingleSize: Int = 3, maxDocFreq: Int = 0,
+      shingleSize: Int = 3, maxDocFreq: Int = 1000,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, batch.sparkSession)
     val all0 = shingleIndex(batch, idCol, textCol, shingleSize)
@@ -497,7 +497,7 @@ object Dedup {
     */
   def ngramJaccardPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, maxDocFreq: Int = 0,
+      threshold: Double = 0.8, maxDocFreq: Int = 1000,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, spark)
     val shingleSize =

@@ -304,10 +304,16 @@ object Similarity {
       centroids: Array[Array[Float]], path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && centroids.forall(_.length == dim),
+      "centroids must be non-empty with one uniform dimension")
     ivfAssignDf(df, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
-    Seq(centroids.map(_.toSeq).toSeq)
-      .toDF("centroids").coalesce(1)
+    // self-describing sidecar: dim/k/metric ride with the centroids so a
+    // reader can VALIDATE a query workload against the index identity
+    // instead of silently scoring mismatched vectors
+    Seq((centroids.map(_.toSeq).toSeq, dim, centroids.length, "cosine"))
+      .toDF("centroids", "dim", "k", "metric").coalesce(1)
       .write.mode("overwrite").json(s"$path.centroids")
   }
 
@@ -323,12 +329,25 @@ object Similarity {
   }
 
   /** Top-k against a persisted IVF index: the `cid` filter prunes to the
-    * probed cell directories before any row is read.
+    * probed cell directories before any row is read. The index's stored
+    * identity (`dim`) is validated against the query vectors up front —
+    * a mismatched embedding would otherwise probe garbage cells and
+    * score truncated dot products silently.
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
+    val side = spark.read.json(s"$path.centroids")
+    if (side.schema.fieldNames.contains("dim")) {
+      val storedDim = side.head().getAs[Long]("dim").toInt
+      val qDim = queries.select(col(qVecCol).cast("array<float>"))
+        .head().getSeq[Float](0).length
+      require(qDim == storedDim,
+        s"IVF index at $path holds dim=$storedDim vectors; query " +
+          s"vectors have dim=$qDim — rebuild the index or fix the " +
+          "query embedding")
+    }
     val centroids = readIvfCentroids(spark, path)
     val bc = spark.sparkContext.broadcast(centroids)
     val qProbes = queries

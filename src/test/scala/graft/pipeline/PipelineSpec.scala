@@ -50,7 +50,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("ngram-jaccard blocking matches brute force on a sample") {
     val sample = docsWithDups.filter($"doc_id" % 5 === 0)
-    val blocked = Dedup.ngramJaccardPairs(sample, "doc_id", "text", 0.8)
+    val blocked = Dedup.ngramJaccardPairs(sample, "doc_id", "text", 0.8,
+      maxDocFreq = 0) // exact mode vs brute force
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val sh = sample.select($"doc_id".as("id"),
@@ -63,6 +64,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute)
     assert(brute.nonEmpty)
+  }
+
+  test("ngram stop-shingle guard is opt-out, not opt-in") {
+    // 1100 single-shingle docs sharing ONE ultra-common shingle: the
+    // BARE operator's default guard (maxDocFreq=1000) drops it from
+    // candidate generation — a caller reaching for the undecorated name
+    // at scale never gets the unbounded f² shingle self-join — while
+    // explicit maxDocFreq=0 opts into exact mode and finds every pair
+    val boiler = spark.range(1100)
+      .select($"id".as("doc_id"), lit("aa bb cc").as("text"))
+    assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.8)
+      .count() == 0, "default must drop the >1000-doc stop shingle")
+    assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.8,
+      maxDocFreq = 0).count() == 1100L * 1099 / 2)
+    CacheScope.releaseSession(spark)
   }
 
   test("simhash: identical → 0 hamming; near-dup found; bucketed join") {
@@ -198,6 +214,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") &&
       "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
       s"cid filter must prune partitions:\n$plan")
+
+    // the sidecar is self-describing (dim/k/metric) and a query workload
+    // with the WRONG embedding dimension is refused loudly up front
+    val side = spark.read.json(s"$path.centroids").head()
+    assert(side.getAs[Long]("dim") == 64L &&
+      side.getAs[Long]("k") == centroids.length.toLong &&
+      side.getAs[String]("metric") == "cosine")
+    val short = queries.select($"qid", slice($"qv", 1, 32).as("qv"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, path, short, "qid", "qv",
+        k = 5, nProbe = 3)
+    }
+    assert(err.getMessage.contains("dim=64") &&
+      err.getMessage.contains("dim=32"), err.getMessage)
   }
 
   test("IVF assignment is deterministic and cells partition the corpus") {
@@ -332,9 +362,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val inc = pairs(Dedup.ngramJaccardPairsIncremental(nearBatch, corpus,
-      "doc_id", "text", threshold = 0.8))
+      "doc_id", "text", threshold = 0.8, maxDocFreq = 0))
     val full = pairs(Dedup.ngramJaccardPairs(
-      corpus.union(nearBatch), "doc_id", "text", threshold = 0.8))
+      corpus.union(nearBatch), "doc_id", "text", threshold = 0.8,
+      maxDocFreq = 0))
       .collect { case (a, b) if a >= 20000 || b >= 20000 =>
         if (b >= 20000 && a < 20000) (b, a) else (a, b) }
     assert(inc == full, s"incremental $inc != all-pairs-restricted $full")
@@ -345,7 +376,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .createTempDirectory("graft_ng_index").toString
     Dedup.writeNgramIndex(corpus, "doc_id", "text", path)
     val fromIndex = pairs(Dedup.ngramJaccardPairsFromIndex(spark, path,
-      nearBatch, "doc_id", "text", threshold = 0.8))
+      nearBatch, "doc_id", "text", threshold = 0.8, maxDocFreq = 0))
     assert(fromIndex == inc,
       s"index path $fromIndex != kernel path $inc")
     CacheScope.releaseSession(spark)

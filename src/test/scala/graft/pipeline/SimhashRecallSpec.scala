@@ -74,7 +74,8 @@ class SimhashRecallSpec extends AnyFunSuite with SparkTestBase {
     test(s"operating point holds at $dir") {
       val docs = Queries.docsWithNearDups(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8,
+        maxDocFreq = 0) // exact truth
         .select("id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTruth = truth.count()

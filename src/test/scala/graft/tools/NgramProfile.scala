@@ -22,7 +22,7 @@ object NgramProfile {
     t("shingle_hashes") { sh.write.format("noop").mode("overwrite").save() }
     val exploded = sh.select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
     t("exploded_count") { println("  rows=" + exploded.count()) }
-    t("full_pairs") { Dedup.ngramJaccardPairs(all, "doc_id", "text", 0.8)
+    t("full_pairs") { Dedup.ngramJaccardPairs(all, "doc_id", "text", 0.8, maxDocFreq = 0)
       .write.format("noop").mode("overwrite").save() }
     spark.stop()
   }

@@ -31,7 +31,7 @@ object SimhashPointCompare {
       df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val truth = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8))
+    val truth = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8, maxDocFreq = 0))
     println(s"TRUTH: ${truth.size} pairs")
 
     case class Point(name: String, blocks: Int, pf: Int, cap: Int,

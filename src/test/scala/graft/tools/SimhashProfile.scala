@@ -21,7 +21,7 @@ object SimhashProfile {
       .union(d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 20000).as("doc_id"),
           concat(col("text"), lit(" zz qq xx")).as("text")))
-    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8, maxDocFreq = 0)
       .select("id_a", "id_b").cache()
     val nTruth = truth.count()
     for (blocks <- Seq(4, 8)) {

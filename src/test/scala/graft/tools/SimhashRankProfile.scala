@@ -27,7 +27,7 @@ object SimhashRankProfile {
         blocks = 8, maxHamming = 15, maxBucketSize = 200, probeBits = 1,
         scope = scope)
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8,
-        scope = scope)
+        maxDocFreq = 0, scope = scope)
         .select($"id_a", $"id_b").withColumn("is_true", lit(true))
       // per-endpoint view: each pair counted from both ends
       val sides = cand.select($"id_a".as("pivot"), $"id_b".as("other"),
