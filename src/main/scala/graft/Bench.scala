@@ -24,6 +24,18 @@ import java.nio.file.{Files, Paths}
   * byte-identical code, BENCH_r05 vs r06). `failures` counts queries
   * whose evaluation threw (reported as -1 and excluded from `value`), so
   * a partially-failed bench is distinguishable from a fast one.
+  *
+  * JVM isolation: by default every query's warmup+runs executes in its
+  * OWN forked JVM (`--single <name>` child mode) — the round-8 marathon
+  * bench proved a single JVM contaminates late queries with the heap/JIT
+  * residue of the ~250 evaluations before them (dedup_ngram med 4.19 s
+  * in the marathon vs 1.15–1.59 s isolated), so per-query medians from a
+  * shared JVM overstate several queries ~3×. The child inherits this
+  * JVM's classpath and --add-opens/-X flags; its one-line sample report
+  * rides a marker prefix so Spark log noise cannot corrupt it. Set
+  * SPARK_GRAFT_BENCH_FORK=0 for the legacy single-JVM marathon (and the
+  * parent falls back to it automatically if the first child cannot even
+  * report — e.g. a broken classpath).
   */
 object Bench {
 
@@ -57,8 +69,36 @@ object Bench {
   private def sink(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  // ------------------------------------------------------------- config
+
+  private def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  // fail fast on unparseable knobs (a silent runs=0 made every query
+  // report -1 with a misleading message); runs >= 1, warmups >= 0
+  private def envInt(name: String, default: Int, floor: Int): Int =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) => v.toIntOption.filter(_ >= floor).getOrElse(
+        sys.error(s"$name must be an integer >= $floor, got '$v'"))
+    }
+
+  private def personRows: Long =
+    if (sfDir.contains("0.001")) 20000L
+    else if (sfDir.contains("0.01")) 200000L else 2000000L
+
+  private val personNames = Vector("person_validate", "person_flatten",
+    "person_roundtrip", "person_to_avro", "person_avro_roundtrip",
+    "person_flatten_nocodegen", "person_validate_nocodegen")
+
+  /** Every benchmark name, in report order: declared queries then the
+    * Person protocol — known WITHOUT a SparkSession so the forking
+    * parent never starts Spark itself.
+    */
+  private def benchNames: Vector[String] =
+    SparkEntry.queries.keys.toVector.sorted ++ personNames
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,108 +108,207 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // fail fast on unparseable knobs (a silent runs=0 made every query
-    // report -1 with a misleading message); runs >= 1, warmups >= 0
-    def envInt(name: String, default: Int, floor: Int): Int =
-      sys.env.get(name) match {
-        case None => default
-        case Some(v) => v.toIntOption.filter(_ >= floor).getOrElse(
-          sys.error(s"$name must be an integer >= $floor, got '$v'"))
+  /** The timed body for one benchmark name (queries + Person protocol).
+    * Person bodies toggle codegen around the evaluation where the
+    * protocol calls for it.
+    */
+  private def benchBody(spark: SparkSession, name: String): () => Unit = {
+    if (SparkEntry.queries.contains(name)) { () =>
+      sink(SparkEntry.queries(name)(spark, sfDir))
+    } else {
+      lazy val schema = graft.schema.Avro.create(personJson)
+      lazy val compiled =
+        FlattenOps.compile(schema).fold(e => sys.error(e), identity)
+      lazy val df = personDf(spark, personRows)
+      def noCodegen(body: => Unit): Unit = {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try body
+        finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
       }
+      name match {
+        case "person_validate" => () => sink(Validate(schema, df))
+        case "person_flatten" => () => sink(compiled.flatten(df))
+        case "person_roundtrip" =>
+          () => sink(compiled.unflatten(compiled.flatten(df)))
+        case "person_to_avro" => () =>
+          sink(df.select(AvroBinary.toAvroBinary(
+            struct(df.columns.map(col).toIndexedSeq: _*), schema)))
+        case "person_avro_roundtrip" => () => {
+          val allStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+          sink(df.select(AvroBinary.fromAvroBinary(
+            AvroBinary.toAvroBinary(allStruct, schema), schema)))
+        }
+        case "person_flatten_nocodegen" =>
+          () => noCodegen(sink(compiled.flatten(df)))
+        case "person_validate_nocodegen" =>
+          () => noCodegen(sink(Validate(schema, df)))
+        case other => sys.error(s"unknown benchmark '$other'")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- timing
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Warm-up then N timed runs, sorted ascending; a failure yields an
+    * EMPTY sample list (reported as -1 + counted in `failures`).
+    * CacheScope release between evaluations keeps every run independent
+    * AND charges each its full cache-population cost; the image/audio
+    * fixture caches — input construction, deliberately outside the timed
+    * body — stay warm.
+    */
+  private def timeSamples(spark: SparkSession, name: String)(
+      body: => Unit): Seq[Double] = {
     val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
     val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS", 1, floor = 0)
-
-    def time(body: => Unit): Double = {
-      val t0 = System.nanoTime()
-      body
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // Cache isolation: the dedup/similarity operators persist shared
-    // subtrees into the session CacheScope; without a release every
-    // evaluation (6 per query × 31 queries) pins ANOTHER copy until
-    // eviction thrash contaminates later timings (r7: minhash med 6.5×
-    // on unchanged code). Releasing after each evaluation keeps every
-    // run independent AND charges each run its full cache-population
-    // cost — the honest number. Targeted release (not a blunt
-    // spark.catalog.clearCache()) so the image-fixture cache — input
-    // construction, deliberately outside the timed body — stays warm.
     def release(): Unit = graft.pipeline.CacheScope.releaseSession(spark)
-
-    // warm-up then N timed runs, sorted; a failure yields an EMPTY sample
-    // list, which reports -1 below AND increments the failure count in
-    // the JSON, so a partially-failed bench can't read as a fast one
-    def timeSamples(name: String)(body: => Unit): Seq[Double] =
-      try {
-        (1 to warmups).foreach { _ => body; release() }
-        (1 to runs).map { _ => val t = time(body); release(); t }.sorted
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        release()
-        Seq.empty
-      }
-
-    // conventional median: mean of the two middle samples for even N
-    def median(s: Seq[Double]): Double =
-      if (s.isEmpty) -1.0
-      else if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-
-    val results = scala.collection.mutable.LinkedHashMap
-      .empty[String, Seq[Double]]
-    def timeMedian(name: String)(body: => Unit): Unit =
-      results(name) = timeSamples(name)(body)
-
-    // family 1: the declared queries, fully evaluated
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      timeMedian(name)(sink(fn(spark, sfDir)))
+    try {
+      (1 to warmups).foreach { _ => body; release() }
+      (1 to runs).map { _ => val t = time(body); release(); t }.sorted
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      release()
+      Seq.empty
     }
+  }
 
-    // family 2: Person protocol (BASELINE.md), n scaled with SF dir
-    val n: Long = if (sfDir.contains("0.001")) 20000L
-      else if (sfDir.contains("0.01")) 200000L else 2000000L
-    val schema = graft.schema.Avro.create(personJson)
-    val compiled = FlattenOps.compile(schema).fold(e => sys.error(e), identity)
-    val df = personDf(spark, n)
-    timeMedian("person_validate")(sink(Validate(schema, df)))
-    timeMedian("person_flatten")(sink(compiled.flatten(df)))
-    timeMedian("person_roundtrip")(
-      sink(compiled.unflatten(compiled.flatten(df))))
-    val allStruct = struct(df.columns.map(col).toIndexedSeq: _*)
-    timeMedian("person_to_avro")(
-      sink(df.select(AvroBinary.toAvroBinary(allStruct, schema))))
-    timeMedian("person_avro_roundtrip")(
-      sink(df.select(AvroBinary.fromAvroBinary(
-        AvroBinary.toAvroBinary(allStruct, schema), schema))))
-    // optimizer on/off dimension: whole-stage codegen replaces the
-    // reference's IL-optimizer toggle (BASELINE.md protocol)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    timeMedian("person_flatten_nocodegen")(sink(compiled.flatten(df)))
-    timeMedian("person_validate_nocodegen")(sink(Validate(schema, df)))
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  // conventional median: mean of the two middle samples for even N
+  private def median(s: Seq[Double]): Double =
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
 
-    def fmt(d: Double): String = // locale-pinned: '.' decimal separator
-      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+  private def fmt(d: Double): String = // locale-pinned '.' separator
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+
+  private def report(
+      results: Seq[(String, Seq[Double])], forked: Boolean): Unit = {
+    val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
+    val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS", 1, floor = 0)
     val medians = results.map { case (k, s) => k -> median(s) }
     val failures = results.count(_._2.isEmpty)
     val qs = (medians.map { case (k, v) => "\"" + k + "\":" + v } ++
-        Seq("\"person_rows\":" + n.toDouble))
+        Seq("\"person_rows\":" + personRows.toDouble))
       .mkString("{", ",", "}")
-    // per-query spread {min, med, max} over the N timed runs — the
-    // stability evidence a single median cannot carry
     val spread = results.collect { case (k, s) if s.nonEmpty =>
       s""""$k":{"min":${fmt(s.head)},"med":${fmt(median(s))},"max":${fmt(s.last)}}"""
     }.mkString("{", ",", "}")
-    val total = medians.values.filter(_ >= 0).sum
+    val total = medians.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spread,"runs":$runs,"warmups":$warmups,""" +
-        s""""failures":$failures,"sf":"$sfDir"}"""
+        s""""failures":$failures,"forked":$forked,"sf":"$sfDir"}"""
     println(json)
     System.err.println(json)
     Files.writeString(Paths.get("BENCH_RESULT.json"), json + "\n")
+  }
+
+  // ------------------------------------------------------- child process
+
+  private val ChildMarker = "GRAFT_BENCH_SAMPLES:"
+
+  /** Child mode: time ONE benchmark in this fresh JVM and report the raw
+    * samples on a marker line (stdout AND stderr — sbt routes forked
+    * stdout through its logger, so the parent scans both).
+    */
+  private def runSingle(name: String): Unit = {
+    val spark = buildSession()
+    val samples = timeSamples(spark, name)(benchBody(spark, name)())
+    val line = ChildMarker + samples.map(fmt).mkString("[", ",", "]")
+    println(line)
+    System.err.println(line)
     Queries.releaseFixtures(spark)
     spark.stop()
+  }
+
+  /** JVM flags the child needs: module opens (Spark on JDK 17+) and
+    * memory sizing, from this JVM's own arguments.
+    */
+  private def childJvmFlags: Seq[String] =
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).toSeq
+      .filter(a => a.startsWith("--add-opens") ||
+        a.startsWith("--add-exports") || a.startsWith("-Xm") ||
+        a.startsWith("-XX:") || a.startsWith("-Dfile.encoding"))
+
+  /** Spawn `--single name` in its own JVM; None = the child failed to
+    * report (crash, timeout, no marker) — distinguished from a reported
+    * empty sample list only in stderr noise, both count as failures.
+    */
+  private def forkOne(name: String): Option[Seq[Double]] = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin) ++ childJvmFlags ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench",
+        "--single", name)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    // drain to EOF (= child exit) FIRST — reading after waitFor could
+    // deadlock on a full pipe buffer under Spark's log volume
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val exited = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+    if (!exited) proc.destroyForcibly()
+    val marker = out.linesIterator
+      .find(_.contains(ChildMarker))
+      .map(l => l.substring(
+        l.indexOf(ChildMarker) + ChildMarker.length).trim)
+    marker match {
+      case Some(s) if s.startsWith("[") && s.endsWith("]") =>
+        val body = s.drop(1).dropRight(1).trim
+        Some(if (body.isEmpty) Seq.empty
+          else body.split(',').toSeq.map(_.trim.toDouble))
+      case _ =>
+        System.err.println(s"[bench] child for $name reported nothing " +
+          s"(exit=${if (exited) proc.exitValue() else "timeout"})")
+        None
+    }
+  }
+
+  /** Parent mode: one child JVM per benchmark, sequential (children get
+    * the whole machine — parallel children would contend for the same
+    * local[32] cores and re-import the noise isolation removes).
+    */
+  private def runForked(): Unit = {
+    val names = benchNames
+    val first = forkOne(names.head)
+    if (first.isEmpty) {
+      // a child that cannot even report means forking itself is broken
+      // in this environment — fall back to the single-JVM marathon
+      // rather than reporting 100% failures
+      System.err.println("[bench] first child failed; falling back " +
+        "to in-process mode")
+      runAll()
+      return
+    }
+    val results = ((names.head, first.get) +: names.tail.map { n =>
+      n -> forkOne(n).getOrElse(Seq.empty)
+    }).toSeq
+    report(results, forked = true)
+  }
+
+  /** Legacy single-JVM marathon (SPARK_GRAFT_BENCH_FORK=0 or fallback). */
+  private def runAll(): Unit = {
+    val spark = buildSession()
+    val results = benchNames.map { n =>
+      n -> timeSamples(spark, n)(benchBody(spark, n)())
+    }
+    report(results, forked = false)
+    Queries.releaseFixtures(spark)
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = args match {
+    case Array("--single", name) => runSingle(name)
+    case _ =>
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") == "0") runAll()
+      else runForked()
   }
 }

@@ -50,6 +50,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
 
+  /** The daily-driver streaming dedup shape: every micro-batch probes a
+    * PERSISTED minhash text index ([[graft.pipeline.Dedup
+    * .writeMinhashIndex]]) and `sink` receives that batch's near-dup
+    * pairs — the [[graft.pipeline.Dedup.minhashPairsFromIndex]] contract
+    * per micro-batch (batch-vs-corpus + batch-internal pairs, batch id
+    * first; pairs BETWEEN different micro-batches are not compared —
+    * append each batch to the index offline if cross-batch dedup
+    * matters). Each micro-batch runs in its own [[graft.pipeline
+    * .CacheScope]], released after `sink` returns, so an unbounded
+    * stream holds at most one batch of dedup intermediates; `sink` must
+    * take its terminal action (write/collect) before returning.
+    */
+  def dedupStreamAgainstIndex(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.pipeline.CacheScope.withScope { scope =>
+        sink(graft.pipeline.Dedup.minhashPairsFromIndex(
+          batch.sparkSession, indexPath, batch, idCol, textCol,
+          threshold, scope = scope), batchId)
+      }
+    }
+
   /** Per-key running session state via flatMapGroupsWithState: emits one
     * update row per input batch per key (running count + sum). The custom
     * state shape the reference's per-record pipeline would need when moved

@@ -20,6 +20,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.table(name)
   }
 
+  test("micro-batch dedup against the persisted index = batch contract") {
+    import graft.pipeline.Dedup
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", path)
+    // two near-dup waves from different source docs (doc_id%20==0 →
+    // +20000, %20==10 → +30000): the accumulated per-micro-batch pairs
+    // must equal the one-shot FromIndex contract on the union MINUS
+    // cross-wave pairs — pairs BETWEEN micro-batches are exactly what
+    // the scaladoc declares out of contract (each batch probes only the
+    // index), and the corpus's own internal near-dups (docs 0/50/82)
+    // make such a pair exist here, so the exclusion is exercised
+    def wave(mod: Long, offset: Long): Seq[(Long, String)] =
+      corpus.filter($"doc_id" % 20 === mod)
+        .collect().map(r => (r.getLong(0) + offset,
+          r.getString(1) + " zz qq xx")).toSeq
+    val w1 = wave(0L, 20000L)
+    val w2 = wave(10L, 30000L)
+    val input = MemoryStream[(Long, String)](spark)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamOps.dedupStreamAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), path, "doc_id", "text",
+      threshold = 0.7) { (pairs, _) =>
+        found ++= pairs.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    input.addData(w1)
+    q.processAllAvailable() // wave 1 = micro-batch 1
+    input.addData(w2)
+    q.processAllAvailable() // wave 2 = micro-batch 2
+    q.stop()
+    val oneShot = Dedup.minhashPairsFromIndex(spark, path,
+      (w1 ++ w2).toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def waveOf(id: Long): Int =
+      if (id >= 30000L) 2 else if (id >= 20000L) 1 else 0
+    val (cross, sameWave) = oneShot.partition { case (a, b) =>
+      waveOf(a) > 0 && waveOf(b) > 0 && waveOf(a) != waveOf(b) }
+    assert(cross.nonEmpty, "expected a cross-wave pair to exercise " +
+      "the exclusion (corpus-internal near-dups)")
+    assert(found.toSet == sameWave,
+      s"accumulated ${found.toSet} != one-shot-minus-cross $sameWave")
+    assert(found.nonEmpty && found.forall(_._1 >= 20000L))
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("flatten + validate on a stream behave like batch") {
     val w = Avro.create("""{"name":"e","type":"record","fields":[
       {"name":"event_id","type":"long"},
