@@ -165,10 +165,11 @@ object Bench {
     * fixture caches — input construction, deliberately outside the timed
     * body — stay warm.
     */
-  private def timeSamples(spark: SparkSession, name: String)(
-      body: => Unit): Seq[Double] = {
+  private def timeSamples(spark: SparkSession, name: String,
+      defaultWarmups: Int = 1)(body: => Unit): Seq[Double] = {
     val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
-    val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS", 1, floor = 0)
+    val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS", defaultWarmups,
+      floor = 0)
     def release(): Unit = graft.pipeline.CacheScope.releaseSession(spark)
     try {
       (1 to warmups).foreach { _ => body; release() }
@@ -192,7 +193,8 @@ object Bench {
   private def report(
       results: Seq[(String, Seq[Double])], forked: Boolean): Unit = {
     val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
-    val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS", 1, floor = 0)
+    val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS",
+      if (forked) 2 else 1, floor = 0)
     val medians = results.map { case (k, s) => k -> median(s) }
     val failures = results.count(_._2.isEmpty)
     val qs = (medians.map { case (k, v) => "\"" + k + "\":" + v } ++
@@ -221,7 +223,14 @@ object Bench {
     */
   private def runSingle(name: String): Unit = {
     val spark = buildSession()
-    val samples = timeSamples(spark, name)(benchBody(spark, name)())
+    // 2 warmups by default in a FORKED child: a fresh JVM's first
+    // evaluation also pays codegen-compile + JIT staging that the
+    // marathon amortized; the second warmup recovers part of that floor
+    // (measured: person_flatten med 0.45 -> 0.35 s). A residual
+    // ~0.2-0.3 s cold-JVM floor remains on sub-second queries — the
+    // price of per-query isolation, documented in BENCH_STABILITY.md.
+    val samples = timeSamples(spark, name, defaultWarmups = 2)(
+      benchBody(spark, name)())
     val line = ChildMarker + samples.map(fmt).mkString("[", ",", "]")
     println(line)
     System.err.println(line)
