@@ -50,29 +50,86 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
 
-  /** The daily-driver streaming dedup shape: every micro-batch probes a
-    * PERSISTED minhash text index ([[graft.pipeline.Dedup
-    * .writeMinhashIndex]]) and `sink` receives that batch's near-dup
-    * pairs — the [[graft.pipeline.Dedup.minhashPairsFromIndex]] contract
-    * per micro-batch (batch-vs-corpus + batch-internal pairs, batch id
-    * first; pairs BETWEEN different micro-batches are not compared —
-    * append each batch to the index offline if cross-batch dedup
-    * matters). Each micro-batch runs in its own [[graft.pipeline
+  /** The daily-driver streaming dedup shape, shared across the four
+    * persisted-index families: every micro-batch probes the index and
+    * `sink` receives that batch's near-dup pairs — the `*PairsFromIndex`
+    * contract per micro-batch (batch-vs-corpus + batch-internal pairs,
+    * batch id first; pairs BETWEEN different micro-batches are not
+    * compared — append each batch to the index offline if cross-batch
+    * dedup matters). Each micro-batch runs in its own [[graft.pipeline
     * .CacheScope]], released after `sink` returns, so an unbounded
     * stream holds at most one batch of dedup intermediates; `sink` must
     * take its terminal action (write/collect) before returning.
+    */
+  private def probeIndexPerBatch(stream: DataFrame)(
+      sink: (DataFrame, Long) => Unit)(
+      probe: (DataFrame, graft.pipeline.CacheScope) => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.pipeline.CacheScope.withScope { scope =>
+        sink(probe(batch, scope), batchId)
+      }
+    }
+
+  /** [[probeIndexPerBatch]] against a persisted MINHASH text index
+    * ([[graft.pipeline.Dedup.writeMinhashIndex]]); signature params come
+    * from the index sidecar.
     */
   def dedupStreamAgainstIndex(stream: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double = 0.8)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.pipeline.CacheScope.withScope { scope =>
-        sink(graft.pipeline.Dedup.minhashPairsFromIndex(
-          batch.sparkSession, indexPath, batch, idCol, textCol,
-          threshold, scope = scope), batchId)
-      }
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Dedup.minhashPairsFromIndex(batch.sparkSession,
+        indexPath, batch, idCol, textCol, threshold, scope = scope)
+    }
+
+  /** [[probeIndexPerBatch]] against a persisted SIMHASH index
+    * ([[graft.pipeline.Dedup.writeSimhashIndex]]); each batch probes at
+    * the operating point the index derived and stored at build time
+    * (blocks/probeBits/cap), so a stream can never freeze a saturated
+    * point past its envelope.
+    */
+  def dedupStreamAgainstSimhashIndex(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Dedup.simhashPairsFromIndex(batch.sparkSession,
+        indexPath, batch, idCol, textCol, threshold, scope = scope)
+    }
+
+  /** [[probeIndexPerBatch]] against a persisted N-GRAM shingle index
+    * ([[graft.pipeline.Dedup.writeNgramIndex]]); the stop-shingle skew
+    * guard stays at its scale-safe default (`maxDocFreq`).
+    */
+  def dedupStreamAgainstNgramIndex(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxDocFreq: Int = 1000)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Dedup.ngramJaccardPairsFromIndex(batch.sparkSession,
+        indexPath, batch, idCol, textCol, threshold, maxDocFreq,
+        scope = scope)
+    }
+
+  /** [[probeIndexPerBatch]] against a persisted EMBEDDING hyperplane-LSH
+    * index ([[graft.pipeline.Dedup.writeEmbeddingIndex]]); dim/nBits/
+    * tables come from the index sidecar.
+    */
+  def dedupStreamAgainstEmbeddingIndex(stream: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, threshold: Double = 0.95)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Dedup.embeddingPairsFromIndex(batch.sparkSession,
+        indexPath, batch, idCol, vecCol, threshold, scope = scope)
     }
 
   /** Per-key running session state via flatMapGroupsWithState: emits one

@@ -72,6 +72,111 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  // Shared two-wave harness for the per-family streaming index probes:
+  // each micro-batch probes only the persisted index, so the accumulated
+  // pairs must equal the UNION of the one-shot FromIndex contract run on
+  // each wave separately (cross-wave pairs excluded by construction).
+  private def docWaves(): (org.apache.spark.sql.DataFrame,
+      Seq[(Long, String)], Seq[(Long, String)]) = {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def wave(mod: Long, offset: Long): Seq[(Long, String)] =
+      corpus.filter($"doc_id" % 20 === mod)
+        .collect().map(r => (r.getLong(0) + offset,
+          r.getString(1) + " zz qq xx")).toSeq
+    (corpus, wave(0L, 20000L), wave(10L, 30000L))
+  }
+
+  private def accumulate[T <: Product : org.apache.spark.sql.Encoder](
+      w1: Seq[T], w2: Seq[T], cols: Seq[String])(
+      start: org.apache.spark.sql.DataFrame =>
+        ((org.apache.spark.sql.DataFrame, Long) => Unit) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row]): Set[(Long, Long)] = {
+    val input = MemoryStream[T](spark)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = start(input.toDF().toDF(cols: _*)) { (pairs, _) =>
+      found ++= pairs.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    found.toSet
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("micro-batch simhash dedup against the persisted index = per-wave FromIndex") {
+    import graft.pipeline.Dedup
+    val (corpus, w1, w2) = docWaves()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_shidx").toString
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", path)
+    val found = accumulate(w1, w2, Seq("doc_id", "text")) { stream => sink =>
+      StreamOps.dedupStreamAgainstSimhashIndex(stream, path,
+        "doc_id", "text", threshold = 0.7)(sink)
+    }
+    val expected = Seq(w1, w2).map { w =>
+      pairSet(Dedup.simhashPairsFromIndex(spark, path,
+        w.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7))
+    }.reduce(_ union _)
+    assert(found == expected, s"accumulated $found != per-wave $expected")
+    assert(found.nonEmpty && found.forall(_._1 >= 20000L))
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("micro-batch ngram dedup against the persisted index = per-wave FromIndex") {
+    import graft.pipeline.Dedup
+    val (corpus, w1, w2) = docWaves()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_ngidx").toString
+    Dedup.writeNgramIndex(corpus, "doc_id", "text", path)
+    val found = accumulate(w1, w2, Seq("doc_id", "text")) { stream => sink =>
+      StreamOps.dedupStreamAgainstNgramIndex(stream, path,
+        "doc_id", "text", threshold = 0.7)(sink)
+    }
+    val expected = Seq(w1, w2).map { w =>
+      pairSet(Dedup.ngramJaccardPairsFromIndex(spark, path,
+        w.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7))
+    }.reduce(_ union _)
+    assert(found == expected, s"accumulated $found != per-wave $expected")
+    assert(found.nonEmpty && found.forall(_._1 >= 20000L))
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("micro-batch embedding dedup against the persisted index = per-wave FromIndex") {
+    import graft.pipeline.Dedup
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def wave(mod: Long, offset: Long): Seq[(Long, Seq[Float])] =
+      corpus.filter($"vec_id" % 50 === mod)
+        .collect().map(r => (r.getLong(0) + offset,
+          r.getSeq[Float](1).map(_ * 1.001f))).toSeq
+    val (w1, w2) = (wave(0L, 100000L), wave(25L, 200000L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_embidx").toString
+    Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", path, dim = 64)
+    val found = accumulate(w1, w2, Seq("vec_id", "embedding")) {
+      stream => sink =>
+        StreamOps.dedupStreamAgainstEmbeddingIndex(stream, path,
+          "vec_id", "embedding", threshold = 0.999)(sink)
+    }
+    val expected = Seq(w1, w2).map { w =>
+      pairSet(Dedup.embeddingPairsFromIndex(spark, path,
+        w.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.999))
+    }.reduce(_ union _)
+    assert(found == expected, s"accumulated $found != per-wave $expected")
+    assert(found.nonEmpty && found.forall(_._1 >= 100000L))
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("flatten + validate on a stream behave like batch") {
     val w = Avro.create("""{"name":"e","type":"record","fields":[
       {"name":"event_id","type":"long"},
