@@ -272,13 +272,42 @@ object Queries {
       grids
     })
 
+  /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
+    * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
+    * doc_id-derived timescale/duration/dims/frame-count the oracle knows
+    * arithmetically.
+    */
+  private val videoBlobCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def videoBlobsFor(s: SparkSession, dir: String): DataFrame =
+    sweepStopped(videoBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      val vids = rdPar(s, d, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          (id, Multimodal.encodeMp4(
+            timescale = 600 * (1 + (id % 4).toInt),
+            durationTicks = 1000 + id % 500,
+            width = 16 * (1 + (id % 40).toInt),
+            height = 9 * (1 + (id % 40).toInt),
+            nFrames = 24 + (id % 96).toInt))
+        }.toDF("doc_id", "mp4")
+        .select(col("doc_id"),
+          Multimodal.asVideoBlob(col("mp4"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vids.count() // materialize at build time, not first evaluation
+      vids
+    })
+
   /** Unpersist and forget this session's fixture caches (the planted
     * image/audio blobs above). The bench keeps fixtures warm across
     * evaluations on purpose — they are input construction, not query
     * work — and calls this once before the session stops.
     */
   def releaseFixtures(s: SparkSession): Unit =
-    Seq(imageBlobCache, audioBlobCache, gridBlobCache).foreach { cache =>
+    Seq(imageBlobCache, audioBlobCache, gridBlobCache,
+        videoBlobCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -1281,7 +1310,43 @@ object Queries {
       SELECT doc_id, CAST(cell AS INTEGER) AS cell,
              CAST((doc_id * 7 + cell * 11) % 256 AS INTEGER) AS lum
       FROM (SELECT doc_id, unnest(range(0, 16)) AS cell FROM documents)
-      ORDER BY doc_id, cell""")))
+      ORDER BY doc_id, cell""")),
+
+    // ---- multimodal blob pipeline with a REAL video container decode:
+    // every doc plants an in-memory ISO-BMFF (MP4) stream whose
+    // timescale/duration/dims/frame-count derive from doc_id, and the
+    // zero-dependency box walk (Multimodal.withVideoMeta) must recover
+    // exactly those planted values — the oracle knows them
+    // arithmetically, duration_ms included (integer division both
+    // sides). Frame sampling rides along: three of the 8 evenly spaced
+    // REAL frame indices (n_frames * i / 8), the plan stage a training
+    // pipeline's frame extractor fans out from. ----
+    ("multimodal_video_meta", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      val decoded = Multimodal.withVideoMeta(videoBlobsFor(s, dir), "blob")
+      decoded.select(col("doc_id"),
+        col("blob.meta.format").as("video_format"),
+        col("blob.meta.width").as("width"),
+        col("blob.meta.height").as("height"),
+        col("blob.meta.timescale").as("timescale"),
+        col("blob.meta.duration_ms").as("duration_ms"),
+        col("blob.meta.n_frames").as("n_frames"),
+        element_at(Multimodal.frameSampleIndices(col("blob"), 8), 4)
+          .as("frame_i3"),
+        element_at(Multimodal.frameSampleIndices(col("blob"), 8), 8)
+          .as("frame_i7"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      SELECT doc_id, 'isom' AS video_format,
+             CAST(16 * (1 + doc_id % 40) AS INTEGER) AS width,
+             CAST(9 * (1 + doc_id % 40) AS INTEGER) AS height,
+             CAST(600 * (1 + doc_id % 4) AS INTEGER) AS timescale,
+             CAST((1000 + doc_id % 500) * 1000
+               // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+             CAST(24 + doc_id % 96 AS BIGINT) AS n_frames,
+             CAST((24 + doc_id % 96) * 3 // 8 AS BIGINT) AS frame_i3,
+             CAST((24 + doc_id % 96) * 7 // 8 AS BIGINT) AS frame_i7
+      FROM documents ORDER BY doc_id""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

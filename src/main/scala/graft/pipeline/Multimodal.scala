@@ -400,10 +400,216 @@ object Multimodal {
 
   /** Deterministic frame-sample positions for a "video" blob: `n` offsets
     * evenly spaced in the content (the Spark-side plumbing of a
-    * frame-sampling stage; the frame decode itself is the stub above).
+    * frame-sampling stage over an opaque blob; prefer
+    * [[frameSampleIndices]] once [[withVideoMeta]] has recovered the real
+    * frame count).
     */
   def framePositions(blob: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => (blob.getField("meta").getField("n_bytes") * i / n)
         .cast(LongType))
+
+  // ------------------------------------------------------------- video
+
+  /** Video blob schema: content + typed video metadata (the video analog
+    * of [[audioBlobSchema]]).
+    */
+  val videoBlobSchema: StructType = StructType(Seq(
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("timescale", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true))),
+      nullable = false)))
+
+  /** Wrap a source column into a video blob struct (metadata unknown
+    * until [[withVideoMeta]] parses the actual bytes).
+    */
+  def asVideoBlob(content: Column, format: String): Column = {
+    val bytes = content.cast(BinaryType)
+    struct(
+      bytes.as("content"),
+      struct(
+        lit(format).as("format"),
+        length(bytes).cast(LongType).as("n_bytes"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(IntegerType).as("timescale"),
+        lit(null).cast(LongType).as("duration_ms"),
+        lit(null).cast(LongType).as("n_frames")).as("meta"))
+  }
+
+  /** REAL video header decode: a zero-dependency ISO-BMFF (MP4/MOV) box
+    * walk recovering the major brand, movie timescale + duration
+    * (`moov/mvhd`), the first video track's pixel dimensions
+    * (`trak/tkhd`, 16.16 fixed point) and its sample count
+    * (`trak/mdia/minf/stbl/stsz`) WITHOUT touching sample data — the
+    * video analog of [[decodeAudioMeta]]'s header-only cost profile.
+    * Box sizes are u32 (or u64 `largesize`) handled in Long space with a
+    * strict-progress guard, same as the WAV chunk walk: crafted sizes
+    * stop the walk, they never spin it. Returns None for anything that
+    * is not a parsable BMFF container with an `mvhd` (quarantine
+    * downstream, never fail the batch).
+    */
+  def decodeVideoMeta(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Long, Long)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u16(o: Long): Int =
+      ((bytes(o.toInt) & 0xff) << 8) | (bytes(o.toInt + 1) & 0xff)
+    def u32(o: Long): Long = (u16(o).toLong << 16) | u16(o + 2)
+    def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Long): String = new String(bytes, o.toInt, 4, "US-ASCII")
+    var brand: String = null
+    var timescale = 0L; var duration = -1L
+    var w = 0; var h = 0; var frames = -1L
+    // per-trak state: dims and sample count bind only if the SAME trak
+    // supplied both (the first trak with nonzero pixel dims wins)
+    var trakW = 0; var trakH = 0; var trakFrames = -1L
+    try {
+      def walk(start: Long, limit: Long, depth: Int): Unit = {
+        if (depth > 6) return
+        var off = start
+        while (off + 8 <= limit) {
+          var size = u32(off)
+          var hdr = 8L
+          if (size == 1L) { // 64-bit largesize
+            if (off + 16 > limit) return
+            size = u64(off + 8); hdr = 16L
+          } else if (size == 0L) size = limit - off // box runs to limit
+          // malformed (header doesn't fit its own size) or lying
+          // (runs past the buffer): stop this level — strict progress
+          if (size < hdr || size > limit - off) return
+          val id = tag(off + 4)
+          val body = off + hdr
+          id match {
+            case "ftyp" if size >= hdr + 4 => brand = tag(body)
+            case "mvhd" if size >= hdr + 4 =>
+              val v = bytes(body.toInt) & 0xff
+              if (v == 1 && size >= hdr + 32) {
+                timescale = u32(body + 20); duration = u64(body + 24)
+              } else if (v == 0 && size >= hdr + 20) {
+                timescale = u32(body + 12); duration = u32(body + 16)
+              }
+            case "tkhd" if size >= hdr + 4 =>
+              val v = bytes(body.toInt) & 0xff
+              // width/height: 16.16 fixed point at the end of the box
+              // (after fullbox + times/ids + layer block + matrix)
+              val wOff = if (v == 1) body + 88 else body + 76
+              if (size >= (wOff - off) + 8) {
+                trakW = (u32(wOff) >> 16).toInt
+                trakH = (u32(wOff + 4) >> 16).toInt
+              }
+            case "stsz" if size >= hdr + 12 =>
+              trakFrames = u32(body + 8)
+            case "trak" =>
+              trakW = 0; trakH = 0; trakFrames = -1L
+              walk(body, off + size, depth + 1)
+              if (w == 0 && trakW > 0 && trakH > 0) {
+                w = trakW; h = trakH; frames = trakFrames
+              }
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              walk(body, off + size, depth + 1)
+            case _ => () // skip unknown/leaf boxes (mdat, free, hdlr, …)
+          }
+          off += size
+        }
+      }
+      walk(0L, bytes.length.toLong, 0)
+      if (brand == null || timescale <= 0 || duration < 0) None
+      else Some((brand.trim, w, h, timescale.toInt,
+        duration * 1000L / timescale, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode stage for video blobs: fills meta from the REAL bytes via
+    * [[decodeVideoMeta]] in one mapPartitions pass. Undecodable blobs
+    * keep their claimed format and null fields.
+    */
+  def withVideoMeta(df: DataFrame, blobCol: String): DataFrame = {
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getStruct(blobIdx)
+        val out =
+          if (blob == null) blob
+          else {
+            val content = if (blob.isNullAt(0)) null
+              else blob.getAs[Array[Byte]](0)
+            val meta = blob.getStruct(1)
+            decodeVideoMeta(content) match {
+              case Some((fmt, w, h, ts, ms, frames)) =>
+                Row(content, Row(fmt, meta.getLong(1),
+                  if (w > 0) w else null, if (h > 0) h else null,
+                  ts, ms, if (frames >= 0) frames else null))
+              case None => blob
+            }
+          }
+        Row.fromSeq(r.toSeq.updated(blobIdx, out))
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame-sample indices from DECODED metadata: `n` frame
+    * numbers evenly spaced in `[0, n_frames)` — the real frame-sampling
+    * plan stage ([[framePositions]]' byte-offset heuristic replaced by
+    * the actual sample count [[withVideoMeta]] recovered). Null
+    * `n_frames` (undecodable blob) yields null — quarantine downstream.
+    */
+  def frameSampleIndices(blob: Column, n: Int): Column = {
+    val frames = blob.getField("meta").getField("n_frames")
+    when(frames.isNotNull,
+      transform(sequence(lit(0), lit(n - 1)),
+        i => (frames * i / n).cast(LongType)))
+  }
+
+  /** Deterministic in-memory MP4 fixture: a real ISO-BMFF byte stream —
+    * ftyp + a `free` box (walk must skip it) + moov{mvhd,
+    * trak{tkhd, mdia{mdhd, minf{stbl{stsz}}}}} + a tiny mdat — with the
+    * planted timescale/duration/dims/frame-count [[decodeVideoMeta]]
+    * must recover exactly. The video analog of [[encodeWav]].
+    */
+  def encodeMp4(timescale: Int, durationTicks: Long, width: Int,
+      height: Int, nFrames: Int, brand: String = "isom"): Array[Byte] = {
+    require(brand.length == 4, "brand is a 4cc")
+    val out = java.nio.ByteBuffer.allocate(16 + 8 + 292 + 16) // BE default
+    def box(size: Int, id: String): Unit =
+      { out.putInt(size); out.put(id.getBytes("US-ASCII")); () }
+    def full(size: Int, id: String, version: Int): Unit =
+      { box(size, id); out.putInt(version << 24); () }
+    box(16, "ftyp"); out.put(brand.getBytes("US-ASCII")).putInt(0)
+    box(8, "free")
+    box(292, "moov")
+    full(108, "mvhd", 0)
+    out.putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale).putInt(durationTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, vol
+      .putLong(0) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      .foreach(out.putInt) // identity matrix
+    (1 to 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(2) // next_track_ID
+    box(176, "trak")
+    full(92, "tkhd", 0)
+    out.putInt(0).putInt(0).putInt(1).putInt(0) // times, track_ID, rsvd
+      .putInt(durationTicks.toInt).putLong(0) // duration, reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer..rsvd
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      .foreach(out.putInt)
+    out.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+    box(76, "mdia")
+    full(32, "mdhd", 0)
+    out.putInt(0).putInt(0).putInt(timescale).putInt(durationTicks.toInt)
+      .putShort(0x55c4.toShort).putShort(0) // 'und' language, pre_defined
+    box(36, "minf")
+    box(28, "stbl")
+    full(20, "stsz", 0)
+    out.putInt(0).putInt(nFrames) // sample_size=0 (varied), sample_count
+    box(16, "mdat"); out.putLong(0L)
+    out.array()
+  }
 }

@@ -728,6 +728,83 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(decoded(1).getString(1) == "claimed" && decoded(1).isNullAt(2))
   }
 
+  test("multimodal REAL video decode: BMFF box walk recovers planted meta") {
+    // kernel level: recover brand, timescale/duration, dims, frame count
+    val mp4 = Multimodal.encodeMp4(timescale = 2400, durationTicks = 7200,
+      width = 640, height = 360, nFrames = 72)
+    assert(Multimodal.decodeVideoMeta(mp4)
+      .contains(("isom", 640, 360, 2400, 3000L, 72L)))
+    // integer-division duration (7 ticks at timescale 3 -> 2333 ms)
+    assert(Multimodal.decodeVideoMeta(
+        Multimodal.encodeMp4(3, 7, 16, 16, 2))
+      .contains(("isom", 16, 16, 3, 2333L, 2L)))
+    // degenerate bytes: None, never throw (quarantine contract)
+    assert(Multimodal.decodeVideoMeta(null).isEmpty)
+    assert(Multimodal.decodeVideoMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeVideoMeta(
+      "ftypnot really an mp4 file at all".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoMeta(mp4.take(40)).isEmpty) // truncated
+    // the sniffs are disjoint across all three decoders
+    val wav = Multimodal.encodeWav(8000, 1, 16, 10, 1L)
+    val png = Multimodal.encodeImage(4, 4, 1L, "png")
+    assert(Multimodal.decodeVideoMeta(wav).isEmpty)
+    assert(Multimodal.decodeVideoMeta(png).isEmpty)
+    assert(Multimodal.decodeAudioMeta(mp4).isEmpty)
+    assert(Multimodal.decodeImageMeta(mp4).isEmpty)
+
+    // crafted u32 box sizes must TERMINATE (quarantine, never hang) —
+    // same failure family as the WAV chunk-walk hang: sizes that make
+    // an Int-space advance zero/negative, sizes < the 8-byte header,
+    // and sizes running past the buffer
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    def rawBox(size: Int, id: String, body: Array[Byte]): Array[Byte] =
+      be(size) ++ id.getBytes("US-ASCII") ++ body
+    val ftyp = rawBox(16, "ftyp", "isom".getBytes ++ be(0))
+    for (evil <- Seq(0xFFFFFFF8, 0x7FFFFFFF, 7, 2, -1)) {
+      assert(Multimodal.decodeVideoMeta(
+        ftyp ++ rawBox(evil, "junk", Array.fill[Byte](24)(3))).isEmpty)
+    }
+    // a 64-bit largesize box is walked over correctly (size==1 marker)
+    val mvhdBody = new Array[Byte](100) // v0: zeros except ts/duration
+    System.arraycopy(be(1000), 0, mvhdBody, 12, 4)
+    System.arraycopy(be(5000), 0, mvhdBody, 16, 4)
+    val large = be(1) ++ "free".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(8).putLong(24L).array() ++
+      Array.fill[Byte](8)(0)
+    assert(Multimodal.decodeVideoMeta(ftyp ++ large ++
+        rawBox(116, "moov", rawBox(108, "mvhd", mvhdBody)))
+      .contains(("isom", 0, 0, 1000, 5000L, -1L)))
+
+    // dataframe level: the mapPartitions stage fills meta from real
+    // bytes; undecodable rows keep claimed format + null fields
+    val rows = Seq(
+      (1L, Multimodal.encodeMp4(600, 1200, 320, 240, 48)),
+      (2L, "garbage".getBytes)).toDF("id", "v")
+    val blobs = rows.select($"id",
+      Multimodal.asVideoBlob($"v", "claimed").as("blob"))
+    val decoded = Multimodal.withVideoMeta(blobs, "blob")
+      .select($"id", $"blob.meta.format", $"blob.meta.width",
+        $"blob.meta.height", $"blob.meta.timescale",
+        $"blob.meta.duration_ms", $"blob.meta.n_frames")
+      .orderBy("id").collect()
+    assert(decoded(0).getString(1) == "isom" &&
+      decoded(0).getInt(2) == 320 && decoded(0).getInt(3) == 240 &&
+      decoded(0).getInt(4) == 600 && decoded(0).getLong(5) == 2000L &&
+      decoded(0).getLong(6) == 48L)
+    assert(decoded(1).getString(1) == "claimed" && decoded(1).isNullAt(2))
+
+    // frame sampling from DECODED metadata: 8 evenly spaced real frame
+    // indices in [0, 48); undecodable blob -> null (quarantine)
+    val sampled = Multimodal.withVideoMeta(blobs, "blob")
+      .select($"id",
+        Multimodal.frameSampleIndices($"blob", 8).as("fs"))
+      .orderBy("id").collect()
+    assert(sampled(0).getSeq[Long](1) ==
+      Seq(0L, 6L, 12L, 18L, 24L, 30L, 36L, 42L))
+    assert(sampled(1).isNullAt(1))
+  }
+
   test("repartitionByBytes sizes from plan stats without running a job") {
     val blobs = docs.select($"doc_id",
       Multimodal.asBlob($"text", "text/plain").as("blob"))
