@@ -47,7 +47,7 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         "similarity_ivf_index_topk", "multimodal_audio_meta",
         "dedup_exact_incremental", "dedup_ngram_incremental",
         "simhash_index_documents", "embedding_index_pairs",
-        "multimodal_embedding")) {
+        "multimodal_embedding", "multimodal_video_meta")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
