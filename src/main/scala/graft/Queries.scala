@@ -874,6 +874,48 @@ object Queries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- skew tooling, oracle-checked against the UNSALTED truth: the
+    // salted join must equal the plain join exactly (identical oracle
+    // SQL as join_orders_customers — same answer through a different
+    // physical strategy: hot keys split across `salts` reducers instead
+    // of one). This is the explicit-salt path for skew AQE cannot fix
+    // (a skewed key into a deliberately non-broadcast side). ----
+    ("skew_salted_join", ((s: SparkSession, dir: String) => {
+      val orders = rd(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val cust = rd(s, dir, "customer")
+      graft.pipeline.Skew.saltedJoin(orders, cust, "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }): Q, Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- two-phase (salted partial -> merge) aggregation, oracle-
+    // checked against the direct GROUP BY: integer-safe aggregates
+    // (count + floored-long sum) so partial/merge reassociation cannot
+    // drift — the skewed-group-key pattern where one hot key would
+    // otherwise serialize a single reducer. ----
+    ("skew_two_phase_agg", ((s: SparkSession, dir: String) => {
+      val li = rd(s, dir, "lineitem")
+      graft.pipeline.Skew.twoPhaseAgg(li, "l_suppkey", salts = 16,
+        partial = Seq(count(lit(1)).as("pn"),
+          sum(floor(col("l_quantity")).cast("long")).as("pq")),
+        merge = Seq(sum(col("pn")).as("n_items"),
+          sum(col("pq")).as("sum_qty")))
+        .orderBy("l_suppkey")
+    }): Q, Some("""
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
     // ---- two-level broadcast join: revenue per nation via customer ----
     ("join_nation_revenue", ((s: SparkSession, dir: String) => {
       val orders = rd(s, dir, "orders")

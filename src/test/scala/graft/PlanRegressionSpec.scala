@@ -47,7 +47,8 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         "similarity_ivf_index_topk", "multimodal_audio_meta",
         "dedup_exact_incremental", "dedup_ngram_incremental",
         "simhash_index_documents", "embedding_index_pairs",
-        "multimodal_embedding", "multimodal_video_meta")) {
+        "multimodal_embedding", "multimodal_video_meta",
+        "skew_salted_join", "skew_two_phase_agg")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
