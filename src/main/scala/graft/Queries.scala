@@ -300,6 +300,47 @@ object Queries {
       vids
     })
 
+  /** Real `.avro` object-container files for `avro_container_source`,
+    * WRITTEN ONCE per (session, dir): the events table serialized into
+    * one container per partition on the EXECUTORS (foreachPartition —
+    * the distributed shape a 100 TB dataset's files arrive in; local
+    * mode lands them in one pid-suffixed tmpdir). The query then
+    * exercises the whole source path: binaryFile scan → DataFileStream
+    * block walk → evolution-aware decode.
+    */
+  private val avroFileCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def avroFilesFor(s: SparkSession, dir: String): String =
+    sweepStopped(avroFileCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("avrofiles", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val writerJson = eventsWriter.exportString
+      import s.implicits._
+      rdPar(s, d, "events")
+        .select(col("event_id").cast("long"),
+          col("event_type").cast("string"), col("value").cast("double"))
+        .as[(Long, String, Double)]
+        .repartition(8)
+        .foreachPartition { (it: Iterator[(Long, String, Double)]) =>
+          val rows = it.toArray
+          if (rows.nonEmpty) {
+            val js = new org.apache.avro.Schema.Parser().parse(writerJson)
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](js))
+            w.create(js, new java.io.File(path,
+              f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.avro"))
+            rows.foreach { case (id, t, v) =>
+              val r = new org.apache.avro.generic.GenericData.Record(js)
+              r.put("event_id", id); r.put("event_type", t); r.put("value", v)
+              w.append(r)
+            }
+            w.close()
+          }
+        }
+      path
+    })
+
   /** Unpersist and forget this session's fixture caches (the planted
     * image/audio blobs above). The bench keeps fixtures warm across
     * evaluations on purpose — they are input construction, not query
@@ -564,6 +605,23 @@ object Queries {
       bin.select(AvroBinary.fromAvroBinary(col("b"), eventsWriter,
         eventsReader).as("r"))
         .select("r.*").orderBy("event_id")
+    }): Q, Some("""
+      SELECT event_id, event_type AS etype, value, 'stream' AS source
+      FROM events ORDER BY event_id""")),
+
+    // ---- the `.avro` object-container-file SOURCE, end to end against
+    // the parquet truth: events serialized into real container files
+    // (per-partition DataFileWriter, the avroFilesFor fixture), then
+    // read back through binaryFile → DataFileStream → the evolution-
+    // aware decode (alias rename + default fill) — same reader schema
+    // and oracle as avro_roundtrip_events, but the bytes travel through
+    // the FILE FORMAT (header, embedded schema, sync-marked blocks)
+    // rather than a column. ----
+    ("avro_container_source", ((s: SparkSession, dir: String) => {
+      val path = avroFilesFor(s, dir)
+      graft.sources.AvroFiles.read(s, path, eventsWriter, eventsReader)
+        .select("r.event_id", "r.etype", "r.value", "r.source")
+        .orderBy("event_id")
     }): Q, Some("""
       SELECT event_id, event_type AS etype, value, 'stream' AS source
       FROM events ORDER BY event_id""")),
