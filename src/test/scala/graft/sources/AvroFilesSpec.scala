@@ -50,6 +50,35 @@ class AvroFilesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getString(2) == "file")) // default filled
   }
 
+  test("streaming read: container files arriving in waves equal batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("avrofiles_stream")
+    val writer = Avro.create(writerJson)
+    val reader = Avro.create(
+      """{"name":"ev","type":"record","fields":[
+        {"name":"event_id","type":"long"},
+        {"name":"etype","type":"string","aliases":["event_type"]},
+        {"name":"value","type":"double"},
+        {"name":"source","type":"string","default":"file"}]}""")
+    val q = AvroFiles.readStream(spark, dir.toString, writer, reader)
+      .select("r.event_id", "r.etype", "r.value", "r.source")
+      .writeStream.format("memory").queryName("avro_file_stream")
+      .outputMode("append").start()
+    writeContainer(dir, "w1.avro",
+      Seq((1L, "click", 1.5), (2L, "view", 2.5)))
+    q.processAllAvailable() // wave 1 = micro-batch 1
+    writeContainer(dir, "w2.avro", Seq((3L, "buy", 3.5)))
+    q.processAllAvailable() // wave 2 = micro-batch 2
+    q.stop()
+    val streamed = spark.table("avro_file_stream")
+      .orderBy("event_id").collect().map(_.toSeq.toList).toList
+    val batch = AvroFiles.read(spark, dir.toString, writer, reader)
+      .select("r.event_id", "r.etype", "r.value", "r.source")
+      .orderBy("event_id").collect().map(_.toSeq.toList).toList
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(streamed.length == 3 &&
+      streamed.forall(_.last == "file")) // default filled on the stream
+  }
+
   test("schema mismatch fails with both spellings") {
     val dir = java.nio.file.Files.createTempDirectory("avrofiles2")
     writeContainer(dir, "a.avro", Seq((1L, "x", 0.5)))
