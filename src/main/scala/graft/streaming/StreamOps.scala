@@ -132,6 +132,24 @@ object StreamOps {
         indexPath, batch, idCol, vecCol, threshold, scope = scope)
     }
 
+  /** [[probeIndexPerBatch]] for ANN retrieval: each micro-batch of query
+    * vectors probes a persisted IVF index ([[graft.pipeline.Similarity
+    * .writeIvfIndex]]) and `sink` receives that batch's exact-cosine
+    * top-k — the streaming retrieval shape (queries arrive continuously,
+    * the corpus index is fixed; partition pruning still reads only the
+    * probed cell directories per batch). The index's stored `dim` is
+    * validated against every batch, same as the batch contract.
+    */
+  def annStreamAgainstIvfIndex(stream: DataFrame, indexPath: String,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      graft.pipeline.Similarity.ivfTopKFromIndex(batch.sparkSession,
+        indexPath, batch, qIdCol, qVecCol, k, nProbe)
+    }
+
   /** Per-key running session state via flatMapGroupsWithState: emits one
     * update row per input batch per key (running count + sum). The custom
     * state shape the reference's per-record pipeline would need when moved

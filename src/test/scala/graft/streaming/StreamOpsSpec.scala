@@ -177,6 +177,46 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("micro-batch ANN against the persisted IVF index = per-wave FromIndex") {
+    import graft.pipeline.{Dedup, Similarity}
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", k = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivfidx").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", centroids, path)
+    def wave(mod: Long, offset: Long): Seq[(Long, Seq[Float])] =
+      corpus.filter($"vec_id" % 100 === mod)
+        .collect().map(r => (r.getLong(0) + offset,
+          r.getSeq[Float](1).map(_ * 1.5f))).toSeq
+    val (w1, w2) = (wave(3L, 1000L), wave(7L, 2000L))
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val found = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Int)]
+    val q = StreamOps.annStreamAgainstIvfIndex(
+      input.toDF().toDF("qid", "qv"), path, "qid", "qv",
+      k = 3, nProbe = 2) { (topk, _) =>
+        found ++= topk.select("query_id", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    val expected = Seq(w1, w2).map { w =>
+      Similarity.ivfTopKFromIndex(spark, path,
+        w.toDF("qid", "qv"), "qid", "qv", k = 3, nProbe = 2)
+        .select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }.reduce(_ union _)
+    assert(found.toSet == expected,
+      s"accumulated ${found.toSet} != per-wave $expected")
+    assert(found.nonEmpty && found.forall(_._1 >= 1000L))
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("flatten + validate on a stream behave like batch") {
     val w = Avro.create("""{"name":"e","type":"record","fields":[
       {"name":"event_id","type":"long"},
