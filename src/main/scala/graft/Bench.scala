@@ -229,8 +229,13 @@ object Bench {
     // (measured: person_flatten med 0.45 -> 0.35 s). A residual
     // ~0.2-0.3 s cold-JVM floor remains on sub-second queries — the
     // price of per-query isolation, documented in BENCH_STABILITY.md.
-    val samples = timeSamples(spark, name, defaultWarmups = 2)(
-      benchBody(spark, name)())
+    // bind the body closure ONCE: its lazy fixtures (person schema
+    // compile, generated rows) must initialize during warm-up and stay
+    // warm across timed runs — re-invoking benchBody per run would
+    // rebuild them inside every sample (r9 review finding; the r8 bench
+    // built them once outside the timed body)
+    val body = benchBody(spark, name)
+    val samples = timeSamples(spark, name, defaultWarmups = 2)(body())
     val line = ChildMarker + samples.map(fmt).mkString("[", ",", "]")
     println(line)
     System.err.println(line)
@@ -260,11 +265,26 @@ object Bench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    // drain to EOF (= child exit) FIRST — reading after waitFor could
-    // deadlock on a full pipe buffer under Spark's log volume
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    // drain on a SEPARATE daemon thread: draining on this thread would
+    // make the 20-minute timeout unreachable (a hung child never closes
+    // stdout, so a blocking read never returns and waitFor is never
+    // reached — the exact failure class per-query forking exists to
+    // contain); draining after waitFor would deadlock on a full pipe
+    // buffer under Spark's log volume. The thread owns the only read.
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try { proc.getInputStream.transferTo(buf); () }
+      catch { case _: java.io.IOException => () }
+    }, s"bench-drain-$name")
+    drain.setDaemon(true)
+    drain.start()
     val exited = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
     if (!exited) proc.destroyForcibly()
+    drain.join(10000)
+    // ByteArrayOutputStream is internally synchronized; join covers the
+    // normal-exit case, toByteArray snapshots safely if the drain is
+    // somehow still alive after a force-kill
+    val out = new String(buf.toByteArray, "UTF-8")
     val marker = out.linesIterator
       .find(_.contains(ChildMarker))
       .map(l => l.substring(
@@ -307,7 +327,8 @@ object Bench {
   private def runAll(): Unit = {
     val spark = buildSession()
     val results = benchNames.map { n =>
-      n -> timeSamples(spark, n)(benchBody(spark, n)())
+      val body = benchBody(spark, n) // bind once; see runSingle
+      n -> timeSamples(spark, n)(body())
     }
     report(results, forked = false)
     Queries.releaseFixtures(spark)

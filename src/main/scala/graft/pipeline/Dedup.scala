@@ -917,16 +917,26 @@ object Dedup {
     import spark.implicits._
     val fp = simhashDfJ(corpus, idCol, textCol)
     fp.write.mode("overwrite").parquet(s"$path/fingerprints")
-    shingleSets(corpus, idCol, textCol, shingleSize)
-      .write.mode("overwrite").parquet(s"$path/shingles")
+    // validate the operating point BEFORE the expensive shingle write
+    // (counting the tiny fingerprint parquet, not re-running the corpus
+    // kernel); a refused pinned point must not leave a half-written
+    // index a later FromIndex read trips over — delete the fingerprints
+    // and re-throw
     val nDocs = spark.read.parquet(s"$path/fingerprints").count()
     val b = if (blocks > 0) blocks
       else simhashBlocksForCorpus(nDocs, maxBucketSize)
-    require(simhashEnvelopeHolds(b, nDocs, maxBucketSize),
-      s"simhash index point blocks=$b saturates ${64 / b}-bit block keys " +
-        s"at $nDocs docs (maxBucketSize=$maxBucketSize) — the skew cap " +
-        "would silently drop in-guarantee candidates; lower blocks or " +
-        "raise maxBucketSize")
+    if (!simhashEnvelopeHolds(b, nDocs, maxBucketSize)) {
+      val hp = new org.apache.hadoop.fs.Path(s"$path/fingerprints")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      throw new IllegalArgumentException(
+        s"simhash index point blocks=$b saturates ${64 / b}-bit block " +
+          s"keys at $nDocs docs (maxBucketSize=$maxBucketSize) — the " +
+          "skew cap would silently drop in-guarantee candidates; lower " +
+          "blocks or raise maxBucketSize")
+    }
+    shingleSets(corpus, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/shingles")
     Seq((shingleSize, b, probeBits, maxBucketSize, nDocs))
       .toDF("shingleSize", "blocks", "probeBits", "maxBucketSize", "nDocs")
       .coalesce(1).write.mode("overwrite").json(s"$path/params")

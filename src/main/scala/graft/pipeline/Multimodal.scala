@@ -302,19 +302,21 @@ object Multimodal {
         val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / gridW))
         val y0 = cy * h / gridH
         val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / gridH))
+        // one bulk getRGB per cell: identical ARGB conversion to the
+        // per-pixel form, without W*H ColorModel calls on the decode
+        // hot path (per-pixel getRGB converts through the color model
+        // on every call for non-INT_RGB rasters)
+        val cw = x1 - x0
+        val buf = img.getRGB(x0, y0, cw, y1 - y0, null, 0, cw)
         var sum = 0L
-        var y = y0
-        while (y < y1) {
-          var x = x0
-          while (x < x1) {
-            val rgb = img.getRGB(x, y)
-            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-              + 114 * (rgb & 0xff)) / 1000
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < buf.length) {
+          val rgb = buf(i)
+          sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          i += 1
         }
-        val n = (x1 - x0).toLong * (y1 - y0)
+        val n = buf.length.toLong
         ((sum + n / 2) / n).toInt // rounded mean; exact on constant cells
       })
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -519,7 +521,13 @@ object Multimodal {
         }
       }
       walk(0L, bytes.length.toLong, 0)
-      if (brand == null || timescale <= 0 || duration < 0) None
+      // numeric sanity is part of the quarantine contract: a u32
+      // timescale above Int.MaxValue would wrap negative on the .toInt,
+      // and a near-2^64 duration would overflow the *1000 — both are
+      // corrupt/crafted headers and must yield None, not well-typed
+      // garbage metadata
+      if (brand == null || timescale <= 0 || timescale > Int.MaxValue ||
+          duration < 0 || duration > Long.MaxValue / 1000L) None
       else Some((brand.trim, w, h, timescale.toInt,
         duration * 1000L / timescale, frames))
     } catch { case scala.util.control.NonFatal(_) => None }

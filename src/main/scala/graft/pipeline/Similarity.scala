@@ -341,25 +341,36 @@ object Similarity {
     val side = spark.read.json(s"$path.centroids")
     if (side.schema.fieldNames.contains("dim")) {
       val storedDim = side.head().getAs[Long]("dim").toInt
-      val qDim = queries.select(col(qVecCol).cast("array<float>"))
-        .head().getSeq[Float](0).length
-      require(qDim == storedDim,
-        s"IVF index at $path holds dim=$storedDim vectors; query " +
-          s"vectors have dim=$qDim — rebuild the index or fix the " +
-          "query embedding")
+      // validate against the first NON-NULL query vector; an empty
+      // micro-batch (stream start, recovery replay) or an all-null one
+      // has nothing to validate and must flow through as an empty
+      // result, not kill the stream with a head() on zero rows
+      queries.select(col(qVecCol).cast("array<float>").as("_qv"))
+        .filter(col("_qv").isNotNull).head(1).headOption.foreach { r =>
+          val qDim = r.getSeq[Float](0).length
+          require(qDim == storedDim,
+            s"IVF index at $path holds dim=$storedDim vectors; query " +
+              s"vectors have dim=$qDim — rebuild the index or fix the " +
+              "query embedding")
+        }
     }
     val centroids = readIvfCentroids(spark, path)
     val bc = spark.sparkContext.broadcast(centroids)
     val qProbes = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .select(col(qIdCol).cast("long"),
+        col(qVecCol).cast("array<float>").as("_qv"))
+      .filter(col("_qv").isNotNull) // null vectors probe nothing
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qv) =>
         probeCentroids(qv, bc.value, nProbe).map(cid => (qid, qv, cid))
       }.toDF("query_id", "qv", "cid")
     val probedCells = qProbes.select("cid").distinct()
       .as[Int].collect().toSeq
+    // empty batch -> no probes: keep the plan shape (and result schema)
+    // with an always-false filter instead of an empty isin
     val cells = spark.read.parquet(path)
-      .filter(col("cid").isin(probedCells: _*)) // partition pruning
+      .filter(if (probedCells.isEmpty) lit(false)
+        else col("cid").isin(probedCells: _*)) // partition pruning
     val scored = cells.join(broadcast(qProbes), "cid")
       .select(col("query_id"), col("id"),
         graft.functions.VectorExpressions
@@ -382,7 +393,9 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = ivfAssignDf(corpus, idCol, vecCol, centroids)
     val qProbes = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .select(col(qIdCol).cast("long"),
+        col(qVecCol).cast("array<float>").as("_qv"))
+      .filter(col("_qv").isNotNull) // null vectors probe nothing
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qv) =>
         probeCentroids(qv, bc.value, nProbe).map(cid => (qid, qv, cid))

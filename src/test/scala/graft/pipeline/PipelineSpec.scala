@@ -228,6 +228,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(err.getMessage.contains("dim=64") &&
       err.getMessage.contains("dim=32"), err.getMessage)
+
+    // an EMPTY query batch (stream start, recovery replay) flows through
+    // as an empty result with the full schema — not a head()-on-nothing
+    // crash that would kill a streaming query
+    val empty = Similarity.ivfTopKFromIndex(spark, path,
+      queries.filter($"qid" < 0), "qid", "qv", k = 5, nProbe = 3)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "id", "cosine", "rank"))
+    assert(empty.count() == 0L)
+    // all-null vectors likewise: nothing to validate, empty result
+    val allNull = Similarity.ivfTopKFromIndex(spark, path,
+      queries.select($"qid",
+        lit(null).cast("array<float>").as("qv")), "qid", "qv", k = 5)
+    assert(allNull.count() == 0L)
   }
 
   test("IVF assignment is deterministic and cells partition the corpus") {
@@ -775,6 +789,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeVideoMeta(ftyp ++ large ++
         rawBox(116, "moov", rawBox(108, "mvhd", mvhdBody)))
       .contains(("isom", 0, 0, 1000, 5000L, -1L)))
+    // numeric sanity: a u32 timescale above Int.MaxValue (0x90000000)
+    // must quarantine to None, not wrap to a negative Int in the meta
+    val hugeTs = new Array[Byte](100)
+    System.arraycopy(be(0x90000000), 0, hugeTs, 12, 4)
+    System.arraycopy(be(5000), 0, hugeTs, 16, 4)
+    assert(Multimodal.decodeVideoMeta(ftyp ++
+      rawBox(116, "moov", rawBox(108, "mvhd", hugeTs))).isEmpty)
 
     // dataframe level: the mapPartitions stage fills meta from real
     // bytes; undecodable rows keep claimed format + null fields

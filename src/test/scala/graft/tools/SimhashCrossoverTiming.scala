@@ -65,9 +65,11 @@ object SimhashCrossoverTiming {
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     val params = spark.read.json(s"$idxPath/params").head()
     val storedBlocks = params.getAs[Long]("blocks").toInt
-    log(s"  derived operating point at this corpus: blocks=$storedBlocks " +
-      s"(blocks=8 saturates ${64 / 8}-bit keys at $nDocs docs — the " +
-      "envelope guard selected the wider key)")
+    log(s"  derived operating point at this corpus: blocks=$storedBlocks" +
+      (if (storedBlocks < 8)
+        s" (blocks=8 saturates its ${64 / 8}-bit keys at $nDocs docs — " +
+          "the envelope guard selected the wider key)"
+      else s" (blocks=8 holds at $nDocs docs)"))
 
     val corpusBytes = dirBytes(java.nio.file.Paths.get(corpusPath))
     val fpBytes = dirBytes(java.nio.file.Paths.get(s"$idxPath/fingerprints"))
