@@ -974,6 +974,26 @@ object Queries {
                AS sum_qty
       FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
 
+    // ---- deterministic train/val/test splitting by content hash — the
+    // dataset-split primitive of a training pipeline, oracle-checked
+    // row by row: the assignment is a pure function of the text's md5
+    // (first 4 hex chars compared as text), so DuckDB computes the
+    // IDENTICAL split — reproducibility across engines is the point,
+    // and the oracle proves it. Cutoffs: 0.8*65536=52428=0xcccc,
+    // 0.9*65536=58982=0xe666. ----
+    ("split_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.pipeline.Sampling.hashSplit(docs, "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     // ---- two-level broadcast join: revenue per nation via customer ----
     ("join_nation_revenue", ((s: SparkSession, dir: String) => {
       val orders = rd(s, dir, "orders")

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling by CONTENT HASH — the
+  * train/val/test primitive a 100 TB training pipeline needs: the
+  * assignment is a pure function of the key bytes (first 16 bits of
+  * md5, compared as hex text), so it is reproducible across re-runs,
+  * repartitioning, cluster sizes, and even engines (any system with
+  * md5 computes the identical split — the oracle checks exactly this),
+  * and membership never flips when unrelated rows are added or removed
+  * (`randomSplit` guarantees none of these: it is seed- AND
+  * partitioning-dependent).
+  *
+  * Granularity is 1/65536 per threshold (4 hex chars): fractions are
+  * honored to ±0.002%, plenty for split purposes; the comparison stays
+  * on lowercase-hex TEXT (digits sort before 'a'..'f' in ASCII), so no
+  * engine-specific hex→int conversion is involved anywhere.
+  */
+object Sampling {
+
+  /** Format a cumulative fraction as its 4-hex-char cutoff; 1.0 maps to
+    * "g", which sorts above every hex string, so a full split/sample
+    * includes the `ffff` bucket too.
+    */
+  private def cutoffHex(cum: Double): String = {
+    require(cum >= 0 && cum <= 1, s"fraction bound $cum outside [0,1]")
+    if (cum >= 1.0) "g" else f"${(cum * 65536L).toLong}%04x"
+  }
+
+  /** The 4-hex-char md5 prefix the split comparisons run on. */
+  private def bucket(key: Column): Column =
+    substring(md5(key.cast("binary")), 1, 4)
+
+  /** Split-label Column for `key`: `splits` are (label, fraction) in
+    * declared order, fractions summing to 1 (±1e-9). Row → label is
+    * deterministic in the key bytes alone.
+    */
+  def hashSplitColumn(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0), "fractions must be non-negative")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val b = bucket(key)
+    // last split takes everything remaining — no float-edge gap
+    splits.init.zip(cums.init).foldRight(
+        lit(splits.last._1): Column) { case (((label, _), cum), rest) =>
+      when(b < lit(cutoffHex(cum)), lit(label)).otherwise(rest)
+    }
+  }
+
+  /** `df` plus a `split` column assigning each row its deterministic
+    * partition label.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", hashSplitColumn(col(keyCol), splits))
+
+  /** Deterministic ~`frac` sample of `df` by the same content-hash rule:
+    * the SAME rows are kept on every run, and a row's membership never
+    * changes when other rows come or go (unlike `df.sample`). Fraction
+    * granularity 1/65536.
+    */
+  def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"fraction $frac outside [0,1]")
+    df.filter(bucket(col(keyCol)) < lit(cutoffHex(frac)))
+  }
+}

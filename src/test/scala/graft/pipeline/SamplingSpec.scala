@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  test("hashSplit: deterministic, exhaustive, stable under row removal") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs, "text", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs, "text", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // re-run determinism
+    assert(a.size == docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // proportions: 500 docs at 0.8 -> binomial 3sd ≈ 27
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train")
+    assert(math.abs(train - 0.8 * n) < 30, s"train=$train of $n")
+    // membership is a pure function of the key: dropping half the corpus
+    // leaves every surviving row's label unchanged (randomSplit cannot
+    // promise this)
+    val half = Sampling.hashSplit(docs.filter($"doc_id" % 2 === 0),
+        "text", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => a(id) == s })
+  }
+
+  test("hashSplit rejects fractions that do not sum to 1") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "text", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
+  test("hashSample: deterministic subset; frac=1 keeps every row") {
+    val s1 = Sampling.hashSample(docs, "text", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(docs, "text", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size - 0.25 * n) < 30, s"${s1.size} of $n")
+    // sample of a superset restricted to the subset = sample of subset
+    val sub = Sampling.hashSample(docs.filter($"doc_id" < 250), "text", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sub == s1.filter(_ < 250))
+    assert(Sampling.hashSample(docs, "text", 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(docs, "text", 0.0).count() == 0L)
+  }
+}
