@@ -915,26 +915,21 @@ object Dedup {
       probeBits: Int = 1, maxBucketSize: Int = 1000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val fp = simhashDfJ(corpus, idCol, textCol)
-    fp.write.mode("overwrite").parquet(s"$path/fingerprints")
-    // validate the operating point BEFORE the expensive shingle write
-    // (counting the tiny fingerprint parquet, not re-running the corpus
-    // kernel); a refused pinned point must not leave a half-written
-    // index a later FromIndex read trips over — delete the fingerprints
-    // and re-throw
-    val nDocs = spark.read.parquet(s"$path/fingerprints").count()
+    // validate the operating point BEFORE ANY write: the envelope needs
+    // only the corpus row count (one cheap count pass, no kernel), and a
+    // refused pinned point must leave the target path UNTOUCHED — an
+    // in-place rebuild of a live index would otherwise destroy the old
+    // fingerprints before discovering the new point is saturated
+    val nDocs = corpus.count()
     val b = if (blocks > 0) blocks
       else simhashBlocksForCorpus(nDocs, maxBucketSize)
-    if (!simhashEnvelopeHolds(b, nDocs, maxBucketSize)) {
-      val hp = new org.apache.hadoop.fs.Path(s"$path/fingerprints")
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(hp, true)
-      throw new IllegalArgumentException(
-        s"simhash index point blocks=$b saturates ${64 / b}-bit block " +
-          s"keys at $nDocs docs (maxBucketSize=$maxBucketSize) — the " +
-          "skew cap would silently drop in-guarantee candidates; lower " +
-          "blocks or raise maxBucketSize")
-    }
+    require(simhashEnvelopeHolds(b, nDocs, maxBucketSize),
+      s"simhash index point blocks=$b saturates ${64 / b}-bit block " +
+        s"keys at $nDocs docs (maxBucketSize=$maxBucketSize) — the " +
+        "skew cap would silently drop in-guarantee candidates; lower " +
+        "blocks or raise maxBucketSize")
+    simhashDfJ(corpus, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
     shingleSets(corpus, idCol, textCol, shingleSize)
       .write.mode("overwrite").parquet(s"$path/shingles")
     Seq((shingleSize, b, probeBits, maxBucketSize, nDocs))

@@ -296,27 +296,29 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
+      // one bulk getRGB per cell: identical ARGB conversion to a
+      // per-pixel loop, without W*H ColorModel calls on the decode hot
+      // path; the buffer is allocated once and reused across cells so
+      // the bulk read adds no per-image garbage beyond one cell
+      var buf: Array[Int] = null
       Some(Array.tabulate(gridH * gridW) { c =>
         val cx = c % gridW; val cy = c / gridW
         val x0 = cx * w / gridW
         val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / gridW))
         val y0 = cy * h / gridH
         val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / gridH))
-        // one bulk getRGB per cell: identical ARGB conversion to the
-        // per-pixel form, without W*H ColorModel calls on the decode
-        // hot path (per-pixel getRGB converts through the color model
-        // on every call for non-INT_RGB rasters)
         val cw = x1 - x0
-        val buf = img.getRGB(x0, y0, cw, y1 - y0, null, 0, cw)
+        val n = cw * (y1 - y0)
+        if (buf == null || buf.length < n) buf = new Array[Int](n)
+        img.getRGB(x0, y0, cw, y1 - y0, buf, 0, cw)
         var sum = 0L
         var i = 0
-        while (i < buf.length) {
+        while (i < n) {
           val rgb = buf(i)
           sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
             + 114 * (rgb & 0xff)) / 1000
           i += 1
         }
-        val n = buf.length.toLong
         ((sum + n / 2) / n).toInt // rounded mean; exact on constant cells
       })
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -29,9 +29,15 @@ object Sampling {
     if (cum >= 1.0) "g" else f"${(cum * 65536L).toLong}%04x"
   }
 
-  /** The 4-hex-char md5 prefix the split comparisons run on. */
+  /** The 4-hex-char md5 prefix the split comparisons run on. A NULL key
+    * hashes as the EMPTY key (bucket `d41d`): one uniform, deterministic
+    * rule for both [[hashSplit]] and [[hashSample]] — without it, nulls
+    * would fall to the last split label but silently VANISH from a
+    * 100% sample (null comparisons propagate).
+    */
   private def bucket(key: Column): Column =
-    substring(md5(key.cast("binary")), 1, 4)
+    substring(md5(coalesce(key.cast("binary"),
+      lit(Array.emptyByteArray))), 1, 4)
 
   /** Split-label Column for `key`: `splits` are (label, fraction) in
     * declared order, fractions summing to 1 (±1e-9). Row → label is

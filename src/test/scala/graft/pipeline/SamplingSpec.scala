@@ -58,4 +58,22 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(Sampling.hashSample(docs, "text", 1.0).count() == n.toLong)
     assert(Sampling.hashSample(docs, "text", 0.0).count() == 0L)
   }
+
+  test("null keys hash as the empty key — same rule in split and sample") {
+    val withNull = Seq((1L, "alpha"), (2L, null), (3L, "beta"))
+      .toDF("id", "text")
+    // md5("") = d41d... -> bucket 'd41d' -> val at 0.8/0.1/0.1 cutoffs
+    val split = Sampling.hashSplit(withNull, "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter($"id" === 2).select("split").head().getString(0)
+    assert(split == "val", s"null key landed in $split")
+    // a 100% sample keeps null-key rows (they must never vanish)
+    assert(Sampling.hashSample(withNull, "text", 1.0).count() == 3L)
+    // and membership below/above the d41d bucket is consistent with the
+    // split assignment (one rule, two functions)
+    assert(Sampling.hashSample(withNull, "text", 0.9)
+      .filter($"id" === 2).count() == 1L) // 'd41d' < 'e666'
+    assert(Sampling.hashSample(withNull, "text", 0.8)
+      .filter($"id" === 2).count() == 0L) // 'd41d' >= 'cccc'
+  }
 }
