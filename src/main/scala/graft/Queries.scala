@@ -466,6 +466,99 @@ object Queries {
     s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
       s"ELSE len(string_split(trim($textExpr), ' ')) END)"
 
+  /** BPE-ish token estimate as SQL — generated from the same punctuation
+    * table as `TextAnalysis.tokenEstimate` so the two can never drift.
+    * Integer result (DuckDB `//` floor-division = Spark int cast on the
+    * non-negative operands here).
+    */
+  def tokenEstimateSql(textExpr: String): String =
+    s"CAST(GREATEST(${tokenCountSql(textExpr)} + " +
+      TextAnalysis.bpePunct.map(p =>
+        s"(length($textExpr) - length(replace($textExpr, '$p', '')))")
+        .mkString("(", " + ", ")") +
+      s", (length($textExpr) + 3) // 4) AS INTEGER)"
+
+  /** `TextAnalysis.qualityScore` as SQL. Same shape term by term:
+    * `least(tokens,20)*2 + alpha-ratio component + word-length
+    * component`, all integer arithmetic except the two divisions, which
+    * are IEEE double in BOTH engines (Spark `Divide` promotes to double;
+    * DuckDB `/` is float division), so the doubles are bit-identical and
+    * the final `floor` cannot straddle. Spark's int cast truncates
+    * (= floor on the non-negative sum); DuckDB CAST rounds, hence the
+    * explicit `floor`.
+    */
+  def qualityScoreSql(t: String): String = {
+    val toks = tokenCountSql(t)
+    val spaces = occSql(t, " ")
+    val letters = s"length(regexp_replace($t, '[^A-Za-z]', '', 'g'))"
+    val avg = s"((length($t) - $spaces) / $toks)"
+    s"CAST(floor(LEAST($toks, 20) * 2 " +
+      s"+ (CASE WHEN length($t) > 0 THEN ($letters * 30 / length($t)) " +
+      s"ELSE 0 END) " +
+      s"+ (CASE WHEN $toks > 0 AND $avg >= 3 AND $avg <= 12 THEN 30 " +
+      s"WHEN $toks > 0 AND $avg > 0 THEN 10 ELSE 0 END)) AS INTEGER)"
+  }
+
+  /** The 0.8/0.1/0.1 content-hash split rule as SQL (cutoffs are the
+    * 4-hex-char renderings of the cumulative fractions — see
+    * `Sampling.hashSplitColumn`).
+    */
+  def splitCaseSql(t: String): String =
+    s"CASE WHEN substr(md5($t), 1, 4) < 'cccc' THEN 'train' " +
+      s"WHEN substr(md5($t), 1, 4) < 'e666' THEN 'val' ELSE 'test' END"
+
+  /** documents ∪ exact copies (+10000, every 10th) ∪ near copies
+    * (+20000, every 20th) — the curation fixture needs BOTH dup kinds so
+    * every pipeline stage fires.
+    */
+  def docsForCuration(spark: SparkSession, dir: String): DataFrame =
+    docsWithExactDups(spark, dir)
+      .union(rd(spark, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text")))
+
+  val docsCurationSql: String =
+    docsDupsSql + " UNION ALL SELECT doc_id+20000, text || ' zz qq xx' " +
+      "FROM documents WHERE doc_id % 20 = 0"
+
+  /** Full curation-pipeline oracle: stage order and every decision rule
+    * mirror `Curation.curate` (language → quality → exact min-id →
+    * near-dup drop-higher-id → split), each stage rendered from the SAME
+    * shared SQL fragments its standalone oracle uses.
+    */
+  def curationOracleSql(keepLang: String, minQuality: Int,
+      threshold: Double): String =
+    s"""WITH base AS ($docsCurationSql),
+      staged AS (
+        SELECT doc_id, text,
+               ${langIdSql("text")} AS lang_d,
+               ${qualityScoreSql("text")} AS q
+        FROM base),
+      lq AS (SELECT doc_id, text FROM staged
+             WHERE lang_d = '$keepLang' AND q >= $minQuality),
+      ranked AS (
+        SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
+          ORDER BY doc_id) AS rn FROM lq),
+      all_docs AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+      $shingleCteSql,
+      pairs AS (${jaccardSelectSql(threshold, "a.doc_id < b.doc_id")}),
+      nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+      labeled AS (
+        SELECT s.doc_id, s.text,
+               CASE WHEN s.lang_d <> '$keepLang' THEN 'lang_filtered'
+                    WHEN s.q < $minQuality THEN 'quality_filtered'
+                    WHEN r.rn > 1 THEN 'exact_dup'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS status
+        FROM staged s
+        LEFT JOIN ranked r ON s.doc_id = r.doc_id
+        LEFT JOIN nd ON s.doc_id = nd.doc_id)
+      SELECT doc_id, status,
+             CASE WHEN status = 'kept' THEN ${splitCaseSql("text")}
+             END AS split
+      FROM labeled ORDER BY doc_id"""
+
   // -------------------------------------------------------------- queries
 
   type Q = (SparkSession, String) => DataFrame
@@ -774,12 +867,7 @@ object Queries {
     }): Q, Some(s"""
       SELECT doc_id,
              CAST(${tokenCountSql("text")} AS INTEGER) AS ws_tokens,
-             CAST(GREATEST(${tokenCountSql("text")} +
-               ${TextAnalysis.bpePunct.map(p =>
-                 s"(length(text) - length(replace(text, '$p', '')))")
-                 .mkString("(", " + ", ")")},
-               (length(text) + 3) // 4) AS INTEGER)
-               AS bpe_tokens
+             ${tokenEstimateSql("text")} AS bpe_tokens
       FROM documents ORDER BY doc_id""")),
 
     // ---- heuristic language-ID distribution ----
@@ -1466,7 +1554,105 @@ object Queries {
              CAST(24 + doc_id % 96 AS BIGINT) AS n_frames,
              CAST((24 + doc_id % 96) * 3 // 8 AS BIGINT) AS frame_i3,
              CAST((24 + doc_id % 96) * 7 // 8 AS BIGINT) AS frame_i7
-      FROM documents ORDER BY doc_id""")))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- END-TO-END CORPUS CURATION: language filter → quality filter
+    // → exact dedup → near-dup removal → split assignment as ONE
+    // operator with a per-document audit (status + split). The oracle
+    // replays every stage in SQL from the same shared fragments, so the
+    // whole composed pipeline is row-level verified, not just its
+    // pieces. Fixture plants BOTH dup kinds so every stage fires. ----
+    ("curate_documents", ((s: SparkSession, dir: String) => {
+      // maxDocFreq=0 opts INTO exact near-dup semantics (what the oracle
+      // computes) — the library default keeps the at-scale stop-shingle
+      // guard, same convention as dedup_ngram_documents
+      graft.pipeline.Curation.curate(docsForCuration(s, dir),
+        "doc_id", "text",
+        graft.pipeline.Curation.Config(maxDocFreq = 0))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSql("en", 40, 0.8))),
+
+    // ---- token-budget sharding: pack documents into contiguous
+    // training shards of ~budget tokens via the two-level distributed
+    // prefix sum (range shuffle + per-partition offsets — NO
+    // single-partition window). Oracle recomputes the assignment with a
+    // global SQL window cumsum: identical by the determinism contract. ----
+    ("shard_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.pipeline.Sharding.shardDocumentsByTokenBudget(
+          docs, "doc_id", "text", budget = 4096)
+        .select(col("doc_id"), col("_tokens").as("bpe_tokens"),
+          col("shard"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      SELECT doc_id,
+             CAST(${tokenEstimateSql("text")} AS BIGINT) AS bpe_tokens,
+             CAST(COALESCE(CAST(SUM(${tokenEstimateSql("text")})
+                 OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT), 0) // 4096 AS INTEGER)
+               AS shard
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- the SQL surface: the engine's scalar operators registered as
+    // native SQL functions (GraftFunctions.register — zero UDFs, the
+    // same Column trees as the DataFrame API) and exercised through
+    // spark.sql. Same oracle fragments as the Column queries. ----
+    ("sql_text_surface", ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      rd(s, dir, "documents").createOrReplaceTempView("graft_sql_documents")
+      s.sql("""
+        SELECT doc_id,
+               graft_token_count(text) AS ws_tokens,
+               graft_token_estimate(text) AS bpe_tokens,
+               graft_quality_score(text) AS quality,
+               graft_lang_id(text) AS lang_detected,
+               graft_split(text, 'train', 0.8D, 'val', 0.1D, 'test', 0.1D)
+                 AS split,
+               graft_keep_sample(text, 0.5D) AS in_half_sample
+        FROM graft_sql_documents ORDER BY doc_id""")
+    }): Q, Some(s"""
+      SELECT doc_id,
+             CAST(${tokenCountSql("text")} AS INTEGER) AS ws_tokens,
+             ${tokenEstimateSql("text")} AS bpe_tokens,
+             ${qualityScoreSql("text")} AS quality,
+             ${langIdSql("text")} AS lang_detected,
+             ${splitCaseSql("text")} AS split,
+             substr(md5(text), 1, 4) < '8000' AS in_half_sample
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- the native codegen'd cosine expression through SQL: top-5
+    // neighbors for 3 query vectors, rank-ordered (score ties broken by
+    // id) — same contract as similarity_topk, driven entirely by
+    // spark.sql over the registered function. ----
+    ("sql_cosine_topk", ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      rd(s, dir, "embeddings")
+        .createOrReplaceTempView("graft_sql_embeddings")
+      s.sql("""
+        SELECT query_id, id, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY graft_cosine_similarity(e.embedding,
+                     q.embedding) DESC, e.vec_id) AS rank
+          FROM (SELECT * FROM graft_sql_embeddings WHERE vec_id < 3) q
+          JOIN graft_sql_embeddings e)
+        WHERE rank <= 5 ORDER BY query_id, rank""")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

@@ -70,8 +70,14 @@ object Sampling {
     * changes when other rows come or go (unlike `df.sample`). Fraction
     * granularity 1/65536.
     */
-  def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame = {
+  def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
+    df.filter(hashSampleColumn(col(keyCol), frac))
+
+  /** The boolean membership predicate behind [[hashSample]] — exposed so
+    * the SQL surface (`graft_keep_sample`) shares the exact rule.
+    */
+  def hashSampleColumn(key: Column, frac: Double): Column = {
     require(frac >= 0 && frac <= 1, s"fraction $frac outside [0,1]")
-    df.filter(bucket(col(keyCol)) < lit(cutoffHex(frac)))
+    bucket(key) < lit(cutoffHex(frac))
   }
 }

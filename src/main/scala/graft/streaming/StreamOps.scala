@@ -150,6 +150,25 @@ object StreamOps {
         indexPath, batch, qIdCol, qVecCol, k, nProbe)
     }
 
+  /** Per-micro-batch corpus CURATION — the composed daily-driver on a
+    * stream: each arriving batch runs the full `Curation.curate` audit
+    * (language → quality → exact dedup → near-dup → split) WITHIN the
+    * batch, and `sink` receives the per-document audit frame. Dedup
+    * scope is batch-internal (the streaming analog of the batch
+    * operator's corpus = the batch); to also dedup against a persisted
+    * corpus, compose with [[dedupStreamAgainstIndex]] on the curated
+    * output. Each batch runs in its own released CacheScope.
+    */
+  def curateStream(stream: DataFrame, idCol: String, textCol: String,
+      cfg: graft.pipeline.Curation.Config =
+        graft.pipeline.Curation.Config())(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Curation.curate(batch, idCol, textCol, cfg, scope)
+    }
+
   /** Per-key running session state via flatMapGroupsWithState: emits one
     * update row per input batch per key (running count + sum). The custom
     * state shape the reference's per-record pipeline would need when moved

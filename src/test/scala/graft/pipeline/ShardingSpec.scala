@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShardingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  /** The contract, recomputed serially on the driver. */
+  private def expected(budget: Long): Map[Long, Int] = {
+    val toks = docs
+      .select($"doc_id", TextAnalysis.tokenEstimate($"text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+      .sortBy(_._1)
+    var run = 0L
+    toks.map { case (id, t) =>
+      val shard = (run / budget).toInt
+      run += t
+      id -> shard
+    }.toMap
+  }
+
+  test("shard assignment equals the serial exclusive-prefix contract") {
+    val got = Sharding.shardDocumentsByTokenBudget(
+        docs, "doc_id", "text", budget = 1000)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected(1000))
+    assert(got.values.max > 3, "fixture should span multiple shards")
+  }
+
+  test("assignment is invariant to the partition count") {
+    val a = Sharding.shardDocumentsByTokenBudget(
+        docs, "doc_id", "text", budget = 777, numPartitions = 1)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Sharding.shardDocumentsByTokenBudget(
+        docs, "doc_id", "text", budget = 777, numPartitions = 7)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("all caller columns are preserved; shards are contiguous in id order") {
+    val sharded = Sharding.shardDocumentsByTokenBudget(
+      docs.withColumn("extra", $"doc_id" * 2), "doc_id", "text", 2000)
+    assert(sharded.columns.toSet ==
+      Set("doc_id", "text", "extra", "_tokens", "shard"))
+    val rows = sharded.select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    // shard ids never decrease when walking ids in order (a doc larger
+    // than the budget may legitimately skip numbers)
+    rows.sliding(2).foreach {
+      case Array((_, s1), (id2, s2)) =>
+        assert(s2 >= s1, s"decrease at $id2: $s1 -> $s2")
+      case _ =>
+    }
+  }
+
+  test("shardManifest sums tokens per shard; budget respected (one-doc slack)") {
+    val budget = 1500L
+    val sharded = Sharding.shardDocumentsByTokenBudget(
+      docs, "doc_id", "text", budget)
+    val manifest = Sharding.shardManifest(sharded).collect()
+    val total = manifest.map(_.getLong(2)).sum
+    val direct = docs
+      .select(sum(TextAnalysis.tokenEstimate($"text").cast("long")))
+      .as[Long].head()
+    assert(total == direct)
+    // every shard except possibly the last stays under budget + its
+    // final doc's overflow: a shard only opens when the running sum is
+    // still below the boundary, so shard_tokens < budget + max doc size
+    val maxDoc = docs
+      .select(max(TextAnalysis.tokenEstimate($"text").cast("long")))
+      .as[Long].head()
+    manifest.foreach { r =>
+      assert(r.getLong(2) < budget + maxDoc,
+        s"shard ${r.getInt(0)} holds ${r.getLong(2)} tokens")
+    }
+  }
+
+  test("rejects a non-positive budget") {
+    val e = intercept[IllegalArgumentException] {
+      Sharding.shardDocumentsByTokenBudget(docs, "doc_id", "text", 0)
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+}

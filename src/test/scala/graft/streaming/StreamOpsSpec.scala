@@ -266,4 +266,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
     assert(rows == List((7L, 2L, 3.0), (7L, 3L, 7.0), (8L, 1L, 10.0)))
   }
+
+  test("micro-batch curation = batch curate per wave") {
+    import graft.pipeline.{CacheScope, Curation}
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // two waves; wave 2 contains an exact copy + a near copy of its own
+    // rows so the dedup stages fire WITHIN the micro-batch
+    val w1 = corpus.filter($"doc_id" < 100).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val base2 = corpus.filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val w2 = base2 ++
+      base2.filter(_._1 % 10 == 0).map { case (id, t) => (id + 10000, t) } ++
+      base2.filter(_._1 % 20 == 0)
+        .map { case (id, t) => (id + 20000, t + " zz qq xx") }
+
+    val cfg = Curation.Config(maxDocFreq = 0)
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map.empty[Long,
+      Set[(Long, String, String)]]
+    val q = StreamOps.curateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", cfg) {
+      (audit, batchId) =>
+        got(batchId) = audit.collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSet
+        ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+
+    def batchAudit(rows: Seq[(Long, String)]): Set[(Long, String, String)] =
+      CacheScope.withScope { scope =>
+        Curation.curate(rows.toDF("doc_id", "text"), "doc_id", "text",
+            cfg, scope)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSet
+      }
+    assert(got(0L) == batchAudit(w1))
+    assert(got(1L) == batchAudit(w2))
+    assert(got(1L).exists(_._2 == Curation.ExactDup))
+  }
 }
