@@ -1568,7 +1568,8 @@ object Queries {
       // guard, same convention as dedup_ngram_documents
       graft.pipeline.Curation.curate(docsForCuration(s, dir),
         "doc_id", "text",
-        graft.pipeline.Curation.Config(maxDocFreq = 0))
+        graft.pipeline.Curation.Config(nearDup =
+          graft.pipeline.Curation.NearDupStrategy.Ngram(maxDocFreq = 0)))
         .orderBy("doc_id")
     }): Q, Some(curationOracleSql("en", 40, 0.8))),
 

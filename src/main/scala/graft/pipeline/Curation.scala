@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * never pay dedup cost; exact dedup shuffles only filter survivors
   * (one window over `md5(text)`, rejected rows get synthetic singleton
   * partition keys so the audit frame has no null-key skew partition);
-  * near-dup candidate generation runs only on exact-dedup survivors
-  * with the stop-shingle guard ON (the default `maxDocFreq`); the
-  * near-dup drop set joins back by id (AQE broadcasts it when small);
+  * near-dup candidate generation runs only on exact-dedup survivors,
+  * by default through MinHash banding (candidate volume bounded by
+  * signature collisions — see [[NearDupStrategy]] for the measured
+  * tradeoff vs the exact inverted shingle index); the near-dup drop
+  * set joins back by id (AQE broadcasts it when small);
   * split assignment is a pure expression. Every stage is an existing
   * scale-audited operator — this module only fixes their composition
   * and the audit contract.
@@ -30,6 +32,35 @@ object Curation {
   val NearDup = "near_dup"
   val Kept = "kept"
 
+  /** Near-dup candidate strategy for the fourth stage. The drop RULE is
+    * identical either way (higher id of each verified J≥threshold pair);
+    * only candidate GENERATION differs:
+    *
+    *   - [[NearDupStrategy.Ngram]] — inverted shingle index; exact recall up to
+    *     the stop-shingle guard. Candidate volume is Σ docFreq² over
+    *     surviving shingles, so a TEMPLATE-dense corpus (many docs
+    *     sharing mid-frequency boilerplate shingles) pays quadratically
+    *     in family size: the 100× dry-run measured 1035 s at 500k docs
+    *     with guard=1000, and tightening the guard to 50 cut it to 16 s
+    *     but dropped boilerplate-connected recall to zero
+    *     (PIPELINE_DRYRUN.md).
+    *   - [[NearDupStrategy.MinHash]] — banded signature buckets; candidates are
+    *     bounded by band collisions (probability ~J^(hashes/bands) per
+    *     band), so family density costs linearly, at the documented
+    *     per-pair collision-floor miss rate (~2 of 36k pairs at 10×,
+    *     DEDUP_DRYRUN.md). Measured on the 100× template corpus: 39 s
+    *     with the IDENTICAL drop set the 1035 s exact run produced —
+    *     which is why it is the DEFAULT. Pin `Ngram` when exact recall
+    *     through boilerplate shingles must be provable (the oracle
+    *     queries do, with `maxDocFreq = 0`).
+    */
+  sealed trait NearDupStrategy
+  object NearDupStrategy {
+    final case class Ngram(maxDocFreq: Int = 1000) extends NearDupStrategy
+    final case class MinHash(numHashes: Int = 64, bands: Int = 16,
+        maxBucketSize: Int = 1000) extends NearDupStrategy
+  }
+
   /** Tuning knobs for [[curate]]; defaults are the safe at-scale points
     * of the underlying operators.
     */
@@ -38,7 +69,7 @@ object Curation {
       minQuality: Int = 40,
       nearDupThreshold: Double = 0.8,
       shingleSize: Int = 3,
-      maxDocFreq: Int = 1000,
+      nearDup: NearDupStrategy = NearDupStrategy.MinHash(),
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
@@ -53,11 +84,12 @@ object Curation {
     *   - quality: `TextAnalysis.qualityScore(text) >= cfg.minQuality`;
     *   - exact: among filter survivors, the min-id row per distinct
     *     `md5(text)` is kept, later ids are `exact_dup`;
-    *   - near: among exact survivors, exact n-gram Jaccard pairs at
-    *     `cfg.nearDupThreshold` drop the HIGHER id of each pair (a doc
-    *     is `near_dup` iff some earlier surviving doc is its near-dup —
-    *     single pass, no transitive chasing, so the rule is a pure
-    *     function of the pair set and replicable in the oracle);
+    *   - near: among exact survivors, verified J≥threshold pairs from
+    *     `cfg.nearDup`'s candidate strategy drop the HIGHER id of each
+    *     pair (a doc is `near_dup` iff some earlier surviving doc is
+    *     its near-dup — single pass, no transitive chasing, so the rule
+    *     is a pure function of the pair set and replicable in the
+    *     oracle);
     *   - split: `Sampling.hashSplitColumn(text)` on kept docs.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
@@ -66,7 +98,12 @@ object Curation {
     require(cfg.keepLangs.nonEmpty, "keepLangs must be non-empty")
     val sc = CacheScope.resolve(scope, docs.sparkSession)
 
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    // null text = empty text: without the coalesce a null row's filter
+    // predicates evaluate to null, every WHEN falls through, and the doc
+    // lands in `kept` — empty text instead scores lang 'und'/quality 0
+    // and is rejected at the first filter, deterministically
+    val base = docs.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
     // staged langId: per-language scores computed once per row (the
     // inline Column form would triple the hottest replace() work)
     val staged = TextAnalysis.withLangId(base, "text", as = "_lang")
@@ -85,9 +122,18 @@ object Curation {
     val exactKept = ranked
       .filter(col("_lang_ok") && col("_q_ok") && col("_rn") === 1)
       .select("id", "text")
-    val dropIds = Dedup.ngramJaccardPairs(exactKept, "id", "text",
-        threshold = cfg.nearDupThreshold, shingleSize = cfg.shingleSize,
-        maxDocFreq = cfg.maxDocFreq, scope = sc)
+    val pairs = cfg.nearDup match {
+      case NearDupStrategy.Ngram(maxDocFreq) =>
+        Dedup.ngramJaccardPairs(exactKept, "id", "text",
+          threshold = cfg.nearDupThreshold, shingleSize = cfg.shingleSize,
+          maxDocFreq = maxDocFreq, scope = sc)
+      case NearDupStrategy.MinHash(numHashes, bands, maxBucketSize) =>
+        Dedup.minhashPairs(exactKept, "id", "text",
+          threshold = cfg.nearDupThreshold, numHashes = numHashes,
+          bands = bands, shingleSize = cfg.shingleSize,
+          maxBucketSize = maxBucketSize, scope = sc)
+    }
+    val dropIds = pairs
       .select(col("id_b").as("id")).distinct()
       .withColumn("_near_dup", lit(true))
 

@@ -96,4 +96,18 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_tokens")).as("shard_tokens"))
       .orderBy("shard")
+
+  /** Materialize a [[shardByTokenBudget]] assignment as one parquet
+    * directory per shard (`shard=N/`), plus `_manifest` (the
+    * [[shardManifest]] aggregate). A shard is range-contiguous in
+    * `idCol` by construction, so `partitionBy(shard)` writes each file
+    * from already-co-located rows — the assignment's range shuffle is
+    * the ONLY full-data movement in the whole pack-and-write path, and
+    * readers of one shard read one directory.
+    */
+  def writeShards(sharded: DataFrame, path: String): Unit = {
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(path)
+    shardManifest(sharded).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_manifest")
+  }
 }

@@ -23,7 +23,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
           concat($"text", lit(" zz qq xx")).as("text")))
   }
 
-  private val cfg = Curation.Config(maxDocFreq = 0)
+  private val cfg = Curation.Config(nearDup = Curation.NearDupStrategy.Ngram(maxDocFreq = 0))
 
   test("audit covers every input row exactly once, statuses partition") {
     CacheScope.withScope { scope =>
@@ -86,6 +86,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       val curated = Curation.curated(fixture, "doc_id", "text", cfg, scope)
       assert(curated.columns.toSet == Set("doc_id", "text", "split"))
       assert(curated.select("doc_id").as[Long].collect().toSet == keptIds)
+    }
+  }
+
+  test("null text is rejected at the language stage, not kept") {
+    CacheScope.withScope { scope =>
+      val withNull = fixture.union(
+        Seq((99999L, null: String)).toDF("doc_id", "text"))
+      val audit = Curation.curate(withNull, "doc_id", "text", cfg, scope)
+        .filter($"doc_id" === 99999L).collect()
+      assert(audit.length == 1)
+      assert(audit.head.getString(1) == Curation.LangFiltered)
+      assert(audit.head.isNullAt(2))
+    }
+  }
+
+  test("MinHash near-dup strategy agrees with exact ngram on this fixture") {
+    // the planted near-dups share most shingles, far above the banding
+    // collision floor — so the approximate strategy must produce the
+    // IDENTICAL audit here (its cost advantage appears on template-dense
+    // corpora, PIPELINE_DRYRUN.md)
+    CacheScope.withScope { scope =>
+      val exact = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val mh = Curation.curate(fixture, "doc_id", "text",
+          Curation.Config(nearDup = Curation.NearDupStrategy.MinHash()), scope)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(mh == exact)
     }
   }
 

@@ -84,6 +84,32 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("writeShards lays out one directory per shard + manifest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_").toString
+    try {
+      val sharded = Sharding.shardDocumentsByTokenBudget(
+        docs, "doc_id", "text", 2000)
+      Sharding.writeShards(sharded, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      val nShards = sharded.select(max($"shard")).as[Int].head() + 1
+      assert(shardDirs.length == nShards, shardDirs.mkString(","))
+      // round-trip: every doc lands in its assigned shard directory
+      val back = spark.read.parquet(dir)
+        .select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val direct = sharded.select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(back == direct)
+      val manifest = spark.read.parquet(s"$dir/_manifest")
+      assert(manifest.count() == nShards)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("rejects a non-positive budget") {
     val e = intercept[IllegalArgumentException] {
       Sharding.shardDocumentsByTokenBudget(docs, "doc_id", "text", 0)

@@ -283,7 +283,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       base2.filter(_._1 % 20 == 0)
         .map { case (id, t) => (id + 20000, t + " zz qq xx") }
 
-    val cfg = Curation.Config(maxDocFreq = 0)
+    val cfg = Curation.Config(nearDup = Curation.NearDupStrategy.Ngram(maxDocFreq = 0))
     val input = MemoryStream[(Long, String)](spark)
     val got = scala.collection.mutable.Map.empty[Long,
       Set[(Long, String, String)]]

@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.pipeline.{CacheScope, Curation, Sharding, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× scale dry-run of the round-10 composed operators: expands the
+  * sf0.1 documents table (5 000 docs) to a 500 000-doc corpus and runs
+  *
+  *   1. token-budget SHARDING — the claim under test is the two-level
+  *      prefix sum: assignment must be identical across partition
+  *      counts (8 vs 64) AND identical to the serial driver-side
+  *      contract, with no single-partition stage anywhere; walls
+  *      recorded.
+  *   2. CURATION — the composed pipeline at 500k docs with the
+  *      stop-shingle guard at its default (the at-scale configuration,
+  *      NOT the exact-oracle pin), recording per-status counts and
+  *      wall; the guard exists exactly for this corpus shape (100
+  *      near-identical reps make every shingle a stop-shingle, so the
+  *      guarded run must stay bounded where exact mode would square).
+  *
+  * Corpus construction (deterministic, same family as DedupScaleDryRun):
+  * rep 0 = original; reps 1..99 keep a rep-seeded half of the tokens
+  * plus two rep/id marker tokens (Jaccard ~0.33 vs rep 0 — below any
+  * near-dup threshold), except id%100==0 docs whose reps stay EXACT
+  * copies (100-copy dup groups for the exact stage).
+  *
+  * Output goes to stdout AND PIPELINE_DRYRUN.md (committed evidence).
+  */
+object PipelineScaleDryRun {
+
+  private val out = new StringBuilder
+  private def log(s: String): Unit = { println(s); out.append(s).append('\n') }
+
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    log(f"  wall: ${(System.nanoTime() - t0) / 1e9}%.1f s  ($label)")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("pipeline-scale-dryrun")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val reps = 100
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text")
+    val nBase = base.count()
+    val corpus = base.crossJoin(
+        spark.range(reps.toLong).toDF("rep").hint("broadcast"))
+      .select(($"doc_id" + $"rep" * 1000000L).as("doc_id"),
+        when($"rep" === 0 || $"doc_id" % 100 === 0, $"text")
+          .otherwise(concat_ws(" ",
+            filter(split($"text", " "),
+              (w, i) => pmod(hash(w, $"rep", lit(0)), lit(2)) === (i % 2)),
+            concat(lit("rep"), $"rep"),
+            concat(lit("uid"), $"doc_id", lit("x"), $"rep")))
+          .as("text"))
+      .repartition(32).persist()
+    val n = corpus.count()
+    log(s"# Pipeline 100x scale dry-run (generated $n docs from " +
+      s"sf0.1's $nBase)\n")
+
+    // ---------------------------------------------------------- sharding
+    log("## token-budget sharding (budget=65536 tokens)")
+    val budget = 65536L
+    def shardWith(parts: Int): DataFrame =
+      Sharding.shardDocumentsByTokenBudget(corpus, "doc_id", "text",
+        budget, numPartitions = parts)
+        .select($"doc_id", $"shard")
+    val a = timed("shard @ 8 partitions") {
+      val d = shardWith(8).as[(Long, Int)].collect().sortBy(_._1); d
+    }
+    val b = timed("shard @ 64 partitions") {
+      val d = shardWith(64).as[(Long, Int)].collect().sortBy(_._1); d
+    }
+    log(s"  partition-count invariance (8 vs 64): ${a.sameElements(b)}")
+    val serial = timed("serial driver-side contract") {
+      val toks = corpus
+        .select($"doc_id", TextAnalysis.tokenEstimate($"text").as("t"))
+        .as[(Long, Int)].collect().sortBy(_._1)
+      var run = 0L
+      toks.map { case (id, t) =>
+        val s = (run / budget).toInt; run += t; (id, s)
+      }
+    }
+    log(s"  equals serial contract: ${a.sameElements(serial)}")
+    log(s"  shards produced: ${a.map(_._2).max + 1} " +
+      s"(~${a.length / (a.map(_._2).max + 1)} docs/shard)\n")
+
+    // ---------------------------------------------------------- curation
+    // near-dup strategies to measure come from args (default all three);
+    // the ngram-1000 leg costs ~17 min on this corpus — pass a subset to
+    // add one measurement without re-running the others. Args: integers
+    // select the ngram guard at that maxDocFreq; "minhash" selects the
+    // banded-signature strategy.
+    val strategies: Seq[(String, Curation.NearDupStrategy)] =
+      (if (args.nonEmpty) args.toSeq else Seq("1000", "50", "minhash"))
+        .map {
+          case "minhash" => "minhash 64/16" -> Curation.NearDupStrategy.MinHash()
+          case g => s"ngram guard=$g" ->
+            Curation.NearDupStrategy.Ngram(maxDocFreq = g.toInt)
+        }
+    strategies.foreach { case (label, strat) =>
+      log(s"## curation at 500k docs ($label)")
+      val counts = timed(s"curate (lang=en, q>=40, J>=0.8, $label)") {
+        CacheScope.withScope { scope =>
+          Curation.curate(corpus, "doc_id", "text",
+              Curation.Config(nearDup = strat), scope)
+            .groupBy("status").count()
+            .as[(String, Long)].collect().toMap
+        }
+      }
+      counts.toSeq.sortBy(_._1).foreach { case (s, c) =>
+        log(f"  $s%-18s $c%8d")
+      }
+      log("")
+    }
+    log("Note: exact mode (maxDocFreq=0) on this corpus is the designed-" )
+    log("for failure: ~100 reps of every document make every shingle a")
+    log("stop-shingle, so the unguarded self-join squares. The guard is")
+    log("the at-scale default; the oracle queries pin exact mode only at")
+    log("oracle scale.")
+
+    val target = if (args.nonEmpty)
+      s"PIPELINE_DRYRUN_${args.mkString("_")}.md" else "PIPELINE_DRYRUN.md"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target), out.toString)
+    spark.stop()
+  }
+}
