@@ -399,6 +399,32 @@ object Queries {
       | UNION ALL SELECT doc_id+20000, text || ' zz qq xx' FROM documents
       | WHERE doc_id % 20 = 0""".stripMargin.replace("\n", " ")
 
+  /** Every 10th document gets planted, doc_id-derived PII appended (an
+    * email, an E.164 phone, a dotted-quad IP) — same planted-fixture
+    * convention as [[docsWithNearDups]], mirrored exactly by
+    * [[docsPiiSql]] so the oracle computes the identical corpus.
+    */
+  def docsWithPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = rd(spark, dir, "documents")
+    d.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com or +1415550"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  val docsPiiSql: String =
+    """SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN
+      | text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+      | '@example.com or +1415550' ||
+      | lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+      | ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+      | ELSE text END AS text FROM documents""".stripMargin
+      .replace("\n", " ")
+
   /** Portable occurrence count (shared shape with TextAnalysis.occ). */
   private def occSql(h: String, needle: String): String =
     s"((length($h) - length(replace($h, '$needle', ''))) / ${needle.length})"
@@ -451,6 +477,29 @@ object Queries {
     s"WITH all_docs AS ($docsNearDupsSql), $shingleCteSql " +
       jaccardSelectSql(threshold, "a.doc_id < b.doc_id")
 
+  /** Transitive dup-cluster oracle: the same exact all-pairs Jaccard set,
+    * closed under reachability with a recursive CTE (min reachable id =
+    * cluster label), LEFT-joined back so every document is labeled —
+    * singletons label themselves. Mirrors `Clustering.dupClusters` over
+    * `Dedup.ngramJaccardPairs` in exact mode.
+    */
+  def clustersSql(threshold: Double): String =
+    s"""WITH RECURSIVE all_docs AS ($docsNearDupsSql), $shingleCteSql,
+      pairs AS (${jaccardSelectSql(threshold, "a.doc_id < b.doc_id")}),
+      edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT s AS id, s AS r FROM edges
+        UNION
+        SELECT e.d AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.s = reach.id),
+      cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+             (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+      FROM all_docs d LEFT JOIN cc ON d.doc_id = cc.id
+      ORDER BY doc_id"""
+
   /** Oracle for the incremental (batch-vs-corpus) contract: batch ids are
     * the +20000 near-copies, corpus is the base table; every pair has a
     * batch member, batch id first, batch-internal pairs once (a < b),
@@ -461,6 +510,42 @@ object Queries {
       jaccardSelectSql(threshold,
         "a.doc_id >= 20000 AND a.doc_id <> b.doc_id " +
           "AND (b.doc_id < 20000 OR a.doc_id < b.doc_id)")
+
+  /** PII oracle — generated from the SAME pattern constants as the Spark
+    * expressions (TextAnalysis.emailPattern/ipv4Pattern/phonePattern) so
+    * the two engines can never drift; the patterns are written to the
+    * Java-regex ∩ RE2 common subset, and the replace order (email, ip,
+    * phone) is part of the contract.
+    */
+  def piiSql: String = {
+    val e = TextAnalysis.emailPattern
+    val i = TextAnalysis.ipv4Pattern
+    val p = TextAnalysis.phonePattern
+    def cnt(pat: String) =
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER)"
+    s"""WITH pii_docs AS ($docsPiiSql)
+      SELECT doc_id,
+             ${cnt(e)} AS n_email, ${cnt(i)} AS n_ip, ${cnt(p)} AS n_phone,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+               '$p', '<PHONE>', 'g')) AS redacted_md5
+      FROM pii_docs ORDER BY doc_id"""
+  }
+
+  /** Contamination oracle: distinct word-3-gram overlap of every document
+    * against the planted benchmark slice (`doc_id % 97 = 0`), via the
+    * shared shingle CTE.
+    */
+  def contaminationSql: String =
+    s"""WITH all_docs AS (SELECT doc_id, text FROM documents), $shingleCteSql,
+      docg AS (SELECT doc_id, len(shingles) AS n_shingles,
+                      unnest(shingles) AS g FROM sh),
+      bg AS (SELECT DISTINCT unnest(shingles) AS g FROM sh
+             WHERE doc_id % 97 = 0)
+      SELECT d.doc_id, CAST(max(d.n_shingles) AS INTEGER) AS n_shingles,
+             CAST(count(*) AS INTEGER) AS n_overlap
+      FROM docg d JOIN bg USING (g)
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   def tokenCountSql(textExpr: String): String =
     s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
@@ -840,6 +925,39 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(jaccardAllPairsSql(0.8))),
+
+    // ---- transitive dup clusters: connected components (alternating
+    // large-star/small-star contraction) over the exact near-dup pair
+    // set; every document labeled, cluster id = component min ----
+    ("dedup_clusters_documents", ((s: SparkSession, dir: String) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxDocFreq = 0)
+      graft.pipeline.Clustering.dupClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }): Q, Some(clustersSql(0.8))),
+
+    // ---- PII detection + redaction over the planted-PII corpus:
+    // pure codegen'd regex expressions (map-only at scale), patterns in
+    // the Java-regex ∩ RE2 subset so the oracle is exact ----
+    ("pii_documents", ((s: SparkSession, dir: String) => {
+      docsWithPii(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("text")).as("n_email"),
+          TextAnalysis.ipv4Count(col("text")).as("n_ip"),
+          TextAnalysis.phoneCount(col("text")).as("n_phone"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }): Q, Some(piiSql)),
+
+    // ---- benchmark decontamination: distinct 3-gram overlap of the
+    // corpus against a broadcast benchmark shingle set ----
+    ("contamination_documents", ((s: SparkSession, dir: String) => {
+      val d = rd(s, dir, "documents")
+      graft.pipeline.Curation.contamination(
+        d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", "text")
+        .orderBy("doc_id")
+    }): Q, Some(contaminationSql)),
 
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {

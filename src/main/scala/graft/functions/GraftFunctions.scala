@@ -55,6 +55,11 @@ object GraftFunctions {
     "graft_quality_score" -> unary(TextAnalysis.qualityScore),
     "graft_lang_id" -> unary(TextAnalysis.langId),
     "graft_fingerprint" -> unary(TextAnalysis.fingerprint),
+    // PII pre-filter signals + typed-marker redaction
+    "graft_email_count" -> unary(TextAnalysis.emailCount),
+    "graft_ipv4_count" -> unary(TextAnalysis.ipv4Count),
+    "graft_phone_count" -> unary(TextAnalysis.phoneCount),
+    "graft_redact_pii" -> unary(TextAnalysis.redactPii),
     // deterministic content-hash split:
     //   graft_split(key, 'train', 0.8, 'val', 0.1, 'test', 0.1)
     // labels/fractions must be literals (the rule is a config, not data)

@@ -150,6 +150,41 @@ object Curation {
       .select(col("id").as(idCol), col("status"), col("split"))
   }
 
+  /** Benchmark-contamination report: for every corpus document sharing at
+    * least one word `n`-gram with the benchmark set, its shingle count and
+    * the number of distinct shingles also present in ANY benchmark text —
+    * the decontamination signal every serious training pipeline runs
+    * before a benchmark is trusted (n-gram overlap, the standard public
+    * methodology). Callers drop or flag rows where
+    * `n_overlap / n_shingles` crosses their policy line; the report keeps
+    * raw integers so the policy stays caller-side and oracle-portable.
+    *
+    * Scale design (100 TB): benchmark suites are MB-scale while the corpus
+    * is the 100 TB side, so the benchmark shingle set is explicitly
+    * `broadcast()` — the corpus is scanned ONCE, map-side joined (no
+    * corpus shuffle), and only matching (doc, shingle) rows reach the one
+    * `groupBy(id)` shuffle, whose volume is bounded by hits, not corpus
+    * size.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), shingleSize)
+    val docSh = docs.select(col(idCol).cast("long").as(idCol),
+        sh.as("__shingles"))
+      .select(col(idCol), size(col("__shingles")).as("n_shingles"),
+        explode(col("__shingles")).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), shingleSize))
+        .as("__sh"))
+      .distinct()
+    docSh.join(broadcast(benchSh), "__sh")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+    // count, not countDistinct: Dedup.shingles is already distinct per
+    // doc and the benchmark side is distinct'd above
+  }
+
   /** The curated corpus itself: input rows that survive every stage,
     * with their split label — `curate` filtered to `kept`, joined back
     * to the full input row so no caller column is lost.

@@ -131,4 +131,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textCol)).cast(LongType)).as("total_tokens"),
         avg(qualityScore(col(textCol))).as("avg_quality"))
+
+  // ------------------------------------------------------------------ PII
+  // Patterns are deliberately written to the COMMON subset of Java regex
+  // (Spark codegen) and RE2 (the DuckDB oracle): no lookaround, no
+  // backreferences, ASCII classes, `\b` (an ASCII word boundary in both).
+  // Both engines scan leftmost non-overlapping with the same greedy
+  // semantics on these alternation-free patterns, so counts and global
+  // replacement are bit-identical. Conservative by design — a pipeline
+  // PRE-FILTER signal (flag/redact for review), not a compliance scanner.
+
+  /** Email addresses (user@host.tld, tld >= 2 alpha). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals, word-bounded. */
+  val ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** E.164-shaped phone numbers: '+' then 9-15 digits. */
+  val phonePattern = "\\+[0-9]{9,15}"
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast(IntegerType)
+
+  def ipv4Count(text: Column): Column =
+    regexp_count(text, lit(ipv4Pattern)).cast(IntegerType)
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phonePattern)).cast(IntegerType)
+
+  /** All PII matches replaced with typed markers. Emails first (an email
+    * can embed digit runs the narrower patterns would then see), then
+    * IPv4, then phone — the order is part of the contract and mirrored
+    * in the oracle SQL. Pure codegen'd expressions; at 100 TB this is a
+    * map-only pass with no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-row PII stat columns appended to `df`. */
+  def withPiiStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_email", emailCount(col(textCol)))
+      .withColumn("n_ip", ipv4Count(col(textCol)))
+      .withColumn("n_phone", phoneCount(col(textCol)))
 }

@@ -39,6 +39,18 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql == viaColumns)
   }
 
+  test("PII SQL surface equals the Column API") {
+    GraftFunctions.register(spark)
+    Seq(Tuple1("mail a@b.io from 10.0.0.1 or +123456789 x"))
+      .toDF("text").createOrReplaceTempView("gf_pii")
+    val r = spark.sql("""
+      SELECT graft_email_count(text), graft_ipv4_count(text),
+             graft_phone_count(text), graft_redact_pii(text)
+      FROM gf_pii""").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
+    assert(r.getString(3) == "mail <EMAIL> from <IP> or <PHONE> x")
+  }
+
   test("graft_cosine_similarity matches the Column expression") {
     GraftFunctions.register(spark)
     val e = spark.read
