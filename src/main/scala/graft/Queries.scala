@@ -613,8 +613,24 @@ object Queries {
     * shared SQL fragments its standalone oracle uses.
     */
   def curationOracleSql(keepLang: String, minQuality: Int,
-      threshold: Double): String =
-    s"""WITH base AS ($docsCurationSql),
+      threshold: Double, transitive: Boolean = false): String = {
+    // single-pass: drop the higher id of each pair; transitive: drop
+    // every non-minimum member of each pair-graph component (recursive
+    // reachability closure, min reachable id = cluster label)
+    val ndCte =
+      if (transitive)
+        """edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          |            UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+          |    reach(id, r) AS (
+          |      SELECT DISTINCT s AS id, s AS r FROM edges
+          |      UNION
+          |      SELECT e.d AS id, reach.r AS r
+          |      FROM reach JOIN edges e ON e.s = reach.id),
+          |    nd AS (SELECT id AS doc_id FROM
+          |      (SELECT id, min(r) AS m FROM reach GROUP BY id)
+          |      WHERE id <> m)""".stripMargin.replace("\n", " ")
+      else "nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs)"
+    s"""WITH ${if (transitive) "RECURSIVE " else ""}base AS ($docsCurationSql),
       staged AS (
         SELECT doc_id, text,
                ${langIdSql("text")} AS lang_d,
@@ -628,7 +644,7 @@ object Queries {
       all_docs AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
       $shingleCteSql,
       pairs AS (${jaccardSelectSql(threshold, "a.doc_id < b.doc_id")}),
-      nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+      $ndCte,
       labeled AS (
         SELECT s.doc_id, s.text,
                CASE WHEN s.lang_d <> '$keepLang' THEN 'lang_filtered'
@@ -643,6 +659,7 @@ object Queries {
              CASE WHEN status = 'kept' THEN ${splitCaseSql("text")}
              END AS split
       FROM labeled ORDER BY doc_id"""
+  }
 
   // -------------------------------------------------------------- queries
 
@@ -1690,6 +1707,20 @@ object Queries {
           graft.pipeline.Curation.NearDupStrategy.Ngram(maxDocFreq = 0)))
         .orderBy("doc_id")
     }): Q, Some(curationOracleSql("en", 40, 0.8))),
+
+    // ---- curation with TRANSITIVE near-dup removal: the same composed
+    // pipeline, near-dup drop set = every non-minimum member of each
+    // pair-graph connected component (Clustering.connectedComponents);
+    // oracle closes the pair set with a recursive CTE ----
+    ("curate_transitive_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curation.curate(docsForCuration(s, dir),
+        "doc_id", "text",
+        graft.pipeline.Curation.Config(
+          nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+            maxDocFreq = 0),
+          transitiveNearDup = true))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSql("en", 40, 0.8, transitive = true))),
 
     // ---- token-budget sharding: pack documents into contiguous
     // training shards of ~budget tokens via the two-level distributed

@@ -45,7 +45,18 @@ object Clustering {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
       maxIterations: Int = 30,
-      scope: CacheScope = CacheScope.session): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxIterations, scope)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took to
+    * converge — scale-evidence instrumentation (a round = one
+    * large-star + small-star pass = a bounded number of shuffles, so
+    * rounds × shuffle cost is the operator's scale model).
+    */
+  def connectedComponentsStats(pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIterations: Int = 30,
+      scope: CacheScope = CacheScope.session): (DataFrame, Int) = {
     val sc = CacheScope.resolve(scope, pairs.sparkSession)
 
     // canonical undirected edge (lo < hi), nulls and self-loops dropped.
@@ -84,7 +95,7 @@ object Clustering {
       .join(edges.select(col("hi").as("id")).distinct(), Seq("id"),
         "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    sc.persist(members.union(roots))
+    (sc.persist(members.union(roots)), rounds)
   }
 
   /** Large-star round: for every node u with undirected neighborhood

@@ -70,6 +70,7 @@ object Curation {
       nearDupThreshold: Double = 0.8,
       shingleSize: Int = 3,
       nearDup: NearDupStrategy = NearDupStrategy.MinHash(),
+      transitiveNearDup: Boolean = false,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
@@ -89,7 +90,10 @@ object Curation {
     *     pair (a doc is `near_dup` iff some earlier surviving doc is
     *     its near-dup — single pass, no transitive chasing, so the rule
     *     is a pure function of the pair set and replicable in the
-    *     oracle);
+    *     oracle); with `cfg.transitiveNearDup` the drop set is instead
+    *     every non-minimum member of each CONNECTED COMPONENT of the
+    *     pair graph ([[Clustering.connectedComponents]] — chains
+    *     collapse fully; oracle = recursive-CTE closure);
     *   - split: `Sampling.hashSplitColumn(text)` on kept docs.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
@@ -133,8 +137,16 @@ object Curation {
           bands = bands, shingleSize = cfg.shingleSize,
           maxBucketSize = maxBucketSize, scope = sc)
     }
-    val dropIds = pairs
-      .select(col("id_b").as("id")).distinct()
+    // near-dup drop set. Single-pass (default): the higher id of each
+    // verified pair — a pure function of the pair set, windowless in the
+    // oracle. Transitive: connected components over the pair graph, drop
+    // every non-minimum member — A~B~C collapses to {A} even though
+    // (A,C) was never a pair, so no B-shaped bridge of a near-dup chain
+    // survives. Both keep the same rule family (min id survives).
+    val dropIds = (if (cfg.transitiveNearDup)
+        Clustering.connectedComponents(pairs, scope = sc)
+          .filter(col("id") =!= col("cluster_id")).select(col("id"))
+      else pairs.select(col("id_b").as("id")).distinct())
       .withColumn("_near_dup", lit(true))
 
     val status = when(!col("_lang_ok"), lit(LangFiltered))

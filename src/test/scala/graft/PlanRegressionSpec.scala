@@ -49,7 +49,9 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
         "simhash_index_documents", "embedding_index_pairs",
         "multimodal_embedding", "multimodal_video_meta",
         "skew_salted_join", "skew_two_phase_agg",
-        "curate_documents", "sql_text_surface")) {
+        "curate_documents", "sql_text_surface",
+        "dedup_clusters_documents", "contamination_documents",
+        "pii_documents")) {
       val plan = executed(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }

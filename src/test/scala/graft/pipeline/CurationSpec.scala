@@ -116,6 +116,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("transitive near-dup collapses hub shapes single-pass keeps") {
+    // component {1,3,5} wired 1~5, 3~5 (a larger hub; J(1,3) sits below
+    // the 0.7 threshold): single-pass drops only 5 (the higher id of
+    // each pair) and keeps BOTH 1 and 3, though they are transitively
+    // connected through 5; transitive mode keeps only the component min
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, t1 + " one extra"),
+      (3L, t1 + " two extra"),
+      (5L, t1),
+      (9L, "completely different words that share no shingles at all ok")
+    ).toDF("doc_id", "text")
+    def statuses(c: Curation.Config) = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text", c, scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val base = Curation.Config(minQuality = 0, keepLangs = Seq("en", "und"),
+      nearDupThreshold = 0.7,
+      nearDup = Curation.NearDupStrategy.Ngram(maxDocFreq = 0))
+    val single = statuses(base)
+    assert(single(1L) == "kept" && single(3L) == "kept" &&
+      single(5L) == "near_dup")
+    val trans = statuses(base.copy(transitiveNearDup = true))
+    assert(trans(1L) == "kept" && trans(3L) == "near_dup" &&
+      trans(5L) == "near_dup")
+    assert(single(9L) == "kept" && trans(9L) == "kept")
+  }
+
   test("curate is deterministic across runs") {
     CacheScope.withScope { scope =>
       val a = Curation.curate(fixture, "doc_id", "text", cfg, scope)

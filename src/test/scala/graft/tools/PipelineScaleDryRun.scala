@@ -101,9 +101,42 @@ object PipelineScaleDryRun {
     // add one measurement without re-running the others. Args: integers
     // select the ngram guard at that maxDocFreq; "minhash" selects the
     // banded-signature strategy.
+    // "cluster" arg: connected components over the at-scale MinHash pair
+    // set — 50 planted 100-copy exact families = 50 cliques of 100
+    // (~247k edges), the designed CC stress: rounds, walls, and the
+    // component census are the committed scale evidence.
+    if (args.contains("cluster")) {
+      log("## dup clustering at 500k docs (minhash pairs -> components)")
+      CacheScope.withScope { scope =>
+        val pairs = timed("minhash pair generation") {
+          val p = graft.pipeline.Dedup.minhashPairs(corpus,
+            "doc_id", "text", threshold = 0.8, scope = scope)
+            .persist()
+          log(s"  pairs: ${p.count()}"); p
+        }
+        val (labels, rounds) = timed("connected components") {
+          val (l, r) = graft.pipeline.Clustering
+            .connectedComponentsStats(pairs, scope = scope)
+          log(s"  star rounds to converge: $r (nodes: ${l.count()})")
+          (l, r)
+        }
+        val census = labels.groupBy("cluster_id").count()
+          .agg(count(lit(1)), max($"count"), min($"count"))
+          .head()
+        log(s"  components: ${census.getLong(0)}, sizes " +
+          s"${census.getLong(2)}..${census.getLong(1)}")
+        val _ = rounds
+        pairs.unpersist()
+      }
+      log("")
+    }
+
     val strategies: Seq[(String, Curation.NearDupStrategy)] =
-      (if (args.nonEmpty) args.toSeq else Seq("1000", "50", "minhash"))
-        .map {
+      (args.filterNot(_ == "cluster") match {
+        case Array() if args.contains("cluster") => Seq.empty[String]
+        case Array() => Seq("1000", "50", "minhash")
+        case rest => rest.toSeq
+      }).map {
           case "minhash" => "minhash 64/16" -> Curation.NearDupStrategy.MinHash()
           case g => s"ngram guard=$g" ->
             Curation.NearDupStrategy.Ngram(maxDocFreq = g.toInt)
