@@ -425,6 +425,31 @@ object Queries {
       | ELSE text END AS text FROM documents""".stripMargin
       .replace("\n", " ")
 
+  /** Every 7th document gets two planted URLs (a per-id https path on a
+    * mod-50 domain family, an http host on a mod-7 family) — the
+    * C4-style per-domain accounting fixture, mirrored by
+    * [[docsUrlsSql]].
+    */
+  def docsWithUrls(spark: SparkSession, dir: String): DataFrame = {
+    val d = rd(spark, dir, "documents")
+    d.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 50).cast("string"), lit(".example.org/p"),
+          col("doc_id").cast("string"), lit(" and http://m"),
+          (col("doc_id") % 7).cast("string"), lit(".example.net/x")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  val docsUrlsSql: String =
+    """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+      | text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+      | '.example.org/p' || CAST(doc_id AS VARCHAR) ||
+      | ' and http://m' || CAST(doc_id % 7 AS VARCHAR) ||
+      | '.example.net/x'
+      | ELSE text END AS text FROM documents""".stripMargin
+      .replace("\n", " ")
+
   /** Portable occurrence count (shared shape with TextAnalysis.occ). */
   private def occSql(h: String, needle: String): String =
     s"((length($h) - length(replace($h, '$needle', ''))) / ${needle.length})"
@@ -975,6 +1000,79 @@ object Queries {
         d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", "text")
         .orderBy("doc_id")
     }): Q, Some(contaminationSql)),
+
+    // ---- stratified deterministic sampling: per-language keep
+    // fractions (rebalance while downsampling), same content-hash rule
+    // per row — a pure map-only predicate, reproducible across engines
+    // (the oracle recomputes the identical md5 cutoffs) ----
+    ("stratified_sample_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling.stratifiedHashSample(
+        rd(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "text", "lang", Map("en" -> 0.5, "de" -> 1.0), defaultFrac = 0.05)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }): Q, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE CASE lang
+        WHEN 'en' THEN substr(md5(text), 1, 4) < '8000'
+        WHEN 'de' THEN TRUE
+        ELSE substr(md5(text), 1, 4) < '0ccc' END
+      ORDER BY doc_id""")),
+
+    // ---- per-domain URL accounting (C4-style): extract every URL host,
+    // explode, one bounded groupBy(domain) — domain cardinality, not
+    // corpus size; the blocklist shape is the same explode + a broadcast
+    // anti-join ----
+    ("url_domains_documents", ((s: SparkSession, dir: String) => {
+      docsWithUrls(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.domains(col("text"))).as("domain"))
+        .groupBy("domain")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("domain")
+    }): Q, Some(s"""
+      WITH u AS ($docsUrlsSql),
+      d AS (SELECT doc_id, unnest(regexp_extract_all(text,
+              '${TextAnalysis.domainPattern}', 1)) AS domain FROM u)
+      SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_urls
+      FROM d GROUP BY domain ORDER BY domain""")),
+
+    // ---- within-document repetition signals (Gopher-rules family):
+    // most-frequent token/bigram multiplicity via the shuffle-free
+    // sorted-run fold (map-only at scale); the oracle recomputes with
+    // the naive unnest + GROUP BY — same values, independent method ----
+    ("repetition_documents", ((s: SparkSession, dir: String) => {
+      TextAnalysis.withRepetitionStats(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select("doc_id", "n_tokens", "n_distinct_tokens",
+          "max_token_count", "max_bigram_count")
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH w AS (SELECT doc_id, text,
+                   string_split(lower(trim(text)), ' ') AS ws
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+      tmax AS (SELECT doc_id, max(c) AS m FROM
+        (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        GROUP BY doc_id),
+      bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+               FOR i IN range(1, len(ws))]) AS g FROM w),
+      bmax AS (SELECT doc_id, max(c) AS m FROM
+        (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+        GROUP BY doc_id)
+      SELECT w.doc_id,
+             CAST(${tokenCountSql("w.text")} AS INTEGER) AS n_tokens,
+             CAST(CASE WHEN length(trim(w.text)) = 0 THEN 0
+               ELSE len(list_distinct(ws)) END AS INTEGER)
+               AS n_distinct_tokens,
+             CAST(coalesce(tmax.m, 0) AS INTEGER) AS max_token_count,
+             CAST(coalesce(bmax.m, 0) AS INTEGER) AS max_bigram_count
+      FROM w LEFT JOIN tmax ON w.doc_id = tmax.doc_id
+             LEFT JOIN bmax ON w.doc_id = bmax.doc_id
+      ORDER BY w.doc_id""")),
 
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {

@@ -80,4 +80,27 @@ object Sampling {
     require(frac >= 0 && frac <= 1, s"fraction $frac outside [0,1]")
     bucket(key) < lit(cutoffHex(frac))
   }
+
+  /** STRATIFIED deterministic sample: per-stratum keep fractions (e.g.
+    * rebalancing languages or quality buckets while downsampling), same
+    * content-hash membership rule per row. `fractions` maps stratum
+    * value → fraction; strata absent from the map keep `defaultFrac`
+    * (0 = drop unlisted strata). Still a pure per-row predicate — no
+    * `sampleBy`-style per-stratum RNG, no shuffle, map-only at 100 TB,
+    * and membership is reproducible across runs/engines per stratum.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String,
+      stratumCol: String, fractions: Map[String, Double],
+      defaultFrac: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFrac).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f outside [0,1]"))
+    val b = bucket(col(keyCol))
+    val pred = fractions.foldRight(
+        b < lit(cutoffHex(defaultFrac)): Column) {
+      case ((stratum, frac), rest) =>
+        when(col(stratumCol) === lit(stratum),
+          b < lit(cutoffHex(frac))).otherwise(rest)
+    }
+    df.filter(pred)
+  }
 }

@@ -178,4 +178,83 @@ object TextAnalysis {
     df.withColumn("n_email", emailCount(col(textCol)))
       .withColumn("n_ip", ipv4Count(col(textCol)))
       .withColumn("n_phone", phoneCount(col(textCol)))
+
+  // ----------------------------------------------------------- URLs
+  // Same Java-regex ∩ RE2 discipline as the PII patterns.
+
+  /** http(s) URLs; host chars conservative, path = non-space tail. */
+  val urlPattern = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+
+  /** Host-capturing prefix used for domain extraction. */
+  val domainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit(urlPattern)).cast(IntegerType)
+
+  /** Array of every URL host in the text, in order (C4-style per-domain
+    * accounting: explode → groupBy(domain) for corpus domain stats or a
+    * broadcast blocklist anti-join).
+    */
+  def domains(text: Column): Column =
+    regexp_extract_all(text, lit(domainPattern), lit(1))
+
+  // ----------------------------------------------------- repetition
+  // Within-document repetition signals (the Gopher-rules family):
+  // heavily repeated tokens / n-grams are the classic low-quality and
+  // boilerplate tell. Computed WITHOUT a shuffle: the naive shape is
+  // explode → groupBy(doc, gram) → max, which shuffles every token of a
+  // 100 TB corpus twice; instead the most-frequent-gram count equals
+  // the longest equal-run in the SORTED gram array — a per-row
+  // `array_sort` + one `aggregate` fold, pure codegen'd expressions,
+  // map-only at any scale.
+
+  private def lowerWords(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Count of the most frequent element of `arr` (0 for empty). */
+  private def maxRunCount(arr: Column): Column = {
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("run"), lit(0).as("best"))
+    val folded = aggregate(array_sort(arr), init, (acc, x) => {
+      val run = when(acc("prev").isNotNull && acc("prev") === x,
+        acc("run") + 1).otherwise(lit(1))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc("best"), run).as("best"))
+    })
+    folded("best").cast(IntegerType)
+  }
+
+  /** Occurrences of the most frequent token (lowercased, whitespace
+    * split). 1 for a text with no repeated token.
+    */
+  def maxTokenCount(text: Column): Column = maxRunCount(lowerWords(text))
+
+  /** Occurrences of the most frequent word bigram; 0 when the text has
+    * fewer than two words.
+    */
+  def maxBigramCount(text: Column): Column = {
+    val words = lowerWords(text)
+    val n = size(words)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(words, i),
+        element_at(words, i + 1)))
+    when(n < 2, lit(0)).otherwise(maxRunCount(bigrams))
+  }
+
+  /** Distinct-token count (lowercased). */
+  def distinctTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(array_distinct(lowerWords(text))))
+      .cast(IntegerType)
+
+  /** Repetition profile columns appended to `df`: token counts plus the
+    * most-frequent token/bigram multiplicities — the caller derives its
+    * policy ratios (e.g. `max_token_count / n_tokens`) so the report
+    * stays integer-exact and oracle-portable.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_distinct_tokens", distinctTokenCount(col(textCol)))
+      .withColumn("max_token_count", maxTokenCount(col(textCol)))
+      .withColumn("max_bigram_count", maxBigramCount(col(textCol)))
 }

@@ -169,6 +169,26 @@ object StreamOps {
       graft.pipeline.Curation.curate(batch, idCol, textCol, cfg, scope)
     }
 
+  /** Per-micro-batch benchmark DECONTAMINATION: each arriving batch is
+    * n-gram-overlapped against a FIXED benchmark set
+    * ([[graft.pipeline.Curation.contamination]]) and `sink` receives
+    * that batch's contamination report — the shape of a continuously
+    * ingesting pipeline screening against frozen eval suites. The
+    * benchmark DataFrame is a static (batch) frame captured once; its
+    * broadcast shingle set is re-broadcast per micro-batch, which at
+    * benchmark scale (MBs) is noise.
+    */
+  def contaminationStream(stream: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      shingleSize: Int = 3)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      graft.pipeline.Curation.contamination(batch, benchmark,
+        idCol, textCol, benchTextCol, shingleSize)
+    }
+
   /** Per-key running session state via flatMapGroupsWithState: emits one
     * update row per input batch per key (running count + sum). The custom
     * state shape the reference's per-record pipeline would need when moved

@@ -43,6 +43,19 @@ class PiiContaminationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<EMAIL> then <IP> then <PHONE> then <EMAIL>")
   }
 
+  test("url extraction: count and host list; plain text clean") {
+    val r = one("see https://a.example.org/p/1 and http://b.net plain " +
+      "ftp://skip.me text")
+      .select(TextAnalysis.urlCount($"text"),
+        TextAnalysis.domains($"text")).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getSeq[String](1) == Seq("a.example.org", "b.net"))
+    val clean = one("no links here at all")
+      .select(TextAnalysis.urlCount($"text"),
+        TextAnalysis.domains($"text")).head()
+    assert(clean.getInt(0) == 0 && clean.getSeq[String](1).isEmpty)
+  }
+
   test("contamination: planted overlap found, clean docs absent") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -36,6 +36,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(half.forall { case (id, s) => a(id) == s })
   }
 
+  test("stratifiedHashSample: per-stratum fractions, deterministic") {
+    val d = docs.withColumn("stratum",
+      when($"doc_id" % 2 === 0, "even").otherwise("odd"))
+    val keep = Sampling.stratifiedHashSample(d, "text", "stratum",
+      Map("even" -> 1.0, "odd" -> 0.0))
+      .select("doc_id").as[Long].collect().toSet
+    // full stratum kept, zero stratum dropped — exact at the extremes
+    assert(keep.nonEmpty && keep.forall(_ % 2 == 0))
+    assert(keep.size == d.filter($"doc_id" % 2 === 0).count())
+    // fractional stratum: membership is a subset of the unstratified
+    // sample at the same fraction (same per-row rule)
+    val half = Sampling.stratifiedHashSample(d, "text", "stratum",
+      Map("even" -> 0.5), defaultFrac = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Sampling.hashSample(d.filter($"doc_id" % 2 === 0),
+      "text", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(half == plain)
+    // unlisted strata keep defaultFrac
+    val dflt = Sampling.stratifiedHashSample(d, "text", "stratum",
+      Map.empty, defaultFrac = 1.0).count()
+    assert(dflt == d.count())
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     val e = intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, "text", Seq("a" -> 0.5, "b" -> 0.4))

@@ -310,4 +310,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == batchAudit(w2))
     assert(got(1L).exists(_._2 == Curation.ExactDup))
   }
+
+  test("contamination runs per micro-batch against a fixed benchmark") {
+    import graft.pipeline.Curation
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta"))
+      .toDF("text")
+    val w1 = Seq((1L, "alpha beta gamma delta tail one"),
+      (2L, "nothing shared here at all today"))
+    val w2 = Seq((3L, "alpha beta gamma delta epsilon zeta"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Int, Int)]]
+    val q = StreamOps.contaminationStream(
+        input.toDF().toDF("doc_id", "text"), bench,
+        "doc_id", "text", "text") { (report, batchId) =>
+      got(batchId) = report.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    def batchReport(rows: Seq[(Long, String)]): Set[(Long, Int, Int)] =
+      Curation.contamination(rows.toDF("doc_id", "text"), bench,
+          "doc_id", "text", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got(0L) == batchReport(w1))
+    assert(got(1L) == batchReport(w2))
+    // the fully-contained doc overlaps on every one of its shingles
+    assert(got(1L) == Set((3L, 4, 4)))
+    // the clean doc never appears
+    assert(!got(0L).exists(_._1 == 2L))
+  }
 }
