@@ -161,6 +161,21 @@ object Queries {
       path
     })
 
+  /** Persisted EXACT content-hash index (distinct md5 → keeper, hash-
+    * prefix partitioned, bloom sidecar), same once-per-(session, dir)
+    * offline-build pattern as [[minhashIndexFor]].
+    */
+  private val exactIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def exactIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(exactIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("exact", d)
+      Dedup.writeExactIndex(
+        rd(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      path
+    })
+
   /** Persisted SimHash index (fingerprints + shingle sets), same
     * once-per-(session, dir) offline-build pattern as [[minhashIndexFor]].
     */
@@ -1476,6 +1491,46 @@ object Queries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
     }): Q, Some(incrementalJaccardSql(0.7))),
+
+    // ---- per-batch EXACT dedup decisions against the PERSISTED
+    // content-hash index (writeExactIndex): bloom-sidecar prefilter →
+    // hash-prefix-pruned index join → windowless status/keeper rule.
+    // Batch = corpus copies (dup_of_corpus) + twice-planted novel texts
+    // (dup_in_batch + new) ----
+    ("dedup_exact_index_documents", ((s: SparkSession, dir: String) => {
+      val path = exactIndexFor(s, dir)
+      val d = rd(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" xq novel tail")).as("text")))
+        .union(d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" xq novel tail")).as("text")))
+      Dedup.exactKeepFromIndex(s, path, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 40000, text || ' xq novel tail'
+        FROM documents WHERE doc_id % 15 = 0
+        UNION ALL SELECT doc_id + 50000, text || ' xq novel tail'
+        FROM documents WHERE doc_id % 15 = 0),
+      idx AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+              FROM documents GROUP BY 1),
+      bh AS (SELECT doc_id, md5(text) AS h FROM batch),
+      bmin AS (SELECT h, min(doc_id) AS bkeep FROM bh GROUP BY h)
+      SELECT b.doc_id,
+             CASE WHEN i.h IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN b.doc_id <> m.bkeep THEN 'dup_in_batch'
+                  ELSE 'new' END AS status,
+             CAST(CASE WHEN i.h IS NOT NULL THEN i.keep_id
+                  ELSE m.bkeep END AS BIGINT) AS keep_id
+      FROM bh b LEFT JOIN idx i ON b.h = i.h
+                JOIN bmin m ON b.h = m.h
+      ORDER BY b.doc_id""")),
 
     // ---- incremental SimHash against the PERSISTED fingerprint index
     // (writeSimhashIndex): same contract and oracle as the minhash

@@ -58,6 +58,95 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Persisted EXACT-dedup index: one row per distinct corpus content
+    * (`h` = md5, its min-id keeper, copy count), parquet-partitioned by
+    * the 2-hex hash prefix `hp` (256 directories) so a batch probe
+    * reads only the prefixes its hashes fall in, plus a BLOOM-FILTER
+    * sidecar over `xxhash64(h)` — the per-batch probe tests the bloom
+    * FIRST (a pure codegen'd `BloomFilterMightContain` expression, no
+    * UDF), so the clean-batch common case of a daily driver touches no
+    * index partition at all; false positives are resolved by the real
+    * join, and blooms have no false negatives, so the contract is
+    * exact.
+    *
+    * Sizing note for 100 TB: the sidecar bloom is one driver-held blob
+    * (~1.2 MB per 10⁶ distinct contents at fpp 0.01); at extreme corpus
+    * cardinality raise `fpp` or drop the bloom (`fpp = 1` writes a
+    * degenerate always-positive bloom and the probe degrades gracefully
+    * to prefix-pruned index joins).
+    */
+  def writeExactIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, fpp: Double = 0.01): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(fpp > 0 && fpp <= 1, s"fpp $fpp outside (0,1]")
+    corpus.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("h"))
+      .groupBy("h")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .withColumn("hp", substring(col("h"), 1, 2))
+      .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
+    val idx = spark.read.parquet(s"$path/hashes")
+    val n = math.max(1L, idx.count())
+    val bloom = idx.select(xxhash64(col("h")).as("hx"))
+      .stat.bloomFilter("hx", n, math.min(fpp, 0.999))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq(Tuple1(bos.toByteArray)).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    Seq((n, fpp)).toDF("distinctContents", "fpp").coalesce(1)
+      .write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Per-batch exact-dedup decisions against a persisted
+    * [[writeExactIndex]]: one row per batch document —
+    * `(id, status, keep_id)` with status `dup_of_corpus` (keeper = the
+    * index keeper), `dup_in_batch` (content new to the corpus but
+    * repeated in the batch; keeper = min batch id), or `new` (keeper =
+    * itself). Deterministic and windowless, so the DuckDB oracle
+    * replays it exactly.
+    *
+    * Scale path: bloom prefilter (map-only) → index join restricted to
+    * the surviving hash prefixes (true partition pruning via an `isin`
+    * on the partition column; the prefix list is ≤256 strings collected
+    * driver-side — small by construction) → batch-internal min-per-hash
+    * aggregate. A batch with no bloom hits never opens an index file.
+    */
+  def exactKeepFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    val bloomBytes = spark.read.parquet(s"$path/bloom")
+      .head().getAs[Array[Byte]]("bloom")
+    val bh = batch.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h"))
+    val mightContain = graftshim.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        graftshim.resolvedExpression(lit(bloomBytes)),
+        graftshim.resolvedExpression(xxhash64(col("h")))))
+    val positive = bh.filter(mightContain)
+    val prefixes = positive.select(substring(col("h"), 1, 2).as("hp"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val idxMatches =
+      if (prefixes.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("h"), lit(0L).as("keep_id")).limit(0)
+      else
+        spark.read.parquet(s"$path/hashes")
+          .filter(col("hp").isin(prefixes: _*))
+          .join(positive.select(col("h")).distinct(), "h")
+          .select(col("h"), col("keep_id"))
+    val bmin = bh.groupBy("h").agg(min("id").as("bkeep"))
+    bh.join(idxMatches.withColumnRenamed("keep_id", "ckeep"),
+        Seq("h"), "left")
+      .join(bmin, "h")
+      .select(col("id").as(idCol),
+        when(col("ckeep").isNotNull, lit("dup_of_corpus"))
+          .when(col("id") =!= col("bkeep"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("ckeep"), col("bkeep")).as("keep_id"))
+  }
+
   // -------------------------------------------------------------------
   // shingles + MinHash/LSH
   // -------------------------------------------------------------------

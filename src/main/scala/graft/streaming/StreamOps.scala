@@ -169,6 +169,21 @@ object StreamOps {
       graft.pipeline.Curation.curate(batch, idCol, textCol, cfg, scope)
     }
 
+  /** [[probeIndexPerBatch]] against a persisted EXACT content-hash index
+    * ([[graft.pipeline.Dedup.writeExactIndex]]): `sink` receives each
+    * micro-batch's `(id, status, keep_id)` decision frame; the bloom
+    * sidecar makes the clean-batch case a map-only pass.
+    */
+  def dedupStreamAgainstExactIndex(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      graft.pipeline.Dedup.exactKeepFromIndex(batch.sparkSession,
+        indexPath, batch, idCol, textCol)
+    }
+
   /** Per-micro-batch benchmark DECONTAMINATION: each arriving batch is
     * n-gram-overlapped against a FIXED benchmark set
     * ([[graft.pipeline.Curation.contamination]]) and `sink` receives

@@ -71,6 +71,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("dedup_exact_index_documents prunes to the probed hash prefixes") {
+    val plan = executed("dedup_exact_index_documents")
+    assert(plan.contains("PartitionFilters: [hp"),
+      s"exact-index scan must partition-prune on hp:\n$plan")
+    assert(plan.contains("BloomFilterMightContain") ||
+      plan.contains("might_contain"),
+      s"bloom prefilter must appear in the batch side:\n$plan")
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("similarity_ivf_index_topk prunes to the probed cid partitions") {
     val plan = executed("similarity_ivf_index_topk")
     // a non-empty partition filter on cid (every FileScan prints an

@@ -32,6 +32,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.filter($"doc_id" >= 10000 && $"doc_id" < 20000).count() == 0)
   }
 
+  test("exact index: statuses, keepers, bloom clean-batch fast path") {
+    val path = java.nio.file.Files
+      .createTempDirectory("exact_idx").toString
+    val corpus = Seq((1L, "aa text"), (2L, "bb text"), (3L, "aa text"))
+      .toDF("doc_id", "text")
+    Dedup.writeExactIndex(corpus, "doc_id", "text", path)
+    val batch = Seq((10L, "aa text"), (11L, "cc text"),
+      (12L, "cc text"), (13L, "dd text")).toDF("doc_id", "text")
+    val got = Dedup.exactKeepFromIndex(spark, path, batch,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((10L, "dup_of_corpus", 1L), (11L, "new", 11L),
+      (12L, "dup_in_batch", 11L), (13L, "new", 13L)))
+    // a batch with no corpus content: every decision 'new', own keeper
+    // (the bloom prefilter typically yields an EMPTY prefix list here —
+    // the no-index-read fast path — but bloom false positives are
+    // legitimate, so only the decisions are contractual)
+    val clean = Seq((20L, "zz one"), (21L, "zz two"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.exactKeepFromIndex(spark, path, clean,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(r2 == Set((20L, "new", 20L), (21L, "new", 21L)))
+    // index layout: hash-prefix partition dirs + bloom + params present
+    val root = new java.io.File(path)
+    assert(new java.io.File(root, "hashes").listFiles()
+      .exists(_.getName.startsWith("hp=")))
+    assert(new java.io.File(root, "bloom").exists())
+  }
+
   test("minhash LSH finds planted near-duplicates, never all-pairs") {
     val pairs = Dedup.minhashPairs(docsWithDups, "doc_id", "text",
       threshold = 0.7)

@@ -311,6 +311,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L).exists(_._2 == Curation.ExactDup))
   }
 
+  test("micro-batch exact dedup against the persisted content-hash index") {
+    import graft.pipeline.Dedup
+    val path = java.nio.file.Files
+      .createTempDirectory("stream_exact_idx").toString
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, "alpha text")).toDF("doc_id", "text")
+    Dedup.writeExactIndex(corpus, "doc_id", "text", path)
+    val w1 = Seq((10L, "alpha text"), (11L, "fresh one"))
+    val w2 = Seq((12L, "fresh two"), (13L, "fresh two"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, String, Long)]]
+    val q = StreamOps.dedupStreamAgainstExactIndex(
+        input.toDF().toDF("doc_id", "text"), path, "doc_id", "text") {
+      (decisions, batchId) =>
+        got(batchId) = decisions.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == Set((10L, "dup_of_corpus", 1L), (11L, "new", 11L)))
+    assert(got(1L) == Set((12L, "new", 12L), (13L, "dup_in_batch", 12L)))
+  }
+
   test("contamination runs per micro-batch against a fixed benchmark") {
     import graft.pipeline.Curation
     val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta"))
