@@ -652,8 +652,46 @@ object Queries {
     * near-dup drop-higher-id → split), each stage rendered from the SAME
     * shared SQL fragments its standalone oracle uses.
     */
+  /** Fixture for the FULL-stage curation query: the curation corpus plus
+    * planted PII rows (+60000, every 25th: an appended email — survives
+    * language/quality, rejected at the pii stage) and planted
+    * high-repetition rows (+70000, every 30th: 'the' × 50 — langId 'en',
+    * quality fine, max-token share 100%). Mirrored by
+    * [[docsFullCurationSql]].
+    */
+  def docsForFullCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = rd(spark, dir, "documents")
+    docsForCuration(spark, dir)
+      .union(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(col("text"), lit(" reach me at spamlord"),
+            col("doc_id").cast("string"), lit("@junkmail.example now"))
+            .as("text")))
+      .union(d.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(lit(("the " * 49) + "the")).as("text")))
+  }
+
+  val docsFullCurationSql: String =
+    docsCurationSql +
+      """ UNION ALL SELECT doc_id+60000, text || ' reach me at spamlord' ||
+        | CAST(doc_id AS VARCHAR) || '@junkmail.example now'
+        | FROM documents WHERE doc_id % 25 = 0
+        | UNION ALL SELECT doc_id+70000,
+        | trim(repeat('the ', 50))
+        | FROM documents WHERE doc_id % 30 = 0"""
+        .stripMargin.replace("\n", " ")
+
   def curationOracleSql(keepLang: String, minQuality: Int,
-      threshold: Double, transitive: Boolean = false): String = {
+      threshold: Double, transitive: Boolean = false): String =
+    curationOracleSqlFull(keepLang, minQuality, threshold, transitive,
+      maxPiiHits = None, maxTokenRunPct = None,
+      baseSql = docsCurationSql)
+
+  def curationOracleSqlFull(keepLang: String, minQuality: Int,
+      threshold: Double, transitive: Boolean,
+      maxPiiHits: Option[Int], maxTokenRunPct: Option[Int],
+      baseSql: String): String = {
     // single-pass: drop the higher id of each pair; transitive: drop
     // every non-minimum member of each pair-graph component (recursive
     // reachability closure, min reachable id = cluster label)
@@ -670,14 +708,43 @@ object Queries {
           |      (SELECT id, min(r) AS m FROM reach GROUP BY id)
           |      WHERE id <> m)""".stripMargin.replace("\n", " ")
       else "nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs)"
-    s"""WITH ${if (transitive) "RECURSIVE " else ""}base AS ($docsCurationSql),
+    // optional stages, generated from the SAME pattern constants /
+    // token-count fragment the Spark expressions use
+    def cnt(p: String) = s"len(regexp_extract_all(text, '$p'))"
+    val piiSel = maxPiiHits.map(_ =>
+      s""", (${cnt(TextAnalysis.emailPattern)} +
+         ${cnt(TextAnalysis.ipv4Pattern)} +
+         ${cnt(TextAnalysis.phonePattern)}) AS pii_hits""").getOrElse("")
+    val tmaxCte = maxTokenRunPct.map(_ =>
+      """tmax AS (SELECT doc_id, max(c) AS mt FROM
+        (SELECT doc_id, t, count(*) AS c FROM
+          (SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
+             AS t FROM base)
+         GROUP BY doc_id, t) GROUP BY doc_id), """).getOrElse("")
+    val repSel = maxTokenRunPct.map(_ =>
+      s", tmax.mt AS mt, ${tokenCountSql("text")} AS ntok").getOrElse("")
+    val stagedFrom =
+      if (maxTokenRunPct.isDefined) "FROM base LEFT JOIN tmax USING (doc_id)"
+      else "FROM base"
+    val piiCond = maxPiiHits.map(m => s" AND pii_hits <= $m").getOrElse("")
+    val repCond = maxTokenRunPct.map(p =>
+      s" AND mt * 100 <= ntok * $p").getOrElse("")
+    val piiCase = maxPiiHits.map(m =>
+      s"WHEN s.pii_hits > $m THEN 'pii_filtered' ").getOrElse("")
+    val repCase = maxTokenRunPct.map(p =>
+      s"WHEN s.mt * 100 > s.ntok * $p THEN 'repetition_filtered' ")
+      .getOrElse("")
+    s"""WITH ${if (transitive) "RECURSIVE " else ""}base AS ($baseSql),
+      $tmaxCte
       staged AS (
         SELECT doc_id, text,
                ${langIdSql("text")} AS lang_d,
                ${qualityScoreSql("text")} AS q
-        FROM base),
+               $piiSel $repSel
+        $stagedFrom),
       lq AS (SELECT doc_id, text FROM staged
-             WHERE lang_d = '$keepLang' AND q >= $minQuality),
+             WHERE lang_d = '$keepLang' AND q >= $minQuality
+               $piiCond $repCond),
       ranked AS (
         SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
           ORDER BY doc_id) AS rn FROM lq),
@@ -689,6 +756,7 @@ object Queries {
         SELECT s.doc_id, s.text,
                CASE WHEN s.lang_d <> '$keepLang' THEN 'lang_filtered'
                     WHEN s.q < $minQuality THEN 'quality_filtered'
+                    $piiCase$repCase
                     WHEN r.rn > 1 THEN 'exact_dup'
                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
                     ELSE 'kept' END AS status
@@ -1056,14 +1124,14 @@ object Queries {
       FROM d GROUP BY domain ORDER BY domain""")),
 
     // ---- within-document repetition signals (Gopher-rules family):
-    // most-frequent token/bigram multiplicity via the shuffle-free
-    // sorted-run fold (map-only at scale); the oracle recomputes with
-    // the naive unnest + GROUP BY — same values, independent method ----
+    // most-frequent token/bigram multiplicity via the typed JVM kernel
+    // (map-only, one compiled pass; the Column-fold form is parity-
+    // spec'd); the oracle recomputes with the naive unnest + GROUP BY —
+    // same values, independent method ----
     ("repetition_documents", ((s: SparkSession, dir: String) => {
-      TextAnalysis.withRepetitionStats(
-        rd(s, dir, "documents").select(col("doc_id"), col("text")), "text")
-        .select("doc_id", "n_tokens", "n_distinct_tokens",
-          "max_token_count", "max_bigram_count")
+      TextAnalysis.repetitionStatsKernel(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
         .orderBy("doc_id")
     }): Q, Some(s"""
       WITH w AS (SELECT doc_id, text,
@@ -1874,6 +1942,22 @@ object Queries {
           transitiveNearDup = true))
         .orderBy("doc_id")
     }): Q, Some(curationOracleSql("en", 40, 0.8, transitive = true))),
+
+    // ---- curation with EVERY stage on: language → quality → PII cap →
+    // repetition cap → exact dedup → near-dup → split, over a fixture
+    // with planted PII rows and degenerate-repetition rows; the oracle
+    // replays all seven decision stages row-level in SQL ----
+    ("curate_full_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curation.curate(docsForFullCuration(s, dir),
+        "doc_id", "text",
+        graft.pipeline.Curation.Config(
+          nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+            maxDocFreq = 0),
+          maxPiiHits = 0, maxTokenRunPct = 50))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSqlFull("en", 40, 0.8, transitive = false,
+      maxPiiHits = Some(0), maxTokenRunPct = Some(50),
+      baseSql = docsFullCurationSql))),
 
     // ---- token-budget sharding: pack documents into contiguous
     // training shards of ~budget tokens via the two-level distributed

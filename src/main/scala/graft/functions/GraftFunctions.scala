@@ -60,6 +60,11 @@ object GraftFunctions {
     "graft_ipv4_count" -> unary(TextAnalysis.ipv4Count),
     "graft_phone_count" -> unary(TextAnalysis.phoneCount),
     "graft_redact_pii" -> unary(TextAnalysis.redactPii),
+    // repetition + URL signals
+    "graft_max_token_count" -> unary(TextAnalysis.maxTokenCount),
+    "graft_max_bigram_count" -> unary(TextAnalysis.maxBigramCount),
+    "graft_distinct_token_count" -> unary(TextAnalysis.distinctTokenCount),
+    "graft_url_count" -> unary(TextAnalysis.urlCount),
     // deterministic content-hash split:
     //   graft_split(key, 'train', 0.8, 'val', 0.1, 'test', 0.1)
     // labels/fractions must be literals (the rule is a config, not data)

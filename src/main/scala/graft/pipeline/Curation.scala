@@ -28,6 +28,8 @@ object Curation {
   /** Stage labels in the `status` audit column, in decision order. */
   val LangFiltered = "lang_filtered"
   val QualityFiltered = "quality_filtered"
+  val PiiFiltered = "pii_filtered"
+  val RepetitionFiltered = "repetition_filtered"
   val ExactDup = "exact_dup"
   val NearDup = "near_dup"
   val Kept = "kept"
@@ -64,6 +66,14 @@ object Curation {
   /** Tuning knobs for [[curate]]; defaults are the safe at-scale points
     * of the underlying operators.
     */
+  /** Tuning knobs. `maxPiiHits` (total email+IPv4+phone matches allowed;
+    * `Int.MaxValue` = stage off) and `maxTokenRunPct` (reject when the
+    * most frequent token exceeds this percent of all tokens; 100 = stage
+    * off — integer percent so the comparison is exact integer math in
+    * both engines) insert two more filter stages between quality and
+    * exact dedup: language → quality → pii → repetition → exact →
+    * near-dup → split.
+    */
   final case class Config(
       keepLangs: Seq[String] = Seq("en"),
       minQuality: Int = 40,
@@ -71,6 +81,8 @@ object Curation {
       shingleSize: Int = 3,
       nearDup: NearDupStrategy = NearDupStrategy.MinHash(),
       transitiveNearDup: Boolean = false,
+      maxPiiHits: Int = Int.MaxValue,
+      maxTokenRunPct: Int = 100,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
@@ -83,6 +95,11 @@ object Curation {
     *   - language: `TextAnalysis.langId(text)` must be in
     *     `cfg.keepLangs`;
     *   - quality: `TextAnalysis.qualityScore(text) >= cfg.minQuality`;
+    *   - pii (when `cfg.maxPiiHits` set): total email+IPv4+phone
+    *     matches must not exceed the cap;
+    *   - repetition (when `cfg.maxTokenRunPct` set): the most frequent
+    *     token's share of all tokens must not exceed the percent cap
+    *     (integer math: `max_count * 100 <= n_tokens * pct`);
     *   - exact: among filter survivors, the min-id row per distinct
     *     `md5(text)` is kept, later ids are `exact_dup`;
     *   - near: among exact survivors, verified J≥threshold pairs from
@@ -110,21 +127,36 @@ object Curation {
       coalesce(col(textCol), lit("")).as("text"))
     // staged langId: per-language scores computed once per row (the
     // inline Column form would triple the hottest replace() work)
+    val piiOk =
+      if (cfg.maxPiiHits == Int.MaxValue) lit(true)
+      else (TextAnalysis.emailCount(col("text")) +
+        TextAnalysis.ipv4Count(col("text")) +
+        TextAnalysis.phoneCount(col("text"))) <= cfg.maxPiiHits
+    // integer-exact repetition rule: most-frequent-token count as a
+    // percent of all tokens (shuffle-free sorted-run fold)
+    val repOk =
+      if (cfg.maxTokenRunPct >= 100) lit(true)
+      else TextAnalysis.maxTokenCount(col("text")) * 100 <=
+        TextAnalysis.tokenCount(col("text")) * cfg.maxTokenRunPct
     val staged = TextAnalysis.withLangId(base, "text", as = "_lang")
       .withColumn("_lang_ok", col("_lang").isin(cfg.keepLangs: _*))
       .withColumn("_q_ok",
         TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+      .withColumn("_pii_ok", piiOk)
+      .withColumn("_rep_ok", repOk)
       .drop("_lang")
+    val filtersOk = col("_lang_ok") && col("_q_ok") &&
+      col("_pii_ok") && col("_rep_ok")
     // exact-dedup rank among filter survivors only; rejected rows get a
     // unique synthetic key (rank 1 in a singleton window partition — no
     // all-rejects-in-one-partition skew, and their rank is never read)
-    val pkey = when(col("_lang_ok") && col("_q_ok"), md5(col("text")))
+    val pkey = when(filtersOk, md5(col("text")))
       .otherwise(concat(lit("r:"), col("id").cast("string")))
     val ranked = sc.persist(staged.withColumn("_rn",
       row_number().over(Window.partitionBy(pkey).orderBy(col("id")))))
 
     val exactKept = ranked
-      .filter(col("_lang_ok") && col("_q_ok") && col("_rn") === 1)
+      .filter(filtersOk && col("_rn") === 1)
       .select("id", "text")
     val pairs = cfg.nearDup match {
       case NearDupStrategy.Ngram(maxDocFreq) =>
@@ -151,6 +183,8 @@ object Curation {
 
     val status = when(!col("_lang_ok"), lit(LangFiltered))
       .when(!col("_q_ok"), lit(QualityFiltered))
+      .when(!col("_pii_ok"), lit(PiiFiltered))
+      .when(!col("_rep_ok"), lit(RepetitionFiltered))
       .when(col("_rn") > 1, lit(ExactDup))
       .when(col("_near_dup"), lit(NearDup))
       .otherwise(lit(Kept))
@@ -181,20 +215,26 @@ object Curation {
   def contamination(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val sh = Dedup.shingles(col(textCol), shingleSize)
-    val docSh = docs.select(col(idCol).cast("long").as(idCol),
-        sh.as("__shingles"))
-      .select(col(idCol), size(col("__shingles")).as("n_shingles"),
-        explode(col("__shingles")).as("__sh"))
-    val benchSh = benchmark
-      .select(explode(Dedup.shingles(col(benchTextCol), shingleSize))
-        .as("__sh"))
-      .distinct()
-    docSh.join(broadcast(benchSh), "__sh")
-      .groupBy(col(idCol), col("n_shingles"))
+    // both sides shingle through the HASHED JVM kernel (the same one the
+    // ngram dedup family uses): one compiled pass per row, longs instead
+    // of shingle strings at the join — the Column-expression form paid
+    // an interpreted double shingle build per doc (~14x slower measured
+    // at sf0.1). Hash-collision odds are the family's documented
+    // n²/2⁶⁵ — the oracle checks exact counts and stays green.
+    val docSh = Dedup.shingleIndex(docs.select(col(idCol), col(textCol)),
+      idCol, textCol, shingleSize) // (id, nsh = distinct count, s)
+    val benchSh = Dedup.shingleIndex(
+        benchmark.select(monotonically_increasing_id().as("__bid"),
+          col(benchTextCol)),
+        "__bid", benchTextCol, shingleSize)
+      .select(col("s")).distinct()
+    docSh.join(broadcast(benchSh), "s")
+      .groupBy(col("id"), col("nsh"))
       .agg(count(lit(1)).cast("int").as("n_overlap"))
-    // count, not countDistinct: Dedup.shingles is already distinct per
-    // doc and the benchmark side is distinct'd above
+      .select(col("id").as(idCol), col("nsh").as("n_shingles"),
+        col("n_overlap"))
+    // count, not countDistinct: the kernel emits each distinct shingle
+    // hash once per doc and the benchmark side is distinct'd above
   }
 
   /** The curated corpus itself: input rows that survive every stage,

@@ -51,6 +51,18 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getString(3) == "mail <EMAIL> from <IP> or <PHONE> x")
   }
 
+  test("repetition + URL SQL surface equals the Column API") {
+    GraftFunctions.register(spark)
+    Seq(Tuple1("go go go stop https://a.io/x and https://b.io now"))
+      .toDF("text").createOrReplaceTempView("gf_rep")
+    val r = spark.sql("""
+      SELECT graft_max_token_count(text), graft_max_bigram_count(text),
+             graft_distinct_token_count(text), graft_url_count(text)
+      FROM gf_rep""").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ==
+      ((3, 2, 6, 2)))
+  }
+
   test("graft_cosine_similarity matches the Column expression") {
     GraftFunctions.register(spark)
     val e = spark.read

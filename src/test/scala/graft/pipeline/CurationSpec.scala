@@ -144,6 +144,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(single(9L) == "kept" && trans(9L) == "kept")
   }
 
+  test("pii and repetition stages sit between quality and dedup") {
+    val docs = Seq(
+      (1L, "a perfectly ordinary sentence about nothing much at all"),
+      (2L, "another ordinary sentence but reach me at spam@junk.example"),
+      (3L, "the " * 49 + "the"),
+      (4L, "a perfectly ordinary sentence about nothing much at all"))
+      .toDF("doc_id", "text")
+    val cfg = Curation.Config(minQuality = 0,
+      keepLangs = Seq("en", "und"), maxPiiHits = 0, maxTokenRunPct = 50,
+      nearDup = Curation.NearDupStrategy.Ngram(maxDocFreq = 0))
+    val m = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text", cfg, scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(m(1L) == Curation.Kept)
+    assert(m(2L) == Curation.PiiFiltered)
+    assert(m(3L) == Curation.RepetitionFiltered)
+    assert(m(4L) == Curation.ExactDup) // dup of 1, which survived
+    // stages off by default: same input all survives to dedup rules
+    val off = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text",
+          cfg.copy(maxPiiHits = Int.MaxValue, maxTokenRunPct = 100), scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(off(2L) != Curation.PiiFiltered &&
+      off(3L) != Curation.RepetitionFiltered)
+  }
+
   test("curate is deterministic across runs") {
     CacheScope.withScope { scope =>
       val a = Curation.curate(fixture, "doc_id", "text", cfg, scope)

@@ -33,6 +33,31 @@ class RepetitionSpec extends AnyFunSuite with SparkTestBase {
     assert(stats("") == ((0, 0, 1, 0)))
   }
 
+  test("kernel equals the Column fold on the real corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val viaKernel = TextAnalysis.repetitionStatsKernel(docs,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val viaFold = TextAnalysis.withRepetitionStats(docs, "text")
+      .select($"doc_id", $"n_tokens", $"n_distinct_tokens",
+        $"max_token_count", $"max_bigram_count")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(viaKernel == viaFold)
+    // edge rows through the kernel specifically
+    val edge = TextAnalysis.repetitionStatsKernel(
+      Seq((1L, ""), (2L, "word"), (3L, "a a a")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(edge(1L) == ((0, 0, 1, 0)))
+    assert(edge(2L) == ((1, 1, 1, 0)))
+    assert(edge(3L) == ((3, 1, 3, 2)))
+  }
+
   test("fold agrees with explode+groupBy on the real corpus sample") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
