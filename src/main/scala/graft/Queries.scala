@@ -1084,6 +1084,38 @@ object Queries {
         .orderBy("doc_id")
     }): Q, Some(contaminationSql)),
 
+    // ---- unicode text normalization (native codegen'd Expression —
+    // NFC + control strip + whitespace collapse + trim): every 5th doc
+    // gets planted mess (decomposed é, a C0 control, a double space, a
+    // trailing tab); oracle = nfc_normalize + the same regex steps ----
+    ("normalize_documents", ((s: SparkSession, dir: String) => {
+      val d = rd(s, dir, "documents")
+      // the planted literal holds a DECOMPOSED e+U+0301 and a raw 0x01
+      // control byte - byte-identical to the oracle's chr() chain, so
+      // NFC composition and control stripping are both exercised
+      val messy = d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("  café end\t")))
+          .otherwise(col("text")).as("text"))
+      val norm = graft.functions.NormalizeText.normalizeText(col("text"))
+      messy.select(col("doc_id"), md5(norm).as("norm_md5"),
+          length(norm).as("norm_chars"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH messy AS (
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+          text || '  cafe' || chr(769) || chr(1) || ' end' || chr(9)
+          ELSE text END AS text FROM documents),
+      norm AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(
+          nfc_normalize(text),
+          '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
+        FROM messy)
+      SELECT doc_id, md5(n) AS norm_md5,
+             CAST(length(n) AS INTEGER) AS norm_chars
+      FROM norm ORDER BY doc_id""")),
+
     // ---- stratified deterministic sampling: per-language keep
     // fractions (rebalance while downsampling), same content-hash rule
     // per row — a pure map-only predicate, reproducible across engines

@@ -60,6 +60,11 @@ object GraftFunctions {
     "graft_ipv4_count" -> unary(TextAnalysis.ipv4Count),
     "graft_phone_count" -> unary(TextAnalysis.phoneCount),
     "graft_redact_pii" -> unary(TextAnalysis.redactPii),
+    // unicode normalization (native codegen'd expression)
+    "graft_normalize_text" -> { es =>
+      require(es.length == 1, s"expected 1 argument, got ${es.length}")
+      NormalizeText(es.head)
+    },
     // repetition + URL signals
     "graft_max_token_count" -> unary(TextAnalysis.maxTokenCount),
     "graft_max_bigram_count" -> unary(TextAnalysis.maxBigramCount),
