@@ -2008,7 +2008,7 @@ object Queries {
              CAST(${tokenEstimateSql("text")} AS BIGINT) AS bpe_tokens,
              CAST(COALESCE(CAST(SUM(${tokenEstimateSql("text")})
                  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND 1 PRECEDING) AS BIGINT), 0) // 4096 AS INTEGER)
+                   AND 1 PRECEDING) AS BIGINT), 0) // 4096 AS BIGINT)
                AS shard
       FROM documents ORDER BY doc_id""")),
 

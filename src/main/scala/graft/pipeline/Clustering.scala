@@ -130,9 +130,13 @@ object Clustering {
 
   /** Order-insensitive edge-set fingerprint: (count, xor of row hashes).
     * XOR is the commutative fold that cannot overflow (a summed hash
-    * would throw under ANSI arithmetic); collision-resistant enough for
-    * a convergence test whose failure mode is one extra round, computed
-    * in one partial-aggregated pass.
+    * would throw under ANSI arithmetic), computed in one
+    * partial-aggregated pass. A collision between two CONSECUTIVE
+    * rounds' differing edge sets (~2⁻⁶⁴ per round, count must also
+    * match) would end the loop one round early with non-star edges
+    * still present — wrong labels, not just wasted work — which is why
+    * the xor rides with the exact count and 64-bit xxhash64 rather
+    * than a narrower digest.
     */
   private def fingerprint(edges: DataFrame): (Long, Long) = {
     val s = edges.agg(count(lit(1)).cast("long").as("n"),

@@ -64,9 +64,7 @@ object Curation {
   }
 
   /** Tuning knobs for [[curate]]; defaults are the safe at-scale points
-    * of the underlying operators.
-    */
-  /** Tuning knobs. `maxPiiHits` (total email+IPv4+phone matches allowed;
+    * of the underlying operators. `maxPiiHits` (total email+IPv4+phone matches allowed;
     * `Int.MaxValue` = stage off) and `maxTokenRunPct` (reject when the
     * most frequent token exceeds this percent of all tokens; 100 = stage
     * off — integer percent so the comparison is exact integer math in

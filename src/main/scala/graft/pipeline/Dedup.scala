@@ -88,8 +88,12 @@ object Dedup {
       .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
     val idx = spark.read.parquet(s"$path/hashes")
     val n = math.max(1L, idx.count())
+    // fpp = 1 is the documented opt-out: size the bit array for ONE item
+    // and insert all n, saturating it to always-positive — a bytes-sized
+    // blob whose probe prunes nothing (no false negatives possible)
     val bloom = idx.select(xxhash64(col("h")).as("hx"))
-      .stat.bloomFilter("hx", n, math.min(fpp, 0.999))
+      .stat.bloomFilter("hx", if (fpp >= 1) 1L else n,
+        if (fpp >= 1) 0.5 else fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     Seq(Tuple1(bos.toByteArray)).toDF("bloom").coalesce(1)

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
+import org.apache.spark.sql.types.{LongType, StructField,
   StructType}
 
 /** Token-budget sharding — pack documents into contiguous training
@@ -30,8 +30,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
   *      O(rows/partition) memory O(1).
   *
   * Both passes run over the SAME shuffled RDD, so Spark reuses the
-  * range-exchange shuffle files for pass 2 (stage skipped, verified in
-  * ShardingSpec via the UI listener-free `toDebugString` lineage).
+  * range-exchange shuffle files for pass 2 (map stage skipped — the
+  * assignment job submits only its result stage, asserted in
+  * ShardingSpec with a stage-submission listener).
   * The per-partition imperative loop is the documented legitimate
   * `mapPartitions` case: a stateful running sum that no windowless
   * Column expression can express without re-shuffling by partition id.
@@ -39,7 +40,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
 object Sharding {
 
   /** `df` (all columns preserved) + `_tokens` (the evaluated token
-    * count) + `shard` (int), ordered by `idCol` within range-ordered
+    * count) + `shard` (long), ordered by `idCol` within range-ordered
     * partitions. `idCol` values must be unique — the global order, and
     * therefore the assignment, is only well-defined if they are.
     */
@@ -72,12 +73,14 @@ object Sharding {
       it.map { r =>
         val shard = run / budget
         run += r.getLong(tokIdx)
-        Row.fromSeq(r.toSeq :+ shard.toInt)
+        // shard stays Long: ~25T tokens / a 4096 budget is ~6e9 shards,
+        // past Int.MaxValue — an Int label would wrap negative at scale
+        Row.fromSeq(r.toSeq :+ shard)
       }
     }
     spark.createDataFrame(out,
       StructType(ranged.schema.fields :+
-        StructField("shard", IntegerType, nullable = false)))
+        StructField("shard", LongType, nullable = false)))
   }
 
   /** Document convenience: shards a `documents`-shaped frame by the

@@ -12,14 +12,14 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     .select($"doc_id", $"text")
 
   /** The contract, recomputed serially on the driver. */
-  private def expected(budget: Long): Map[Long, Int] = {
+  private def expected(budget: Long): Map[Long, Long] = {
     val toks = docs
       .select($"doc_id", TextAnalysis.tokenEstimate($"text").as("t"))
       .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
       .sortBy(_._1)
     var run = 0L
     toks.map { case (id, t) =>
-      val shard = (run / budget).toInt
+      val shard = run / budget
       run += t
       id -> shard
     }.toMap
@@ -29,7 +29,7 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     val got = Sharding.shardDocumentsByTokenBudget(
         docs, "doc_id", "text", budget = 1000)
       .select("doc_id", "shard")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected(1000))
     assert(got.values.max > 3, "fixture should span multiple shards")
   }
@@ -38,11 +38,11 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     val a = Sharding.shardDocumentsByTokenBudget(
         docs, "doc_id", "text", budget = 777, numPartitions = 1)
       .select("doc_id", "shard")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Sharding.shardDocumentsByTokenBudget(
         docs, "doc_id", "text", budget = 777, numPartitions = 7)
       .select("doc_id", "shard")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
 
@@ -52,7 +52,7 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     assert(sharded.columns.toSet ==
       Set("doc_id", "text", "extra", "_tokens", "shard"))
     val rows = sharded.select("doc_id", "shard")
-      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // shard ids never decrease when walking ids in order (a doc larger
     // than the budget may legitimately skip numbers)
     rows.sliding(2).foreach {
@@ -80,7 +80,7 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].head()
     manifest.foreach { r =>
       assert(r.getLong(2) < budget + maxDoc,
-        s"shard ${r.getInt(0)} holds ${r.getLong(2)} tokens")
+        s"shard ${r.getLong(0)} holds ${r.getLong(2)} tokens")
     }
   }
 
@@ -93,14 +93,16 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
       Sharding.writeShards(sharded, dir)
       val shardDirs = new java.io.File(dir).listFiles()
         .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
-      val nShards = sharded.select(max($"shard")).as[Int].head() + 1
+      val nShards = sharded.select(max($"shard")).as[Long].head() + 1
       assert(shardDirs.length == nShards, shardDirs.mkString(","))
       // round-trip: every doc lands in its assigned shard directory
+      // partition discovery re-infers `shard` (int for small values);
+      // cast both sides to long so the comparison is type-stable
       val back = spark.read.parquet(dir)
-        .select("doc_id", "shard")
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        .select(col("doc_id"), col("shard").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val direct = sharded.select("doc_id", "shard")
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(back == direct)
       val manifest = spark.read.parquet(s"$dir/_manifest")
       assert(manifest.count() == nShards)
@@ -108,6 +110,38 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("pass 2 reuses the range-exchange shuffle (map stage skipped)") {
+    val sharded = Sharding.shardDocumentsByTokenBudget(
+      docs, "doc_id", "text", 1000, numPartitions = 4)
+    // pass 1 (the offsets job) already ran inside the call and
+    // materialized the range-exchange shuffle files. Collecting the
+    // assignment now runs pass 2: its job must submit ONLY its result
+    // stage — a resubmitted exchange map stage would mean the shuffle
+    // was recomputed (the property the two-pass design exists for).
+    val submitted = new java.util.concurrent.atomic.AtomicInteger
+    val t0 = System.currentTimeMillis()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        // guard against backlogged events from earlier jobs draining
+        // into this listener after registration
+        if (s.stageInfo.submissionTime.exists(_ >= t0))
+          submitted.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sharded.collect()
+      // the listener bus is async; give the events time to drain
+      val deadline = System.nanoTime + 10000000000L
+      while (submitted.get() < 1 && System.nanoTime < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300) // let any unexpected extra submissions land
+      assert(submitted.get() == 1,
+        s"pass-2 collect submitted ${submitted.get()} stages; expected " +
+          "1 (result only — the exchange map stage must be skipped)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("rejects a non-positive budget") {
