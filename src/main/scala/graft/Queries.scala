@@ -1189,6 +1189,53 @@ object Queries {
              LEFT JOIN bmax ON w.doc_id = bmax.doc_id
       ORDER BY w.doc_id""")),
 
+    // ---- corpus vocabulary: top-40 tokens by occurrence count, doc
+    // frequency alongside — one keyed hash aggregate + TakeOrdered
+    // top-k (k rows to the driver, the vocabulary is never sorted). ----
+    ("vocabulary_documents", ((s: SparkSession, dir: String) => {
+      TextAnalysis.vocabulary(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 40)
+    }): Q, Some("""
+      WITH toks AS (SELECT doc_id,
+                      unnest(string_split(lower(trim(text)), ' ')) AS tok
+                    FROM documents)
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks WHERE length(tok) > 0
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 40""")),
+
+    // ---- per-document tf-idf keywords (top-3). Score is the log-free
+    // ratio form tf * ((N+1)/(n_docs+1)) — bit-exact IEEE doubles in
+    // both engines (ln is not cross-libm reproducible; the classical
+    // log variant is the non-oracled logIdf=true path). ----
+    ("tfidf_keywords_documents", ((s: SparkSession, dir: String) => {
+      TextAnalysis.tfidfKeywords(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }): Q, Some("""
+      WITH toks0 AS (SELECT doc_id,
+                       unnest(string_split(lower(trim(text)), ' ')) AS tok
+                     FROM documents),
+      toks AS (SELECT doc_id, tok FROM toks0 WHERE length(tok) > 0),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, tok),
+      dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                  AS n_docs
+                FROM toks GROUP BY tok),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.n_docs,
+                   CAST(tf.tf AS DOUBLE) *
+                     ((CAST(nn.n AS DOUBLE) + 1) /
+                      (CAST(dfreq.n_docs AS DOUBLE) + 1)) AS score
+                 FROM tf JOIN dfreq USING (tok) CROSS JOIN nn),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok) AS rank FROM scored)
+      SELECT doc_id, tok, tf, n_docs, score,
+             CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {
       rd(s, dir, "documents")

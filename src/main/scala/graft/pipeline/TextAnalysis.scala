@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Text-analysis operators for training-data pipelines over a `text` column.
   * All pure Column expressions (codegen-friendly, no UDFs) and — by design —
@@ -302,5 +302,79 @@ object TextAnalysis {
         (id, nTokens, if (blank) 0 else tok.size, maxTok, maxBi)
       }.toDF(idCol, "n_tokens", "n_distinct_tokens", "max_token_count",
         "max_bigram_count")
+  }
+
+  // ----------------------------------------------------- vocabulary / tf-idf
+  // Corpus-level token statistics: the vocab table a tokenizer trains on
+  // and the per-document keyword extraction a filtering/labeling stage
+  // uses. Both are corpus aggregations, so (unlike the repetition family
+  // above) a shuffle on the token key is the honest minimum — the scale
+  // discipline is map-side partial aggregation and a TakeOrdered top-k,
+  // never a global sort of the vocabulary.
+
+  /** Lowercased whitespace tokens of one document, exploded to rows. */
+  private def explodedTokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Corpus vocabulary: the top-`k` tokens by total occurrence count
+    * with document frequency alongside — `(tok, n, n_docs)` ordered by
+    * count desc, token asc.
+    *
+    * Scale: explode → one hash aggregate on `tok` (partial map-side
+    * combine; the distinct doc count plans as Expand + two-phase agg,
+    * still keyed on `tok` — no all-to-one hotspot); the global top-k is
+    * TakeOrderedAndProject, so only `k` rows ever reach the driver and
+    * the full vocabulary is never sorted.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    explodedTokens(df, idCol, textCol)
+      .groupBy("tok")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        countDistinct(col("doc_id")).cast(LongType).as("n_docs"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(k)
+
+  /** Per-document top-`k` keywords by tf-idf: `(doc_id, tok, tf,
+    * n_docs, score, rank)`.
+    *
+    * The default score is the LOG-FREE ratio form
+    * `tf * ((N + 1) / (n_docs + 1))` with the idf parenthesized first:
+    * integer counts, one double divide, one multiply — every step
+    * IEEE-exact and identically ordered in Spark and DuckDB, so the
+    * oracle reproduces the doubles bit-for-bit. `ln` is NOT guaranteed
+    * correctly-rounded the same way across libm implementations, so the
+    * classical `tf * ln((N+1)/(n_docs+1))` (same ranking intent) is the
+    * opt-in `logIdf = true` variant, excluded from the oracle gate.
+    *
+    * Scale: tf = hash agg on `(doc_id, tok)`; doc frequency = the same
+    * exploded frame aggregated on `tok`; their join shuffles on `tok`
+    * (both sides already partitioned by it from their aggregates); the
+    * rank window partitions by `doc_id` — keyed, never a single global
+    * window. `N` is one count scalar computed up front (the IVF
+    * centroid pattern: small-by-contract driver state, broadcast as a
+    * literal).
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int, logIdf: Boolean = false): DataFrame = {
+    val n = df.count()
+    val toks = explodedTokens(df, idCol, textCol)
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val idf = (lit((n + 1).toDouble)) / (col("n_docs").cast(DoubleType) + 1.0d)
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score", col("tf").cast(DoubleType) *
+        (if (logIdf) log(idf) else idf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("n_docs"),
+        col("score"), col("rank"))
   }
 }
