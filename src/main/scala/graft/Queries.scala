@@ -1477,6 +1477,28 @@ object Queries {
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // ---- deterministic training-order shuffle + equal-row shards:
+    // md5 permutation key (engine-portable, like the split rule) packed
+    // by the unit-token prefix sum — one range exchange total. Oracle
+    // recomputes with a global window row_number; the operator never
+    // runs one. ----
+    ("permuted_shards_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.pipeline.Sampling.permutedShards(docs, "doc_id", "s1",
+          rowsPerShard = 500)
+        .select(col("doc_id"), col("_order"), col("shard"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH p AS (SELECT doc_id,
+                   md5('s1:' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                     AS _order
+                 FROM documents),
+      r AS (SELECT doc_id, _order,
+              ROW_NUMBER() OVER (ORDER BY _order) - 1 AS rn
+            FROM p)
+      SELECT doc_id, _order, CAST(rn // 500 AS BIGINT) AS shard
+      FROM r ORDER BY doc_id""")),
+
     // ---- two-level broadcast join: revenue per nation via customer ----
     ("join_nation_revenue", ((s: SparkSession, dir: String) => {
       val orders = rd(s, dir, "orders")
@@ -2058,6 +2080,33 @@ object Queries {
                    AND 1 PRECEDING) AS BIGINT), 0) // 4096 AS BIGINT)
                AS shard
       FROM documents ORDER BY doc_id""")),
+
+    // ---- GPT-style sequence packing: concat-and-chunk the token
+    // stream into fixed 512-token sequences — pure arithmetic on the
+    // same distributed prefix sum as sharding (one range exchange, no
+    // global window). Oracle recomputes with a window cumsum. ----
+    ("pack_sequences_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.pipeline.Sharding.packDocumentSequences(
+          docs, "doc_id", "text", maxLen = 512)
+        .select(col("doc_id"), col("_tokens").as("bpe_tokens"),
+          col("seq"), col("seq_offset"), col("n_seqs"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH t AS (SELECT doc_id,
+                   CAST(${tokenEstimateSql("text")} AS BIGINT) AS tok
+                 FROM documents),
+      c AS (SELECT doc_id, tok,
+              CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, tok AS bpe_tokens,
+             CAST(cum // 512 AS BIGINT) AS seq,
+             CAST(cum % 512 AS BIGINT) AS seq_offset,
+             CAST(GREATEST(1, ((cum + tok + 511) // 512) - (cum // 512))
+               AS BIGINT) AS n_seqs
+      FROM c ORDER BY doc_id""")),
 
     // ---- the SQL surface: the engine's scalar operators registered as
     // native SQL functions (GraftFunctions.register — zero UDFs, the

@@ -103,4 +103,46 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  // ------------------------------------------------ training order
+  // "Shuffle the corpus" is the last step before a training job reads
+  // it: the order must be pseudo-random (no domain/time clumping), yet
+  // reproducible across re-runs, cluster sizes, AND engines — which
+  // rules out `orderBy(rand(seed))` (partitioning-dependent) exactly
+  // like `randomSplit` was ruled out above. Same discipline as the
+  // split rule: the order key is md5 of (seed ':' content key), so any
+  // system with md5 derives the identical permutation.
+
+  /** The engine-portable permutation key: lowercase-hex
+    * `md5(seed ':' key)`. A NULL key hashes as the empty string (the
+    * [[hashSplit]] null rule — one uniform convention), so every row
+    * gets a non-null order key and no engine-specific null-sort
+    * divergence can enter.
+    */
+  def permutationColumn(key: Column, seed: String): Column =
+    md5(concat(lit(seed), lit(":"),
+      coalesce(key.cast("string"), lit(""))))
+
+  /** `df` + `_order` — sort by it for the deterministic shuffled
+    * training order. Map-only; the sort belongs to the consumer (or to
+    * [[permutedShards]], which pays the one range shuffle and hands
+    * back contiguous equal-row shards).
+    */
+  def permuted(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("_order", permutationColumn(col(keyCol), seed))
+
+  /** Shuffle-then-shard in ONE range exchange: rows ordered by the
+    * md5 permutation, packed into contiguous shards of exactly
+    * `rowsPerShard` rows (last shard ragged) — the
+    * [[Sharding.shardByTokenBudget]] two-level prefix sum with UNIT
+    * tokens, so shard boundaries are row counts and the whole step
+    * costs the single unavoidable global-order shuffle. Output:
+    * `df` + `_order` + `_tokens`(=1) + `shard` (long). A training
+    * reader consumes `shard=N` directories in order via
+    * [[Sharding.writeShards]].
+    */
+  def permutedShards(df: DataFrame, keyCol: String, seed: String,
+      rowsPerShard: Long, numPartitions: Int = 0): DataFrame =
+    Sharding.shardByTokenBudget(permuted(df, keyCol, seed), "_order",
+      lit(1L), rowsPerShard, numPartitions)
 }

@@ -39,14 +39,17 @@ import org.apache.spark.sql.types.{LongType, StructField,
   */
 object Sharding {
 
-  /** `df` (all columns preserved) + `_tokens` (the evaluated token
-    * count) + `shard` (long), ordered by `idCol` within range-ordered
-    * partitions. `idCol` values must be unique — the global order, and
-    * therefore the assignment, is only well-defined if they are.
+  /** The shared two-level prefix-sum core: `df` + `_tokens` (the
+    * evaluated token count) + `_cum` (the EXCLUSIVE global running
+    * total of `_tokens` in `idCol` order), range-partitioned and
+    * ordered by `idCol`. Everything downstream ([[shardByTokenBudget]],
+    * [[packSequences]]) is arithmetic on `_cum`. `idCol` values must be
+    * unique — the global order, and therefore the prefix, is only
+    * well-defined if they are. All longs: a 100 TB corpus's running
+    * token total (~25T) exceeds Int but sits far under 2⁶³.
     */
-  def shardByTokenBudget(df: DataFrame, idCol: String, tokens: Column,
-      budget: Long, numPartitions: Int = 0): DataFrame = {
-    require(budget > 0, s"shard budget must be positive, got $budget")
+  def withRunningTotal(df: DataFrame, idCol: String, tokens: Column,
+      numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
@@ -71,16 +74,26 @@ object Sharding {
     val out = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bcOffsets.value(pid)
       it.map { r =>
-        val shard = run / budget
+        val cum = run
         run += r.getLong(tokIdx)
-        // shard stays Long: ~25T tokens / a 4096 budget is ~6e9 shards,
-        // past Int.MaxValue — an Int label would wrap negative at scale
-        Row.fromSeq(r.toSeq :+ shard)
+        Row.fromSeq(r.toSeq :+ cum)
       }
     }
     spark.createDataFrame(out,
       StructType(ranged.schema.fields :+
-        StructField("shard", LongType, nullable = false)))
+        StructField("_cum", LongType, nullable = false)))
+  }
+
+  /** `df` (all columns preserved) + `_tokens` + `shard` (long — an Int
+    * wraps negative at ~6e9 shards, e.g. 25T tokens / a 4096 budget),
+    * ordered by `idCol` within range-ordered partitions.
+    */
+  def shardByTokenBudget(df: DataFrame, idCol: String, tokens: Column,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"shard budget must be positive, got $budget")
+    withRunningTotal(df, idCol, tokens, numPartitions)
+      .withColumn("shard", expr(s"_cum div ${budget}L"))
+      .drop("_cum")
   }
 
   /** Document convenience: shards a `documents`-shaped frame by the
@@ -90,6 +103,39 @@ object Sharding {
       textCol: String, budget: Long, numPartitions: Int = 0): DataFrame =
     shardByTokenBudget(docs, idCol,
       TextAnalysis.tokenEstimate(col(textCol)), budget, numPartitions)
+
+  /** GPT-style SEQUENCE PACKING: conceptually concatenate all documents
+    * in `idCol` order and chunk the token stream into fixed `maxLen`
+    * training sequences (the concat-and-chunk scheme — zero padding
+    * waste, documents may straddle sequence boundaries). Each document
+    * gets `seq` (the sequence its first token lands in), `seq_offset`
+    * (position of that token within the sequence) and `n_seqs` (how
+    * many sequences it spans — 1 unless it crosses a boundary; 1 for
+    * zero-token docs by convention).
+    *
+    * Pure arithmetic on the [[withRunningTotal]] prefix, so the whole
+    * step costs the one range exchange and holds at any scale; all
+    * outputs are longs (a 25T-token corpus has ~50G sequences at 512).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      maxLen: Long, numPartitions: Int = 0): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    withRunningTotal(df, idCol, tokens, numPartitions)
+      .withColumn("seq", expr(s"_cum div ${maxLen}L"))
+      .withColumn("seq_offset", expr(s"_cum % ${maxLen}L"))
+      .withColumn("n_seqs", expr(
+        s"greatest(1L, ((_cum + _tokens + ${maxLen - 1}L) div " +
+          s"${maxLen}L) - (_cum div ${maxLen}L))"))
+      .drop("_cum")
+  }
+
+  /** Document convenience: packs a `documents`-shaped frame by the
+    * BPE-ish token estimate of `textCol`.
+    */
+  def packDocumentSequences(docs: DataFrame, idCol: String,
+      textCol: String, maxLen: Long, numPartitions: Int = 0): DataFrame =
+    packSequences(docs, idCol,
+      TextAnalysis.tokenEstimate(col(textCol)), maxLen, numPartitions)
 
   /** Per-shard packing summary (shard, n_docs, shard_tokens) — the
     * manifest a training job reads; cheap aggregate over the assignment.

@@ -99,4 +99,47 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(Sampling.hashSample(withNull, "text", 0.8)
       .filter($"id" === 2).count() == 0L) // 'd41d' >= 'cccc'
   }
+
+  test("permuted order matches the serial md5 rule; seeds decorrelate") {
+    val got = Sampling.permuted(docs, "doc_id", "s1")
+      .select("doc_id", "_order").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = docs.select("doc_id").as[Long].collect().map { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:$id".getBytes("UTF-8"))
+      id -> d.map("%02x".format(_)).mkString
+    }.toMap
+    assert(got == exp)
+    // a different seed produces a different order
+    val other = Sampling.permuted(docs, "doc_id", "s2")
+      .select("doc_id", "_order").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other != got)
+    val byA = got.toSeq.sortBy(_._2).map(_._1)
+    val byB = other.toSeq.sortBy(_._2).map(_._1)
+    assert(byA != byB, "two seeds should not yield the same permutation")
+  }
+
+  test("permutedShards packs exact equal-row shards in permuted order") {
+    val rows = 120L
+    val sharded = Sampling.permutedShards(docs, "doc_id", "s1", rows,
+      numPartitions = 5)
+    val sizes = sharded.groupBy("shard").count()
+      .orderBy("shard").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val n = docs.count()
+    sizes.init.foreach { case (sh, c) =>
+      assert(c == rows, s"shard $sh has $c rows") }
+    assert(sizes.map(_._2).sum == n)
+    assert(sizes.last._2 == n - rows * (sizes.length - 1))
+    // shard boundaries follow the permutation: max order of shard k is
+    // below min order of shard k+1
+    val bounds = sharded.groupBy("shard")
+      .agg(min("_order").as("lo"), max("_order").as("hi"))
+      .orderBy("shard").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    bounds.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
 }

@@ -112,6 +112,48 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packSequences equals the serial concat-and-chunk contract") {
+    val maxLen = 512L
+    val toks = docs
+      .select($"doc_id", TextAnalysis.tokenEstimate($"text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+      .sortBy(_._1)
+    var cum = 0L
+    val exp = toks.map { case (id, t) =>
+      val seq = cum / maxLen
+      val off = cum % maxLen
+      val nSeqs = math.max(1L, (cum + t + maxLen - 1) / maxLen - seq)
+      cum += t
+      id -> ((seq, off, nSeqs))
+    }.toMap
+    val got = Sharding.packDocumentSequences(
+        docs, "doc_id", "text", maxLen, numPartitions = 7)
+      .select("doc_id", "seq", "seq_offset", "n_seqs")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == exp)
+    // the fixture must actually exercise boundary-straddling docs
+    assert(exp.values.exists(_._3 > 1), "no doc spans a boundary")
+    assert(exp.values.map(_._1).max > 2, "fixture spans few sequences")
+  }
+
+  test("packSequences: zero-token docs get n_seqs 1 at their offset") {
+    val tiny = Seq((1L, "four tokens here now"), (2L, ""), (3L, "tail"))
+      .toDF("doc_id", "text")
+    // tokenEstimate: doc1 = max(4 words, 20 chars/4) = 5; "" = 0;
+    // "tail" = max(1, 7/4) = 1. maxLen 3 → doc1 spans seqs 0..1,
+    // doc2 (zero tokens) sits at cum 5 = (seq 1, off 2) with n_seqs 1,
+    // doc3 starts at the same point.
+    val got = Sharding.packSequences(tiny, "doc_id",
+        TextAnalysis.tokenEstimate($"text"), maxLen = 3L)
+      .select("doc_id", "seq", "seq_offset", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, 0L, 2L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 2L, 1L)))
+  }
+
   test("pass 2 reuses the range-exchange shuffle (map stage skipped)") {
     val sharded = Sharding.shardDocumentsByTokenBudget(
       docs, "doc_id", "text", 1000, numPartitions = 4)
