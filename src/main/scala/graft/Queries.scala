@@ -143,6 +143,19 @@ object Queries {
       path
     })
 
+  private val ivfQIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  /** The int8-QUANTIZED IVF index variant (1 code byte/dim + min/max
+    * instead of 4 float bytes — the 100 TB storage layout).
+    */
+  def ivfQuantizedIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(ivfQIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("ivfq", d)
+      Similarity.writeIvfIndex(rd(s, d, "embeddings"), "vec_id",
+        "embedding", ivfCentroidsFor(s, d), path, quantize = true)
+      path
+    })
+
   /** Persisted MinHash text index for a testdata dir, WRITTEN ONCE per
     * (session, dir): the offline corpus-index build of
     * [[Dedup.writeMinhashIndex]]. The `dedup_index_documents` query then
@@ -1882,6 +1895,69 @@ object Queries {
                         CAST(list_transform(embedding,
                           x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 1 ORDER BY query_id, rank""")),
+
+    // ---- int8 embedding quantization, BIT-LEVEL oracle: the floor-
+    // based rule (pinned double-op order, no `round` — half-away vs
+    // half-even varies across engines) is replayed code-for-code in
+    // DuckDB; the query emits per-vector min/max and code checksums. ----
+    ("embedding_quantize", ((s: SparkSession, dir: String) => {
+      Similarity.quantizeEmbeddings(rd(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("mn"), col("mx"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("q_sum"),
+          element_at(col("codes"), 1).as("q0"),
+          element_at(col("codes"), 64).as("q63"))
+        .orderBy("vec_id")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id,
+                   CAST(list_min(embedding) AS DOUBLE) AS mn,
+                   CAST(list_max(embedding) AS DOUBLE) AS mx,
+                   embedding
+                 FROM embeddings),
+      c AS (SELECT vec_id, mn, mx,
+              list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+                ELSE LEAST(255, CAST(floor(
+                  ((CAST(x AS DOUBLE) - mn) * 255.0) / (mx - mn))
+                  AS BIGINT)) END) AS codes
+            FROM q)
+      SELECT vec_id, mn, mx,
+             CAST(list_sum(codes) AS BIGINT) AS q_sum,
+             CAST(codes[1] AS INTEGER) AS q0,
+             CAST(codes[64] AS INTEGER) AS q63
+      FROM c ORDER BY vec_id""")),
+
+    // ---- quantized IVF index end-to-end: probe pruning + per-cell
+    // dequantize + cosine scoring. Scaled-self queries make the global
+    // top-1 the vector itself (off-diag cosine <= 0.52 in this corpus
+    // vs self-dequantized cosine >= 0.99996), so the oracle is exact
+    // brute force — rank-level like the other ANN gates. ----
+    ("similarity_ivf_qindex_topk", ((s: SparkSession, dir: String) => {
+      val path = ivfQuantizedIndexFor(s, dir)
+      val e = rd(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x * lit(0.75f)).as("qv"))
+      Similarity.ivfTopKFromIndex(s, path, queries, "qid", "qv",
+        k = 1, nProbe = 1)
+        .select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(list_transform(embedding,
+                          x -> x * CAST(0.75 AS FLOAT)) AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
       scored AS (
         SELECT q.query_id, e.vec_id AS id,
                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)

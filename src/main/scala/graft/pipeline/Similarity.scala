@@ -55,6 +55,113 @@ object Similarity {
     if (d == 0) 0.0 else dotJ(a, b) / d
   }
 
+  // ------------------------------------------------- int8 quantization
+  // Scalar per-vector quantization: 4 float bytes → 1 code byte per
+  // dimension (+8 bytes of per-vector min/max), a ~3.5× cut in index
+  // bytes scanned per probed IVF cell at 100 TB. The rule is floor-based
+  // double arithmetic with a pinned operation order, so any engine
+  // replays the codes bit-exactly (`round` half-away/half-even varies
+  // across engines; `floor` does not).
+
+  /** Quantization codes for one vector: (mn, mx, codes ∈ [0,255]).
+    * code_i = min(255, floor(((v_i - mn) * 255) / (mx - mn))); a
+    * constant vector (mx = mn) codes as all-zero.
+    */
+  private[pipeline] def quantizeCodesJ(
+      v: Array[Float]): (Double, Double, Array[Int]) = {
+    if (v.isEmpty) return (0.0, 0.0, Array.emptyIntArray)
+    var mnF = v(0); var mxF = v(0)
+    var i = 1
+    while (i < v.length) {
+      if (v(i) < mnF) mnF = v(i)
+      if (v(i) > mxF) mxF = v(i)
+      i += 1
+    }
+    val mn = mnF.toDouble; val mx = mxF.toDouble
+    val s = mx - mn
+    val codes = new Array[Int](v.length)
+    if (s != 0) {
+      i = 0
+      while (i < v.length) {
+        codes(i) = math.min(255,
+          math.floor(((v(i).toDouble - mn) * 255.0) / s).toInt)
+        i += 1
+      }
+    }
+    (mn, mx, codes)
+  }
+
+  /** Midpoint reconstruction: deq_i = mn + ((code_i + 0.5) * s) / 255
+    * (the center of the code's cell, halving worst-case error vs the
+    * left edge); constant vectors reconstruct to mn exactly.
+    */
+  private[pipeline] def dequantizeJ(mn: Double, mx: Double,
+      codes: Array[Int]): Array[Float] = {
+    val s = mx - mn
+    val out = new Array[Float](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      out(i) = if (s == 0) mn.toFloat
+        else (mn + ((codes(i) + 0.5) * s) / 255.0).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Codes packed to one byte each for storage (code − 128, signed). */
+  private[pipeline] def packCodesJ(codes: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](codes.length)
+    var i = 0
+    while (i < codes.length) { out(i) = (codes(i) - 128).toByte; i += 1 }
+    out
+  }
+
+  private[pipeline] def unpackCodesJ(b: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toInt + 128; i += 1 }
+    out
+  }
+
+  /** `(id, mn, mx, codes)` — the transparent int-array form (the oracle
+    * checks these codes row-level); [[quantized]] is the packed storage
+    * form. One typed map, no shuffle.
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (mn, mx, codes) = quantizeCodesJ(v); (id, mn, mx, codes)
+      }.toDF(idCol, "mn", "mx", "codes")
+  }
+
+  /** `(id, mn, mx, qv: binary)` — 1 byte/dim storage form. */
+  def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (mn, mx, codes) = quantizeCodesJ(v)
+        (id, mn, mx, packCodesJ(codes))
+      }.toDF(idCol, "mn", "mx", "qv")
+  }
+
+  /** Reconstruct `(id, v)` from the [[quantized]] storage form. */
+  def dequantized(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("mn").cast("double"),
+        col("mx").cast("double"), col("qv"))
+      .as[(Long, Double, Double, Array[Byte])]
+      .map { case (id, mn, mx, qv) =>
+        (id, dequantizeJ(mn, mx, unpackCodesJ(qv)))
+      }.toDF(idCol, "v")
+  }
+
   /** Deterministic pseudo-random hyperplane `j` of dimension `dim`:
     * component i ∈ {-1, +1} derived from byteswap64 of (seed, j, i).
     * Rademacher hyperplanes preserve cosine-LSH guarantees and make the
@@ -301,19 +408,32 @@ object Similarity {
     * reload.
     */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Float]], path: String): Unit = {
+      centroids: Array[Array[Float]], path: String,
+      quantize: Boolean = false): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     require(dim > 0 && centroids.forall(_.length == dim),
       "centroids must be non-empty with one uniform dimension")
-    ivfAssignDf(df, idCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    // self-describing sidecar: dim/k/metric ride with the centroids so a
-    // reader can VALIDATE a query workload against the index identity
-    // instead of silently scoring mismatched vectors
-    Seq((centroids.map(_.toSeq).toSeq, dim, centroids.length, "cosine"))
-      .toDF("centroids", "dim", "k", "metric").coalesce(1)
+    val assigned = ivfAssignDf(df, idCol, vecCol, centroids)
+    // quantize = true stores 1 code byte per dimension (+ per-vector
+    // min/max) instead of 4 float bytes — ~3.5× fewer index bytes
+    // scanned per probed cell; cell assignment always runs on the
+    // full-precision vectors (cosine is scale-invariant, so the cid a
+    // reader probes is unchanged by quantization)
+    val stored =
+      if (!quantize) assigned
+      else assigned.as[(Long, Array[Float], Int)].map { case (id, v, cid) =>
+        val (mn, mx, codes) = quantizeCodesJ(v)
+        (id, mn, mx, packCodesJ(codes), cid)
+      }.toDF("id", "mn", "mx", "qv", "cid")
+    stored.write.mode("overwrite").partitionBy("cid").parquet(path)
+    // self-describing sidecar: dim/k/metric/quantized ride with the
+    // centroids so a reader can VALIDATE a query workload against the
+    // index identity instead of silently scoring mismatched vectors
+    Seq((centroids.map(_.toSeq).toSeq, dim, centroids.length, "cosine",
+        quantize))
+      .toDF("centroids", "dim", "k", "metric", "quantized").coalesce(1)
       .write.mode("overwrite").json(s"$path.centroids")
   }
 
@@ -368,9 +488,21 @@ object Similarity {
       .as[Int].collect().toSeq
     // empty batch -> no probes: keep the plan shape (and result schema)
     // with an always-false filter instead of an empty isin
-    val cells = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(if (probedCells.isEmpty) lit(false)
         else col("cid").isin(probedCells: _*)) // partition pruning
+    // a quantized index dequantizes AFTER the partition filter, so the
+    // kernel touches only probed-cell bytes (3.5× fewer of them)
+    val quantizedIdx = side.schema.fieldNames.contains("quantized") &&
+      side.head().getAs[Boolean]("quantized")
+    val cells =
+      if (!quantizedIdx) pruned
+      else pruned.select(col("id"), col("mn"), col("mx"), col("qv"),
+          col("cid"))
+        .as[(Long, Double, Double, Array[Byte], Int)]
+        .map { case (id, mn, mx, qv, cid) =>
+          (id, dequantizeJ(mn, mx, unpackCodesJ(qv)), cid)
+        }.toDF("id", "v", "cid")
     val scored = cells.join(broadcast(qProbes), "cid")
       .select(col("query_id"), col("id"),
         graft.functions.VectorExpressions

@@ -89,6 +89,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
       s"index scan must partition-prune on cid:\n$plan")
   }
 
+  test("similarity_ivf_qindex_topk prunes partitions BELOW the dequant") {
+    val plan = executed("similarity_ivf_qindex_topk")
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"quantized index scan must partition-prune on cid:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("json_union_ingest parses each row exactly once") {
     val df = SparkEntry.queries("json_union_ingest")(spark, dir)
     val optimized = df.queryExecution.optimizedPlan.toString
