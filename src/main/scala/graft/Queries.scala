@@ -2120,6 +2120,43 @@ object Queries {
         .orderBy("doc_id")
     }): Q, Some(curationOracleSql("en", 40, 0.8, transitive = true))),
 
+    // ---- the END-TO-END flagship: raw corpus → curate → keep the
+    // train split → md5 training-order permutation → concat-and-chunk
+    // packing, ONE call (prepareTrainingSequences). The oracle nests
+    // the full curation oracle as a derived table and replays the
+    // permutation + window cumsum on its kept set. ----
+    ("prepare_training_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curation.prepareTrainingSequences(
+        docsForCuration(s, dir), "doc_id", "text",
+        graft.pipeline.Curation.Config(nearDup =
+          graft.pipeline.Curation.NearDupStrategy.Ngram(maxDocFreq = 0)),
+        seed = "t1", maxLen = 512)
+        .select(col("doc_id"), col("_order"),
+          col("_tokens").as("bpe_tokens"), col("seq"), col("seq_offset"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH cur AS (SELECT * FROM (${curationOracleSql("en", 40, 0.8)}) c),
+      b AS ($docsCurationSql),
+      kept AS (SELECT cur.doc_id, b.text
+               FROM cur JOIN b USING (doc_id)
+               WHERE cur.status = 'kept' AND cur.split = 'train'),
+      p AS (SELECT doc_id, text,
+              md5('t1:' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                AS _order
+            FROM kept),
+      t AS (SELECT doc_id, _order,
+              CAST(${tokenEstimateSql("text")} AS BIGINT) AS tok
+            FROM p),
+      c2 AS (SELECT doc_id, _order, tok,
+               CAST(COALESCE(SUM(tok) OVER (ORDER BY _order
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS cum
+             FROM t)
+      SELECT doc_id, _order, tok AS bpe_tokens,
+             CAST(cum // 512 AS BIGINT) AS seq,
+             CAST(cum % 512 AS BIGINT) AS seq_offset
+      FROM c2 ORDER BY doc_id""")),
+
     // ---- curation with EVERY stage on: language → quality → PII cap →
     // repetition cap → exact dedup → near-dup → split, over a fixture
     // with planted PII rows and degenerate-repetition rows; the oracle

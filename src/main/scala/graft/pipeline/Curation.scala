@@ -246,4 +246,35 @@ object Curation {
       .filter(col("status") === Kept).drop("status")
     docs.join(audit, Seq(idCol))
   }
+
+  /** END-TO-END training-run preparation, raw corpus → packed sequence
+    * assignment in one call: [[curate]] (language → quality → optional
+    * PII/repetition → exact → near-dup → split) keeps the `split` docs,
+    * [[Sampling.permuted]] orders them by the engine-portable md5(seed)
+    * permutation, and [[Sharding.packSequences]] concat-and-chunks the
+    * token stream into `maxLen` training sequences. Output: the kept
+    * rows + `_order` + `_tokens` + `(seq, seq_offset, n_seqs)`; feed it
+    * to [[Sharding.writeShards]] keyed however the trainer reads.
+    *
+    * Shuffle budget at 100 TB: curate's own passes + ONE join back to
+    * the corpus for text recovery (the audit carries only ids) + the
+    * ONE range exchange the permutation/packing shares — the permute
+    * and the pack are the same shuffle, and every stage before it has
+    * already shrunk the data to the kept `split` subset.
+    */
+  def prepareTrainingSequences(docs: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config(), seed: String = "train",
+      maxLen: Long = 2048, split: String = "train",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(cfg.splits.exists(_._1 == split),
+      s"split '$split' is not one of the configured splits " +
+        cfg.splits.map(_._1).mkString("[", ",", "]"))
+    val audit = curate(docs, idCol, textCol, cfg, scope)
+      .filter(col("status") === Kept && col("split") === split)
+      .select(col(idCol))
+    val kept = docs.select(col(idCol), col(textCol)).join(audit, Seq(idCol))
+    Sharding.packSequences(
+      Sampling.permuted(kept, idCol, seed), "_order",
+      TextAnalysis.tokenEstimate(col(textCol)), maxLen)
+  }
 }

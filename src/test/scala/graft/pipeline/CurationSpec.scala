@@ -181,4 +181,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       assert(a == b)
     }
   }
+
+  test("prepareTrainingSequences equals the manual composition") {
+    CacheScope.withScope { scope =>
+      val got = Curation.prepareTrainingSequences(fixture, "doc_id",
+          "text", cfg, seed = "sx", maxLen = 64, scope = scope)
+        .select("doc_id", "_order", "seq", "seq_offset", "n_seqs")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // manual: curate, filter kept-train, permute, pack
+      val keptIds = Curation.curate(fixture, "doc_id", "text", cfg, scope)
+        .filter(col("status") === Curation.Kept &&
+          col("split") === "train")
+        .select("doc_id")
+      val kept = fixture.select(col("doc_id"), col("text"))
+        .join(keptIds, Seq("doc_id"))
+      val exp = Sharding.packSequences(
+          Sampling.permuted(kept, "doc_id", "sx"), "_order",
+          TextAnalysis.tokenEstimate(col("text")), 64L)
+        .select("doc_id", "_order", "seq", "seq_offset", "n_seqs")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == exp && got.nonEmpty)
+      // only kept-train docs appear
+      val ids = got.map(_._1)
+      assert(ids == keptIds.collect().map(_.getLong(0)).toSet)
+    }
+  }
+
+  test("prepareTrainingSequences rejects an unconfigured split name") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.prepareTrainingSequences(fixture, "doc_id", "text", cfg,
+        split = "holdout")
+    }
+    assert(e.getMessage.contains("holdout"))
+  }
 }
