@@ -217,6 +217,46 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("micro-batch ANN against the QUANTIZED IVF index = batch FromIndex") {
+    import graft.pipeline.Similarity
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", k = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivfq").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", centroids,
+      path, quantize = true)
+    val w = corpus.filter($"vec_id" % 100 === 5)
+      .collect().map(r => (r.getLong(0) + 3000L,
+        r.getSeq[Float](1).map(_ * 0.5f))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val found = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Int)]
+    val q = StreamOps.annStreamAgainstIvfIndex(
+      input.toDF().toDF("qid", "qv"), path, "qid", "qv",
+      k = 2, nProbe = 2) { (topk, _) =>
+        found ++= topk.select("query_id", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }.start()
+    input.addData(w); q.processAllAvailable()
+    q.stop()
+    val expected = Similarity.ivfTopKFromIndex(spark, path,
+        w.toDF("qid", "qv"), "qid", "qv", k = 2, nProbe = 2)
+      .select("query_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(found.toSet == expected && found.nonEmpty)
+    // quantized self-match: rank-1 hit for a scaled-self query is the
+    // original vector (cosine is scale-invariant; margins dominate the
+    // quantization error in this corpus)
+    found.filter(_._3 == 1).foreach { case (qid, id, _) =>
+      assert(id == qid - 3000L, s"query $qid rank-1 was $id")
+    }
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("flatten + validate on a stream behave like batch") {
     val w = Avro.create("""{"name":"e","type":"record","fields":[
       {"name":"event_id","type":"long"},
