@@ -269,10 +269,10 @@ object Curation {
     require(cfg.splits.exists(_._1 == split),
       s"split '$split' is not one of the configured splits " +
         cfg.splits.map(_._1).mkString("[", ",", "]"))
-    val audit = curate(docs, idCol, textCol, cfg, scope)
-      .filter(col("status") === Kept && col("split") === split)
-      .select(col(idCol))
-    val kept = docs.select(col(idCol), col(textCol)).join(audit, Seq(idCol))
+    // [[curated]] keeps EVERY caller column (url/lang/source metadata
+    // rides through to the written shards), + the split label we filter
+    val kept = curated(docs, idCol, textCol, cfg, scope)
+      .filter(col("split") === split).drop("split")
     Sharding.packSequences(
       Sampling.permuted(kept, idCol, seed), "_order",
       TextAnalysis.tokenEstimate(col(textCol)), maxLen)

@@ -71,8 +71,15 @@ object Similarity {
       v: Array[Float]): (Double, Double, Array[Int]) = {
     if (v.isEmpty) return (0.0, 0.0, Array.emptyIntArray)
     var mnF = v(0); var mxF = v(0)
-    var i = 1
+    var i = 0
     while (i < v.length) {
+      // fail FAST on non-finite components: NaN would silently skip the
+      // min/max comparisons and floor to code 0 here while the oracle's
+      // CAST(floor(NaN) AS BIGINT) errors — an asymmetric gate crash and
+      // a garbage code in a persisted index instead of a clear refusal
+      require(java.lang.Float.isFinite(v(i)),
+        s"non-finite embedding component ${v(i)} at dim $i — " +
+          "quantization is defined for finite vectors only")
       if (v(i) < mnF) mnF = v(i)
       if (v(i) > mxF) mxF = v(i)
       i += 1
@@ -459,8 +466,11 @@ object Similarity {
       k: Int, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     val side = spark.read.json(s"$path.centroids")
+    // ONE driver job over the sidecar per call (this runs per
+    // micro-batch in streaming ANN): every field probe reads this row
+    val sideRow = side.head()
     if (side.schema.fieldNames.contains("dim")) {
-      val storedDim = side.head().getAs[Long]("dim").toInt
+      val storedDim = sideRow.getAs[Long]("dim").toInt
       // validate against the first NON-NULL query vector; an empty
       // micro-batch (stream start, recovery replay) or an all-null one
       // has nothing to validate and must flow through as an empty
@@ -492,9 +502,9 @@ object Similarity {
       .filter(if (probedCells.isEmpty) lit(false)
         else col("cid").isin(probedCells: _*)) // partition pruning
     // a quantized index dequantizes AFTER the partition filter, so the
-    // kernel touches only probed-cell bytes (3.5× fewer of them)
+    // kernel touches only probed-cell bytes
     val quantizedIdx = side.schema.fieldNames.contains("quantized") &&
-      side.head().getAs[Boolean]("quantized")
+      sideRow.getAs[Boolean]("quantized")
     val cells =
       if (!quantizedIdx) pruned
       else pruned.select(col("id"), col("mn"), col("mx"), col("qv"),

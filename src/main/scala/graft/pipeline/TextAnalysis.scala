@@ -364,8 +364,12 @@ object TextAnalysis {
     val toks = explodedTokens(df, idCol, textCol)
     val tf = toks.groupBy("doc_id", "tok")
       .agg(count(lit(1)).cast(LongType).as("tf"))
-    val dfreq = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("n_docs"))
+    // tf already holds exactly one row per (doc_id, tok): deriving the
+    // document frequency from IT (not the raw token stream) avoids a
+    // second full text explode + distinct shuffle — at 100 TB the
+    // explode is the dominant cost and must run once
+    val dfreq = tf.groupBy("tok")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
     val idf = (lit((n + 1).toDouble)) / (col("n_docs").cast(DoubleType) + 1.0d)
     val scored = tf.join(dfreq, "tok")
       .withColumn("score", col("tf").cast(DoubleType) *

@@ -40,6 +40,15 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
       Seq(2.5f, 2.5f, 2.5f))
   }
 
+  test("non-finite embedding components are refused, not coded as 0") {
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeCodesJ(Array(1f, Float.NaN))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeCodesJ(Array(Float.PositiveInfinity, 0f))
+    }
+  }
+
   test("quantized storage roundtrip through DataFrames") {
     val q = Similarity.quantized(emb, "vec_id", "embedding")
     assert(q.columns.toSeq == Seq("vec_id", "mn", "mx", "qv"))

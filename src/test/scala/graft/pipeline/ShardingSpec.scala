@@ -163,18 +163,22 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     // stage — a resubmitted exchange map stage would mean the shuffle
     // was recomputed (the property the two-pass design exists for).
     val submitted = new java.util.concurrent.atomic.AtomicInteger
-    val t0 = System.currentTimeMillis()
+    // count ONLY stages of the collect's own job group — a wall-clock
+    // cutoff would race with backlogged pass-1 events draining into the
+    // listener (same-millisecond straggler = spurious failure)
+    val group = s"graft-pass2-${System.nanoTime}"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(
           s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-        // guard against backlogged events from earlier jobs draining
-        // into this listener after registration
-        if (s.stageInfo.submissionTime.exists(_ >= t0))
+        if (s.properties != null &&
+            group == s.properties.getProperty("spark.jobGroup.id"))
           submitted.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      sharded.collect()
+      spark.sparkContext.setJobGroup(group, "pass-2 stage count")
+      try sharded.collect()
+      finally spark.sparkContext.clearJobGroup()
       // the listener bus is async; give the events time to drain
       val deadline = System.nanoTime + 10000000000L
       while (submitted.get() < 1 && System.nanoTime < deadline)
