@@ -359,15 +359,18 @@ object TextAnalysis {
     * literal).
     */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
-      k: Int, logIdf: Boolean = false): DataFrame = {
+      k: Int, logIdf: Boolean = false,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, df.sparkSession)
     val n = df.count()
     val toks = explodedTokens(df, idCol, textCol)
-    val tf = toks.groupBy("doc_id", "tok")
-      .agg(count(lit(1)).cast(LongType).as("tf"))
-    // tf already holds exactly one row per (doc_id, tok): deriving the
-    // document frequency from IT (not the raw token stream) avoids a
-    // second full text explode + distinct shuffle — at 100 TB the
-    // explode is the dominant cost and must run once
+    // tf holds exactly one row per (doc_id, tok); BOTH the join's tf
+    // side and the document-frequency aggregate read it, and column
+    // pruning diverges the two subtrees enough that Spark cannot reuse
+    // the exchange — persist it (scoped, releasable) so the text
+    // explode, the dominant cost at scale, executes ONCE
+    val tf = sc.persist(toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast(LongType).as("tf")))
     val dfreq = tf.groupBy("tok")
       .agg(count(lit(1)).cast(LongType).as("n_docs"))
     val idf = (lit((n + 1).toDouble)) / (col("n_docs").cast(DoubleType) + 1.0d)
