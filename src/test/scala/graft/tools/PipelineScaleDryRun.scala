@@ -76,10 +76,10 @@ object PipelineScaleDryRun {
         budget, numPartitions = parts)
         .select($"doc_id", $"shard")
     val a = timed("shard @ 8 partitions") {
-      val d = shardWith(8).as[(Long, Int)].collect().sortBy(_._1); d
+      val d = shardWith(8).as[(Long, Long)].collect().sortBy(_._1); d
     }
     val b = timed("shard @ 64 partitions") {
-      val d = shardWith(64).as[(Long, Int)].collect().sortBy(_._1); d
+      val d = shardWith(64).as[(Long, Long)].collect().sortBy(_._1); d
     }
     log(s"  partition-count invariance (8 vs 64): ${a.sameElements(b)}")
     val serial = timed("serial driver-side contract") {
@@ -88,7 +88,7 @@ object PipelineScaleDryRun {
         .as[(Long, Int)].collect().sortBy(_._1)
       var run = 0L
       toks.map { case (id, t) =>
-        val s = (run / budget).toInt; run += t; (id, s)
+        val s = run / budget; run += t; (id, s)
       }
     }
     log(s"  equals serial contract: ${a.sameElements(serial)}")
@@ -131,9 +131,34 @@ object PipelineScaleDryRun {
       log("")
     }
 
+    // "prepare" arg: the END-TO-END flagship at 500k docs — curate
+    // (minhash strategy, the at-scale default) → train split → md5
+    // permutation → 2048-token sequence packing, one call.
+    if (args.contains("prepare")) {
+      log("## prepareTrainingSequences at 500k docs " +
+        "(minhash strategy, maxLen=2048)")
+      CacheScope.withScope { scope =>
+        val packed = timed("curate -> train split -> permute -> pack") {
+          val p = Curation.prepareTrainingSequences(corpus, "doc_id",
+            "text",
+            Curation.Config(nearDup = Curation.NearDupStrategy.MinHash()),
+            seed = "dry", maxLen = 2048, scope = scope).persist()
+          log(s"  kept+packed docs: ${p.count()}"); p
+        }
+        val stats = packed
+          .agg(max($"seq"), sum($"_tokens"), count(lit(1))).head()
+        log(s"  sequences: ${stats.getLong(0) + 1}, total tokens " +
+          s"${stats.getLong(1)}, straddling docs: " +
+          s"${packed.filter($"n_seqs" > 1).count()}")
+        packed.unpersist()
+      }
+      log("")
+    }
+
+    val nonStrategyArgs = Set("cluster", "prepare")
     val strategies: Seq[(String, Curation.NearDupStrategy)] =
-      (args.filterNot(_ == "cluster") match {
-        case Array() if args.contains("cluster") => Seq.empty[String]
+      (args.filterNot(nonStrategyArgs) match {
+        case Array() if args.exists(nonStrategyArgs) => Seq.empty[String]
         case Array() => Seq("1000", "50", "minhash")
         case rest => rest.toSeq
       }).map {
