@@ -2236,7 +2236,8 @@ object Queries {
                graft_lang_id(text) AS lang_detected,
                graft_split(text, 'train', 0.8D, 'val', 0.1D, 'test', 0.1D)
                  AS split,
-               graft_keep_sample(text, 0.5D) AS in_half_sample
+               graft_keep_sample(text, 0.5D) AS in_half_sample,
+               graft_permutation(doc_id, 'p1') AS perm
         FROM graft_sql_documents ORDER BY doc_id""")
     }): Q, Some(s"""
       SELECT doc_id,
@@ -2245,7 +2246,8 @@ object Queries {
              ${qualityScoreSql("text")} AS quality,
              ${langIdSql("text")} AS lang_detected,
              ${splitCaseSql("text")} AS split,
-             substr(md5(text), 1, 4) < '8000' AS in_half_sample
+             substr(md5(text), 1, 4) < '8000' AS in_half_sample,
+             md5('p1:' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS perm
       FROM documents ORDER BY doc_id""")),
 
     // ---- the native codegen'd cosine expression through SQL: top-5

@@ -87,6 +87,12 @@ object GraftFunctions {
       require(es.length == 2, s"expected 2 arguments, got ${es.length}")
       graftshim.resolvedExpression(Sampling.hashSampleColumn(
         graftshim.column(es.head), numLit(es(1), "sample fraction")))
+    },
+    // engine-portable training-order permutation key: md5(seed ':' key)
+    "graft_permutation" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      graftshim.resolvedExpression(Sampling.permutationColumn(
+        graftshim.column(es.head), strLit(es(1), "permutation seed")))
     })
 
   /** Register every function on an existing session. Idempotent. */

@@ -24,7 +24,8 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
              graft_fingerprint(text) AS e,
              graft_split(text, 'train', 0.8D, 'val', 0.1D, 'test', 0.1D)
                AS f,
-             graft_keep_sample(text, 0.25D) AS g
+             graft_keep_sample(text, 0.25D) AS g,
+             graft_permutation(doc_id, 'p9') AS h
       FROM gf_docs""").collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     val viaColumns = docs.select($"doc_id",
         TextAnalysis.tokenCount($"text"),
@@ -34,7 +35,8 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
         TextAnalysis.fingerprint($"text"),
         Sampling.hashSplitColumn($"text",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
-        Sampling.hashSampleColumn($"text", 0.25))
+        Sampling.hashSampleColumn($"text", 0.25),
+        Sampling.permutationColumn($"doc_id", "p9"))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(viaSql == viaColumns)
   }
