@@ -3,7 +3,7 @@ package graft
 import graft.schema._
 import graft.ops._
 import graft.functions.AvroBinary
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, LineDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -599,6 +599,33 @@ object Queries {
              CAST(count(*) AS INTEGER) AS n_overlap
       FROM docg d JOIN bg USING (g)
       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** Multi-line fixture for the line-dedup queries: the documents table
+    * is single-line, so both engines derive the SAME multi-line corpus
+    * from it — ' value ' becomes a line break, docs %5 gain a nav
+    * header, docs %3 a license footer. Literal `replace` (not regex) in
+    * both engines: identical left-to-right non-overlapping scans.
+    */
+  def linedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0,
+          lit("nav home about contact\n")).otherwise(lit("")),
+        replace(col("text"), lit(" value "), lit("\n")),
+        when(col("doc_id") % 3 === 0,
+          lit("\ncopyright footer all rights reserved"))
+          .otherwise(lit(""))).as("text"))
+
+  val linedDocsSql: String =
+    """SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 5 = 0
+             THEN 'nav home about contact' || chr(10) ELSE '' END,
+           replace(text, ' value ', chr(10)),
+           CASE WHEN doc_id % 3 = 0
+             THEN chr(10) || 'copyright footer all rights reserved'
+             ELSE '' END) AS text
+       FROM documents"""
 
   def tokenCountSql(textExpr: String): String =
     s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
@@ -1248,6 +1275,55 @@ object Queries {
       SELECT doc_id, tok, tf, n_docs, score,
              CAST(rank AS INTEGER) AS rank
       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- corpus line-frequency stats (CCNet/RefinedWeb boilerplate
+    // detection, stage 1). The documents table is single-line, so the
+    // fixture derives a multi-line corpus DETERMINISTICALLY in both
+    // engines: ' value ' becomes a line break, docs %5 gain a nav
+    // header, docs %3 a license footer — planted boilerplate with
+    // doc_freq 100/167 over natural lines at doc_freq <= 5. ----
+    ("line_stats_documents", ((s: SparkSession, dir: String) => {
+      LineDedup.lineStats(linedDocs(rd(s, dir, "documents")),
+          "doc_id", "text")
+        .filter(col("doc_freq") >= 3)
+        .orderBy("line")
+    }): Q, Some(s"""
+      WITH lined AS ($linedDocsSql),
+      ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+             FROM lined)
+      SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             CAST(count(*) AS BIGINT) AS occurrences
+      FROM ex WHERE length(line) > 0
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+      ORDER BY line""")),
+
+    // ---- boilerplate line removal (stage 2): lines above doc-freq 10
+    // drop from every document, survivors rejoin in original order;
+    // documents reduced to nothing stay as empty-text rows (the audit
+    // still carries their line counts). Empty lines are structural and
+    // exempt. ----
+    ("line_dedup_documents", ((s: SparkSession, dir: String) => {
+      LineDedup.dropBoilerplate(linedDocs(rd(s, dir, "documents")),
+          "doc_id", "text", maxDocFreq = 10)
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH lined AS ($linedDocsSql),
+      ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1)
+                      AS pos
+             FROM lined),
+      boiler AS (SELECT line FROM ex WHERE length(line) > 0
+                 GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+      j AS (SELECT e.doc_id, e.pos, e.line,
+                   (b.line IS NOT NULL) AS is_boiler
+            FROM ex e LEFT JOIN boiler b ON e.line = b.line)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+               chr(10) ORDER BY pos), '') AS text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {
