@@ -1175,6 +1175,66 @@ object Queries {
         ELSE substr(md5(text), 1, 4) < '0ccc' END
       ORDER BY doc_id""")),
 
+    // ---- domain-mixture plan: per-source token availability vs a
+    // weighted token budget — target 9000 tokens for src3 exceeds its
+    // sf0.01 availability, so that domain saturates at keep-all
+    // (cutoff 65536). Engine parity is by construction: one double
+    // division w*B/T in both engines, then an EXACT *65536 (power of
+    // two) and floor — no rounding edge can straddle. ----
+    ("mixture_plan_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling.mixturePlan(rd(s, dir, "documents"),
+          "source", col("n_chars"),
+          Map("src0" -> 0.1, "src1" -> 0.3, "src3" -> 0.6),
+          tokenBudget = 15000L)
+        .orderBy("domain")
+    }): Q, Some("""
+      WITH avail AS (SELECT source AS domain,
+                       CAST(sum(n_chars) AS BIGINT) AS available_tokens
+                     FROM documents GROUP BY source),
+      w AS (SELECT * FROM (VALUES
+              ('src0', CAST(0.1 AS DOUBLE)),
+              ('src1', CAST(0.3 AS DOUBLE)),
+              ('src3', CAST(0.6 AS DOUBLE))) AS t(domain, wt))
+      SELECT a.domain, a.available_tokens,
+             CAST(floor(w.wt * 15000) AS BIGINT) AS target_tokens,
+             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+               w.wt * 15000 / a.available_tokens) * 65536) AS BIGINT)
+               AS cutoff_bucket
+      FROM avail a JOIN w ON a.domain = w.domain
+      ORDER BY a.domain""")),
+
+    // ---- the mixture sample itself: per-domain kept rows and tokens
+    // under the plan's cutoffs, by the same md5-bucket membership rule
+    // as the split/sample family (deterministic per row, map-only). ----
+    ("mixture_sample_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling.mixtureSample(rd(s, dir, "documents"),
+          "text", "source", col("n_chars"),
+          Map("src0" -> 0.1, "src1" -> 0.3, "src3" -> 0.6),
+          tokenBudget = 15000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("kept_tokens"))
+        .orderBy("source")
+    }): Q, Some("""
+      WITH avail AS (SELECT source AS domain,
+                       CAST(sum(n_chars) AS BIGINT) AS available_tokens
+                     FROM documents GROUP BY source),
+      w AS (SELECT * FROM (VALUES
+              ('src0', CAST(0.1 AS DOUBLE)),
+              ('src1', CAST(0.3 AS DOUBLE)),
+              ('src3', CAST(0.6 AS DOUBLE))) AS t(domain, wt)),
+      plan AS (SELECT a.domain,
+                 LEAST(CAST(1.0 AS DOUBLE),
+                   w.wt * 15000 / a.available_tokens) AS f
+               FROM avail a JOIN w ON a.domain = w.domain),
+      kept AS (SELECT d.* FROM documents d
+               JOIN plan p ON d.source = p.domain
+               WHERE p.f >= 1 OR substr(md5(d.text), 1, 4) <
+                 printf('%04x', CAST(floor(p.f * 65536) AS BIGINT)))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source""")),
+
     // ---- per-domain URL accounting (C4-style): extract every URL host,
     // explode, one bounded groupBy(domain) — domain cardinality, not
     // corpus size; the blocklist shape is the same explode + a broadcast

@@ -104,6 +104,73 @@ object Sampling {
     df.filter(pred)
   }
 
+  // ------------------------------------------------ domain mixture
+  // A training corpus is REWEIGHTED before sampling: each domain (source,
+  // crawl, language...) gets a target share of the token budget, and the
+  // per-domain keep fraction follows from what that domain actually has.
+  // The fraction math is engine-portable by construction: the scale
+  // factor 65536 is 2^16, so `fraction * 65536` is EXACT in IEEE doubles
+  // (exponent shift, no rounding) and the bucket cutoff is fully
+  // determined by the one double division `weight*budget/available` —
+  // identical hardware-IEEE in any engine that replays it.
+
+  /** Per-domain sampling plan for a token-budget mixture: for each
+    * domain present in BOTH `df` and `weights`, its `available_tokens`
+    * (sum of `tokens`), `target_tokens` (floor of weight*budget), and
+    * `cutoff_bucket` = floor(min(1, target/available) * 65536) — the
+    * [[hashSample]] bucket cutoff in 1/65536 granularity units, 65536
+    * meaning keep-all (the domain is under-represented vs its target
+    * and saturates; upsampling is out of scope). One aggregation keyed
+    * by domain — domain cardinality, not corpus size. Domains carrying
+    * weight but absent from `df` produce no row (nothing to sample);
+    * weights are relative to `tokenBudget`, callers usually pass a set
+    * summing to 1.
+    */
+  def mixturePlan(df: DataFrame, domainCol: String, tokens: Column,
+      weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    require(weights.nonEmpty, "at least one domain weight")
+    weights.foreach { case (d, w) =>
+      require(w >= 0, s"weight $w for domain '$d' must be >= 0") }
+    require(tokenBudget >= 0, s"tokenBudget $tokenBudget must be >= 0")
+    val weightCol = weights.foldRight(lit(null).cast("double")) {
+      case ((d, w), rest) =>
+        when(col("domain") === lit(d), lit(w)).otherwise(rest)
+    }
+    val frac = least(lit(1.0),
+      col("weight") * lit(tokenBudget) / col("available_tokens"))
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokens).cast("long").as("available_tokens"))
+      .withColumn("weight", weightCol)
+      .filter(col("weight").isNotNull)
+      .withColumn("target_tokens",
+        floor(col("weight") * lit(tokenBudget)).cast("long"))
+      .withColumn("cutoff_bucket",
+        floor(frac * lit(65536)).cast("long"))
+      .drop("weight")
+  }
+
+  /** Deterministic mixture sample: keep each domain at the
+    * [[mixturePlan]] fraction, by the same content-hash membership rule
+    * as [[hashSample]] (same rows on every run; a row's membership
+    * never changes when other rows come or go). Domains without a
+    * weight are DROPPED. The plan aggregation runs once and collects
+    * domain-count rows to the driver (small by contract — mixtures have
+    * tens of domains, not millions); the sample itself is a pure
+    * map-side predicate, no shuffle at any scale.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+      tokens: Column, weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val plan = mixturePlan(df, domainCol, tokens, weights, tokenBudget)
+      .select("domain", "cutoff_bucket").collect()
+    // bucket/65536.0 is exact (power-of-two divide), and cutoffHex
+    // round-trips it to the identical bucket — one rule, one spelling
+    val fractions = plan.map(r =>
+      r.getString(0) -> r.getLong(1) / 65536.0).toMap
+    stratifiedHashSample(df, keyCol, domainCol, fractions,
+      defaultFrac = 0.0)
+  }
+
   // ------------------------------------------------ training order
   // "Shuffle the corpus" is the last step before a training job reads
   // it: the order must be pseudo-random (no domain/time clumping), yet
