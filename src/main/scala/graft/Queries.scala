@@ -1462,6 +1462,34 @@ object Queries {
       WHERE list_cosine_similarity(a.v, b.v) >= 0.999
       ORDER BY id_a, id_b""")),
 
+    // ---- SemDeDup-shaped semantic dedup: k-means cells (the IVF
+    // coarse quantizer, trained once per dir) partition the space, and
+    // pairs verify within cells only. Clones are planted at x1.5 scale:
+    // assignment is by cosine (scale-invariant), so every qualifying
+    // pair co-assigns BY CONSTRUCTION and the within-cell result equals
+    // the brute-force all-pairs oracle — the published approximation is
+    // exact on this corpus, which is what makes it oracle-checkable. ----
+    ("semantic_dedup_pairs", ((s: SparkSession, dir: String) => {
+      val e = rd(s, dir, "embeddings")
+      val clones = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 7000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val all = e.select("vec_id", "embedding").union(clones)
+      Dedup.semanticPairs(all, "vec_id", "embedding",
+          ivfCentroidsFor(s, dir), threshold = 0.999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH all_vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 7000, CAST(list_transform(embedding,
+          x -> x * CAST(1.5 AS FLOAT)) AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 20 = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+      ORDER BY id_a, id_b""")),
+
     // ---- incremental (batch-vs-corpus) embedding dedup — the same daily
     // contract as dedup_incremental_documents, on vectors: two clone
     // waves arrive as a NEW batch (+100000 at x1.001 for vec_id%50,
