@@ -184,6 +184,24 @@ object StreamOps {
         indexPath, batch, idCol, textCol)
     }
 
+  /** Per-micro-batch BOILERPLATE LINE REMOVAL against a persisted
+    * [[graft.pipeline.LineDedup.writeLineIndex]] corpus: each arriving
+    * batch is rewritten with corpus-frequent lines stripped
+    * (the CCNet/RefinedWeb cleaning stage as a continuously ingesting
+    * pipeline) — per-batch cost is the batch's own explode + the join
+    * against the index scan; the corpus is never re-counted. `sink`
+    * receives the rewritten batch frame (id, text, n_lines, n_dropped).
+    */
+  def lineDedupStreamAgainstIndex(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String, maxDocFreq: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      graft.pipeline.LineDedup.dropBoilerplateFromIndex(
+        batch.sparkSession, indexPath, batch, idCol, textCol, maxDocFreq)
+    }
+
   /** Per-micro-batch benchmark DECONTAMINATION: each arriving batch is
     * n-gram-overlapped against a FIXED benchmark set
     * ([[graft.pipeline.Curation.contamination]]) and `sink` receives

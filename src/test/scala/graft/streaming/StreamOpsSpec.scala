@@ -377,6 +377,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == Set((12L, "new", 12L), (13L, "dup_in_batch", 12L)))
   }
 
+  test("micro-batch boilerplate line removal against the line index") {
+    import graft.pipeline.LineDedup
+    val path = java.nio.file.Files
+      .createTempDirectory("stream_line_idx").toString
+    // 'common header' recurs in 3 corpus docs; the unique lines do not
+    val corpus = Seq((1L, "common header\nbody one"),
+      (2L, "common header\nbody two"),
+      (3L, "common header\nbody three")).toDF("doc_id", "text")
+    LineDedup.writeLineIndex(corpus, "doc_id", "text", path)
+    val w1 = Seq((10L, "common header\nfresh body"))
+    val w2 = Seq((11L, "common header"), (12L, "all original"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, String, Long, Long)]]
+    val q = StreamOps.lineDedupStreamAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), path, "doc_id", "text",
+        maxDocFreq = 2) { (rewritten, batchId) =>
+      got(batchId) = rewritten.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == Set((10L, "fresh body", 2L, 1L)))
+    assert(got(1L) == Set((11L, "", 1L, 1L), (12L, "all original", 1L, 0L)))
+    // micro-batch accumulation equals the batch FromIndex contract
+    val both = (w1 ++ w2).toDF("doc_id", "text")
+    val batch = LineDedup.dropBoilerplateFromIndex(spark, path, both,
+      "doc_id", "text", 2).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert((got(0L) ++ got(1L)) == batch)
+  }
+
   test("contamination runs per micro-batch against a fixed benchmark") {
     import graft.pipeline.Curation
     val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta"))

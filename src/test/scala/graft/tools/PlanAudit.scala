@@ -32,7 +32,10 @@ object PlanAudit {
       "dedup_exact_documents", "dedup_ngram_documents",
       "minhash_pairs_documents", "simhash_pairs_documents",
       "embedding_dedup_pairs", "json_union_ingest", "quarantine_orders",
-      "multimodal_features", "enum_encode_orders").foreach(audit)
+      "multimodal_features", "enum_encode_orders",
+      "line_stats_documents", "line_dedup_documents",
+      "mixture_plan_documents", "mixture_sample_documents",
+      "semantic_dedup_pairs").foreach(audit)
     spark.stop()
   }
 }
