@@ -189,6 +189,21 @@ object Queries {
       path
     })
 
+  /** Persisted line-frequency index over the multi-line fixture, same
+    * once-per-(session, dir) offline-build pattern: the corpus line
+    * count is the offline step; `line_index_documents` measures the
+    * per-batch rewrite path only.
+    */
+  private val lineIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def lineIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(lineIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("line", d)
+      graft.pipeline.LineDedup.writeLineIndex(
+        linedDocs(rd(s, d, "documents")), "doc_id", "text", path)
+      path
+    })
+
   /** Persisted SimHash index (fingerprints + shingle sets), same
     * once-per-(session, dir) offline-build pattern as [[minhashIndexFor]].
     */
@@ -1365,6 +1380,35 @@ object Queries {
     ("line_dedup_documents", ((s: SparkSession, dir: String) => {
       LineDedup.dropBoilerplate(linedDocs(rd(s, dir, "documents")),
           "doc_id", "text", maxDocFreq = 10)
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH lined AS ($linedDocsSql),
+      ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1)
+                      AS pos
+             FROM lined),
+      boiler AS (SELECT line FROM ex WHERE length(line) > 0
+                 GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+      j AS (SELECT e.doc_id, e.pos, e.line,
+                   (b.line IS NOT NULL) AS is_boiler
+            FROM ex e LEFT JOIN boiler b ON e.line = b.line)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+               chr(10) ORDER BY pos), '') AS text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- the same rewrite through the PERSISTED line index (offline
+    // corpus count once, per-batch rewrite at batch cost): identical
+    // semantics, identical oracle — here the "batch" is the whole
+    // corpus, so the result must equal line_dedup_documents. ----
+    ("line_index_documents", ((s: SparkSession, dir: String) => {
+      val path = lineIndexFor(s, dir)
+      LineDedup.dropBoilerplateFromIndex(s, path,
+          linedDocs(rd(s, dir, "documents")), "doc_id", "text",
+          maxDocFreq = 10)
         .orderBy("doc_id")
     }): Q, Some(s"""
       WITH lined AS ($linedDocsSql),
