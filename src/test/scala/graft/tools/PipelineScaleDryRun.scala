@@ -155,7 +155,65 @@ object PipelineScaleDryRun {
       log("")
     }
 
-    val nonStrategyArgs = Set("cluster", "prepare")
+    // "lines" arg: line-level boilerplate dedup at 500k docs — the
+    // corpus gains deterministic multi-line structure (' value ' line
+    // breaks + nav/footer lines on id-modulo classes, the oracle
+    // fixture's shape at 100×), then measures the offline index build,
+    // the one-shot rewrite, and the per-batch index-probe rewrite; the
+    // probe must equal the one-shot rewrite restricted to the batch
+    // (both decide from CORPUS frequencies).
+    if (args.contains("lines")) {
+      log("## line-level boilerplate dedup at 500k docs (guard=1000)")
+      import graft.pipeline.LineDedup
+      val lined = corpus.select($"doc_id",
+        concat(
+          when($"doc_id" % 5 === 0, lit("nav home about contact\n"))
+            .otherwise(lit("")),
+          replace($"text", lit(" value "), lit("\n")),
+          when($"doc_id" % 3 === 0,
+            lit("\ncopyright footer all rights reserved"))
+            .otherwise(lit(""))).as("text"))
+        .persist()
+      log(s"  lined docs: ${lined.count()}; exploded lines: " +
+        LineDedup.explodedLines(lined, "doc_id", "text").count())
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("dryrun_line_idx").toString
+      timed("writeLineIndex (offline corpus count)") {
+        LineDedup.writeLineIndex(lined, "doc_id", "text", idxPath)
+      }
+      val idx = spark.read.parquet(s"$idxPath/hashes").persist()
+      log(s"  distinct lines indexed: ${idx.count()}; above guard: " +
+        idx.filter($"doc_freq" > 1000).count())
+      val oneShot = timed("dropBoilerplate one-shot rewrite") {
+        CacheScope.withScope { scope =>
+          val r = LineDedup.dropBoilerplate(lined, "doc_id", "text",
+            maxDocFreq = 1000, scope = scope).persist()
+          log(s"  docs out: ${r.count()}, lines dropped: " +
+            r.agg(sum($"n_dropped")).head().getLong(0))
+          r
+        }
+      }
+      // rep-0 originals only: a 5 000-doc daily batch, 1% of corpus
+      val batch = lined.filter($"doc_id" < 1000000L).persist()
+      val probed = timed(s"dropBoilerplateFromIndex on a " +
+          s"${batch.count()}-doc batch") {
+        val r = LineDedup.dropBoilerplateFromIndex(spark, idxPath,
+          batch, "doc_id", "text", maxDocFreq = 1000).persist()
+        log(s"  batch docs rewritten: ${r.count()}")
+        r
+      }
+      val restricted = oneShot.join(batch.select("doc_id"), "doc_id")
+        .select("doc_id", "text", "n_lines", "n_dropped")
+      val diff = probed.union(restricted)
+        .groupBy("doc_id", "text", "n_lines", "n_dropped").count()
+        .filter($"count" =!= 2).count()
+      log(s"  probe equals one-shot restricted to batch: ${diff == 0L}")
+      probed.unpersist(); oneShot.unpersist(); idx.unpersist()
+      batch.unpersist(); lined.unpersist()
+      log("")
+    }
+
+    val nonStrategyArgs = Set("cluster", "prepare", "lines")
     val strategies: Seq[(String, Curation.NearDupStrategy)] =
       (args.filterNot(nonStrategyArgs) match {
         case Array() if args.exists(nonStrategyArgs) => Seq.empty[String]
