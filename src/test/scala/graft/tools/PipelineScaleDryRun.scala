@@ -213,7 +213,65 @@ object PipelineScaleDryRun {
       log("")
     }
 
-    val nonStrategyArgs = Set("cluster", "prepare", "lines")
+    // "semantic" arg: SemDeDup-shaped dedup at 200k vectors — sf0.1's
+    // 2k embeddings cloned 100×: id%100==0 families stay EXACT copies
+    // (20 families × 100 copies = 99,000 true pairs, all co-assigned
+    // by construction), every other rep becomes an independent hash-
+    // generated vector (random 64-dim cosines concentrate near 0 — no
+    // false pairs at 0.999). Claims measured: the cell-size refusal
+    // fires at an under-provisioned k; at k ~ corpus/1000 the pair
+    // join stays bounded and recovers exactly the planted families.
+    if (args.contains("semantic")) {
+      log("## semantic dedup at 200k vectors (k-means cells)")
+      import graft.pipeline.{Dedup => D}
+      val baseE = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val vecs = baseE.crossJoin(
+          spark.range(reps.toLong).toDF("rep").hint("broadcast"))
+        .select(($"vec_id" + $"rep" * 1000000L).as("vec_id"),
+          when($"rep" === 0 || $"vec_id" % 100 === 0, $"embedding")
+            .otherwise(transform($"embedding", (_, i) =>
+              ((pmod(hash($"vec_id", $"rep", i), lit(1000)))
+                .cast("float") / 500.0f) - 1.0f)).as("embedding"))
+        .repartition(32).persist()
+      log(s"  vectors: ${vecs.count()}")
+      val centroids = timed("trainIvfCentroids k=512 (driver Lloyd's)") {
+        graft.pipeline.Similarity.trainIvfCentroids(vecs, "vec_id",
+          "embedding", k = 512, sampleN = 10000, iters = 4)
+      }
+      val refused =
+        try { D.semanticPairs(vecs, "vec_id", "embedding",
+            centroids.take(4), threshold = 0.999,
+            maxCellSize = 10000).count(); false }
+        catch { case e: IllegalArgumentException =>
+          log(s"  under-provisioned k refused: ${e.getMessage
+            .takeWhile(_ != ':')} (k=4, cap=10000)"); true }
+      log(s"  refusal guard fired: $refused")
+      CacheScope.withScope { scope =>
+        val pairs = timed("semanticPairs k=512, threshold=0.999") {
+          val p = D.semanticPairs(vecs, "vec_id", "embedding",
+            centroids, threshold = 0.999, scope = scope).persist()
+          log(s"  pairs found: ${p.count()} (planted: 20 exact " +
+            "families x C(100,2) = 99000)")
+          p
+        }
+        val unexpected = pairs.filter(!(
+          pmod($"id_a", lit(1000000L)) === pmod($"id_b", lit(1000000L)) &&
+          pmod($"id_a", lit(100L)) === 0)).persist()
+        val nUnexpected = unexpected.count()
+        log(s"  non-planted pairs: $nUnexpected")
+        if (nUnexpected > 0 && nUnexpected <= 20)
+          unexpected.orderBy("id_a", "id_b").collect().foreach(r =>
+            log(f"    ${r.getLong(0)}%d ~ ${r.getLong(1)}%d cos=" +
+              f"${r.getDouble(2)}%.6f"))
+        unexpected.unpersist(); pairs.unpersist()
+      }
+      vecs.unpersist()
+      log("")
+    }
+
+    val nonStrategyArgs = Set("cluster", "prepare", "lines", "semantic")
     val strategies: Seq[(String, Curation.NearDupStrategy)] =
       (args.filterNot(nonStrategyArgs) match {
         case Array() if args.exists(nonStrategyArgs) => Seq.empty[String]
