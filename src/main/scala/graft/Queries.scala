@@ -642,6 +642,67 @@ object Queries {
              ELSE '' END) AS text
        FROM documents"""
 
+  /** Shared-segment fixture for the span-dedup queries: docs %10==3
+    * append the first 30 tokens of their block's anchor (doc %50==0),
+    * planting verbatim repeated REGIONS inside otherwise-distinct
+    * documents; the anchor's own prefix is each segment's corpus-first
+    * occurrence (lowest doc id in the block).
+    */
+  def spanDocs(docs: DataFrame): DataFrame = {
+    val anchors = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    docs.join(anchors,
+        col("doc_id") - pmod(col("doc_id"), lit(50)) === col("a_id"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 3,
+          concat(col("text"), lit(" "), concat_ws(" ",
+            slice(split(trim(col("a_text")), " "), 1, 30))))
+          .otherwise(col("text")).as("text"))
+  }
+
+  val spanDocsSql: String =
+    """SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 3 THEN d.text || ' ' ||
+           array_to_string((string_split(trim(a.text), ' '))[1:30], ' ')
+         ELSE d.text END AS text
+       FROM documents d
+       JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 50"""
+
+  /** The [[graft.pipeline.SpanDedup.duplicateSpans]] pipeline as oracle
+    * SQL over `fx` (a relation named in the WITH chain): windows,
+    * keep-first by the lexicographic (doc, start) min — encoded as
+    * doc*1e6+start, valid while docs hold < 1e6 tokens — and the
+    * gaps-and-islands merge. Shared by the span and rewrite oracles.
+    */
+  def spanSpansSql(w: Int): String = s"""
+      tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM fx),
+      st AS (SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - $w)) AS s
+             FROM tk WHERE len(t) >= $w),
+      win AS (SELECT doc_id, s,
+                md5(array_to_string(t[s+1:s+$w], ' ')) AS h
+              FROM st),
+      firsts AS (SELECT h, count(*) AS n,
+                   min(doc_id * 1000000 + s) AS firstk
+                 FROM win GROUP BY h),
+      fl AS (SELECT w.doc_id, w.s FROM win w JOIN firsts f ON w.h = f.h
+             WHERE f.n >= 2 AND w.doc_id * 1000000 + w.s <> f.firstk),
+      brks AS (SELECT doc_id, s,
+                 CASE WHEN max(s + $w) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) IS NULL
+                   OR s > max(s + $w) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+               FROM fl),
+      isl AS (SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY s) AS island
+              FROM brks),
+      spans AS (SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+                  CAST(max(s) + $w AS INTEGER) AS span_end
+                FROM isl GROUP BY doc_id, island)"""
+
   def tokenCountSql(textExpr: String): String =
     s"(CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
       s"ELSE len(string_split(trim($textExpr), ' ')) END)"
@@ -1428,6 +1489,53 @@ object Queries {
              CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dropped
       FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- exact duplicated-SPAN detection (Lee et al. 2022 exact-
+    // substring dedup shape): 20-token windows, keep-first by corpus
+    // (doc, start) order via skew-safe min-aggregation (no rank window
+    // over the hash partition), overlapping/adjacent flagged starts
+    // merged per document. Fixture plants a 30-token anchor prefix
+    // inside %10==3 docs; the anchor copy survives as first. ----
+    ("span_dedup_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.SpanDedup.duplicateSpans(
+          spanDocs(rd(s, dir, "documents")), "doc_id", "text",
+          windowTokens = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    }): Q, Some(s"""
+      WITH fx AS ($spanDocsSql),
+      ${spanSpansSql(20)}
+      SELECT doc_id, span_start, span_end FROM spans
+      ORDER BY doc_id, span_start""")),
+
+    // ---- the rewrite: span tokens removed, corpus-first occurrence
+    // kept — dedup, not deletion; full text compared row-level. ----
+    ("span_rewrite_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.SpanDedup.removeDuplicateSpans(
+          spanDocs(rd(s, dir, "documents")), "doc_id", "text",
+          windowTokens = 20)
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH fx AS ($spanDocsSql),
+      ${spanSpansSql(20)},
+      tok AS (SELECT doc_id, unnest(t) AS tok,
+                generate_subscripts(t, 1) - 1 AS p
+              FROM tk),
+      keep AS (SELECT k.doc_id, k.p, k.tok
+               FROM tok k LEFT JOIN spans sp
+                 ON sp.doc_id = k.doc_id
+                 AND k.p >= sp.span_start AND k.p < sp.span_end
+               WHERE sp.doc_id IS NULL),
+      nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tk)
+      SELECT nt.doc_id,
+             coalesce(kk.text, '') AS text,
+             nt.n_tokens,
+             nt.n_tokens - coalesce(kk.n_kept, 0) AS n_removed
+      FROM nt LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY doc_id) kk ON nt.doc_id = kk.doc_id
+      ORDER BY nt.doc_id""")),
 
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {
