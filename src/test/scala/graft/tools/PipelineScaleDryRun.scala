@@ -271,7 +271,44 @@ object PipelineScaleDryRun {
       log("")
     }
 
-    val nonStrategyArgs = Set("cluster", "prepare", "lines", "semantic")
+    // "spans" arg: exact duplicated-span detection at 500k docs. The
+    // id%100==0 exact-copy families mean every window of those docs is
+    // duplicated 100-fold — the designed hot-hash stress for the
+    // partial-agg keep-first rule (a rank window over the hash
+    // partition would funnel those through single reducers). Expect
+    // whole-doc spans on all non-first family members.
+    if (args.contains("spans")) {
+      log("## duplicated-span detection at 500k docs (window=20)")
+      import graft.pipeline.SpanDedup
+      val nWindows = SpanDedup.windowHashes(corpus, "doc_id", "text", 20)
+        .count()
+      log(s"  window table rows: $nWindows")
+      CacheScope.withScope { scope =>
+        val spans = timed("duplicateSpans (keep-first + merge)") {
+          val sp = SpanDedup.duplicateSpans(corpus, "doc_id", "text",
+            20, scope).persist()
+          log(s"  spans found: ${sp.count()}")
+          sp
+        }
+        // family members (id%100==0, rep>0) must be fully covered by
+        // one whole-doc span each; rep-0 family docs are corpus-first
+        val fam = spans.filter(pmod($"id", lit(100L)) === 0 &&
+          $"id" >= 1000000L)
+        val famStats = fam.groupBy().agg(count(lit(1)),
+          min($"span_start"), countDistinct($"id")).head()
+        log(s"  family-member spans: ${famStats.getLong(0)} over " +
+          s"${famStats.getLong(2)} docs, min start " +
+          s"${famStats.getInt(1)} (expect one [0, n) span per doc: " +
+          "99 non-first copies x 47 families at >= 20 tokens = 4653; " +
+          "3 family bases are shorter than one window and sit below " +
+          "the method's resolution by definition)")
+        spans.unpersist()
+      }
+      log("")
+    }
+
+    val nonStrategyArgs = Set("cluster", "prepare", "lines", "semantic",
+      "spans")
     val strategies: Seq[(String, Curation.NearDupStrategy)] =
       (args.filterNot(nonStrategyArgs) match {
         case Array() if args.exists(nonStrategyArgs) => Seq.empty[String]
