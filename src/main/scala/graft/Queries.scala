@@ -189,6 +189,20 @@ object Queries {
       path
     })
 
+  /** Persisted window index over the plain documents table (the span
+    * family's offline build), once per (session, dir).
+    */
+  private val spanIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def spanIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(spanIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("span", d)
+      graft.pipeline.SpanDedup.writeSpanIndex(
+        rd(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", path, windowTokens = 20)
+      path
+    })
+
   /** Persisted line-frequency index over the multi-line fixture, same
     * once-per-(session, dir) offline-build pattern: the corpus line
     * count is the offline step; `line_index_documents` measures the
@@ -1536,6 +1550,68 @@ object Queries {
                CAST(count(*) AS BIGINT) AS n_kept
         FROM keep GROUP BY doc_id) kk ON nt.doc_id = kk.doc_id
       ORDER BY nt.doc_id""")),
+
+    // ---- per-batch spans against the PERSISTED window index: the
+    // corpus's window hashes were indexed offline; a batch of
+    // prefix-tagged corpus copies (%7==0, one unique lead token each)
+    // probes it — every window fully inside the copied region flags
+    // against the corpus, windows crossing the unique prefix stay
+    // clean, so each batch doc gets exactly the span [1, n_own+1). ----
+    ("span_index_documents", ((s: SparkSession, dir: String) => {
+      val path = spanIndexFor(s, dir)
+      val batch = rd(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("bq"), col("doc_id"), lit(" "), col("text"))
+            .as("text"))
+      graft.pipeline.SpanDedup.duplicateSpansFromIndex(s, path, batch,
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    }): Q, Some("""
+      WITH bfx AS (SELECT doc_id + 10000 AS doc_id,
+                     'bq' || doc_id || ' ' || text AS text
+                   FROM documents WHERE doc_id % 7 = 0),
+      ctk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents),
+      cst AS (SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 20)) AS s
+              FROM ctk WHERE len(t) >= 20),
+      cwin AS (SELECT DISTINCT md5(array_to_string(t[s+1:s+20], ' '))
+                 AS h
+               FROM cst),
+      btk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM bfx),
+      bst AS (SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 20)) AS s
+              FROM btk WHERE len(t) >= 20),
+      bwin AS (SELECT doc_id, s,
+                 md5(array_to_string(t[s+1:s+20], ' ')) AS h
+               FROM bst),
+      bfirsts AS (SELECT h, count(*) AS n,
+                    min(doc_id * 1000000 + s) AS firstk
+                  FROM bwin GROUP BY h),
+      fl AS (SELECT b.doc_id, b.s FROM bwin b
+             LEFT JOIN cwin c ON b.h = c.h
+             LEFT JOIN bfirsts f ON b.h = f.h
+             WHERE c.h IS NOT NULL
+                OR (f.n >= 2 AND b.doc_id * 1000000 + b.s <> f.firstk)),
+      brks AS (SELECT doc_id, s,
+                 CASE WHEN max(s + 20) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) IS NULL
+                   OR s > max(s + 20) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+               FROM fl),
+      isl AS (SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY s) AS island
+              FROM brks)
+      SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+             CAST(max(s) + 20 AS INTEGER) AS span_end
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""")),
 
     // ---- text stats per language ----
     ("text_stats_documents", ((s: SparkSession, dir: String) => {

@@ -72,8 +72,15 @@ object SpanDedup {
     val flagged = w.join(firsts, "h")
       .filter(struct(col("id"), col("s")) =!= col("first"))
       .select(col("id"), col("s"))
-    // merge flagged starts into maximal spans (gaps-and-islands; the
-    // window partitions by document, bounded by document length)
+    mergeSpans(flagged, windowTokens)
+  }
+
+  /** Merge flagged window starts `(id, s)` into maximal spans
+    * (gaps-and-islands; the window partitions by document, bounded by
+    * document length).
+    */
+  private def mergeSpans(flagged: DataFrame,
+      windowTokens: Int): DataFrame = {
     val byDoc = Window.partitionBy("id").orderBy("s")
     val prevEnd = max(col("s") + windowTokens)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -85,6 +92,59 @@ object SpanDedup {
       .agg(min(col("s")).as("span_start"),
         (max(col("s")) + windowTokens).as("span_end"))
       .drop("_island")
+  }
+
+  /** Offline corpus window index: `hashes/` holds one row per DISTINCT
+    * window hash, partitioned by the first hash byte; `params/` records
+    * the window width and corpus size. Window TEXT is never stored —
+    * the hash is what a probe needs. The per-batch contract
+    * ([[duplicateSpansFromIndex]]): a batch window matching ANY corpus
+    * hash is a duplicate (the corpus copy precedes the batch by
+    * definition); batch windows absent from the corpus keep-first
+    * WITHIN the batch. Equivalent to [[duplicateSpans]] over
+    * corpus ∪ batch restricted to batch documents whenever batch ids
+    * sort after corpus ids — spec-checked.
+    */
+  def writeSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, windowTokens: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    windowHashes(corpus, idCol, textCol, windowTokens)
+      .select(col("h")).distinct()
+      .withColumn("hp", substring(col("h"), 1, 2))
+      .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
+    val nDocs = corpus.select(col(idCol)).distinct().count()
+    Seq((windowTokens, nDocs)).toDF("windowTokens", "corpusDocs")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Per-batch duplicated spans against a [[writeSpanIndex]] corpus:
+    * the batch pays its own window pass, a semi-join against the index
+    * scan flags corpus-known windows, and batch-only windows keep-first
+    * within the batch (same skew-safe aggregation). The stored window
+    * width is authoritative.
+    */
+  def duplicateSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, spark)
+    val w0 = spark.read.json(s"$path/params")
+      .head().getAs[Long]("windowTokens").toInt
+    val w = sc.persist(windowHashes(batch, idCol, textCol, w0))
+    val corpusHit = spark.read.parquet(s"$path/hashes")
+      .select(col("h"), lit(true).as("_corpus"))
+    val probed = w.join(corpusHit, Seq("h"), "left")
+    val batchFirsts = w.groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("s"))).as("first"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("first"))
+    val flagged = probed.join(batchFirsts, Seq("h"), "left")
+      .filter(col("_corpus").isNotNull ||
+        (col("first").isNotNull &&
+          struct(col("id"), col("s")) =!= col("first")))
+      .select(col("id"), col("s"))
+    mergeSpans(flagged, w0)
   }
 
   /** Rewrite `docs` with every duplicated span's tokens removed (the

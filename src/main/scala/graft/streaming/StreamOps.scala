@@ -202,6 +202,23 @@ object StreamOps {
         batch.sparkSession, indexPath, batch, idCol, textCol, maxDocFreq)
     }
 
+  /** Per-micro-batch duplicated-SPAN detection against a persisted
+    * [[graft.pipeline.SpanDedup.writeSpanIndex]] corpus: each arriving
+    * batch runs its own window pass, corpus-known windows flag
+    * unconditionally and batch-only repeats keep-first within the
+    * batch; `sink` receives that batch's merged span frame
+    * (id, span_start, span_end).
+    */
+  def spanStreamAgainstIndex(stream: DataFrame, indexPath: String,
+      idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.SpanDedup.duplicateSpansFromIndex(
+        batch.sparkSession, indexPath, batch, idCol, textCol, scope)
+    }
+
   /** Per-micro-batch benchmark DECONTAMINATION: each arriving batch is
     * n-gram-overlapped against a FIXED benchmark set
     * ([[graft.pipeline.Curation.contamination]]) and `sink` receives

@@ -57,6 +57,38 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(spans.toSeq == Seq((1L, 8, 14)))
   }
 
+  test("index path equals one-shot over corpus+batch, batch side") {
+    val shared = seq(2 until 8)
+    val corpus = Seq(
+      (1L, seq(0 until 10)),
+      (2L, s"c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    // batch: one doc embedding corpus content, one with a batch-internal
+    // repeat, one clean
+    val batchRepeat = seq(200 until 206)
+    val batch = Seq(
+      (10L, s"u1 u2 $shared u3 u4"),
+      (11L, s"$batchRepeat x1 x2 $batchRepeat"),
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("span_idx").toString
+    SpanDedup.writeSpanIndex(corpus, "doc_id", "text", path,
+      windowTokens = 4)
+    val viaIdx = SpanDedup.duplicateSpansFromIndex(spark, path, batch,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val oneShot = SpanDedup.duplicateSpans(corpus.union(batch),
+        "doc_id", "text", 4)
+      .filter(col("id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaIdx == oneShot)
+    // the batch-internal repeat keeps its first copy
+    assert(viaIdx.contains((11L, 8, 14)))
+    // params store width + corpus size
+    val p = spark.read.json(s"$path/params").head()
+    assert(p.getAs[Long]("windowTokens") == 4L)
+    assert(p.getAs[Long]("corpusDocs") == 2L)
+  }
+
   test("removeDuplicateSpans drops span tokens, keeps the rest") {
     val shared = seq(2 until 8)
     val docs = Seq(

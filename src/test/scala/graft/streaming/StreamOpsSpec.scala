@@ -411,6 +411,33 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert((got(0L) ++ got(1L)) == batch)
   }
 
+  test("micro-batch span detection against the persisted window index") {
+    import graft.pipeline.SpanDedup
+    val path = java.nio.file.Files
+      .createTempDirectory("stream_span_idx").toString
+    def run(r: Range) = r.map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, run(0 until 10))).toDF("doc_id", "text")
+    SpanDedup.writeSpanIndex(corpus, "doc_id", "text", path,
+      windowTokens = 4)
+    val w1 = Seq((10L, s"a1 a2 ${run(2 until 8)} a3"))
+    val w2 = Seq((11L, "b1 b2 b3 b4 b5 b6"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Int, Int)]]
+    val q = StreamOps.spanStreamAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), path, "doc_id", "text") {
+      (spans, batchId) =>
+        got(batchId) = spans.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == Set((10L, 2, 8))) // corpus segment at tokens 2..7
+    assert(got(1L) == Set.empty) // clean batch
+  }
+
   test("contamination runs per micro-batch against a fixed benchmark") {
     import graft.pipeline.Curation
     val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta"))
