@@ -689,7 +689,11 @@ object Queries {
     * gaps-and-islands merge. Shared by the span and rewrite oracles.
     */
   def spanSpansSql(w: Int): String = s"""
-      tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM fx),
+      tk AS (SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(trim(text), ' ') END AS t
+             FROM fx),
       st AS (SELECT doc_id, t,
                unnest(generate_series(0, len(t) - $w)) AS s
              FROM tk WHERE len(t) >= $w),
@@ -1572,7 +1576,10 @@ object Queries {
       WITH bfx AS (SELECT doc_id + 10000 AS doc_id,
                      'bq' || doc_id || ' ' || text AS text
                    FROM documents WHERE doc_id % 7 = 0),
-      ctk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      ctk AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS t
               FROM documents),
       cst AS (SELECT doc_id, t,
                 unnest(generate_series(0, len(t) - 20)) AS s
@@ -1580,7 +1587,10 @@ object Queries {
       cwin AS (SELECT DISTINCT md5(array_to_string(t[s+1:s+20], ' '))
                  AS h
                FROM cst),
-      btk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      btk AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS t
               FROM bfx),
       bst AS (SELECT doc_id, t,
                 unnest(generate_series(0, len(t) - 20)) AS s

@@ -1304,11 +1304,19 @@ object Dedup {
       val over = assigned.groupBy("cid").count()
         .filter(col("count") > maxCellSize)
         .orderBy(col("count").desc).limit(5).collect()
-      require(over.isEmpty,
-        s"semantic dedup cells over maxCellSize=$maxCellSize: " +
-          over.map(r => s"cid=${r.get(0)} size=${r.getLong(1)}")
-            .mkString(", ") +
-          " — re-train centroids with larger k, or pass maxCellSize=0")
+      if (over.nonEmpty) {
+        // refusal path: drop the pinned assignment NOW — a caller that
+        // catches the error and retries with larger k must not
+        // accumulate one dead cache per failed attempt (the later scope
+        // close double-unpersists harmlessly)
+        assigned.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"requirement failed: semantic dedup cells over " +
+            s"maxCellSize=$maxCellSize: " +
+            over.map(r => s"cid=${r.get(0)} size=${r.getLong(1)}")
+              .mkString(", ") +
+            " — re-train centroids with larger k, or pass maxCellSize=0")
+      }
     }
     val l = assigned.select(col("cid"), col("id").as("id_a"),
       col("v").as("v_a"))

@@ -31,12 +31,15 @@ import org.apache.spark.sql.functions._
 object LineDedup {
 
   /** (id, pos, line) — one row per line of `textCol`, `pos` the 0-based
-    * line index. `delim` splits LITERALLY (regex-quoted).
+    * line index. `delim` splits LITERALLY (regex-quoted). NULL text
+    * behaves as empty text (one empty structural line): posexplode of a
+    * null split would emit ZERO rows and silently drop the document
+    * from every rewrite — the contract is that no document is lost.
     */
   def explodedLines(docs: DataFrame, idCol: String, textCol: String,
       delim: String = "\n"): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
-        posexplode(split(col(textCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
 
   /** Per-distinct-line corpus stats: `line`, `doc_freq` (distinct
@@ -111,7 +114,10 @@ object LineDedup {
         col("doc_freq"), col("occurrences"))
       .withColumn("hp", substring(col("h"), 1, 2))
       .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
-    val nDocs = corpus.select(col(idCol)).distinct().count()
+    // row count, not a distinct-id shuffle: ids are unique by contract
+    // and a second full corpus pass per index build is the kind of cost
+    // this module exists to avoid
+    val nDocs = corpus.count()
     Seq((delim, nDocs)).toDF("delim", "corpusDocs").coalesce(1)
       .write.mode("overwrite").json(s"$path/params")
   }

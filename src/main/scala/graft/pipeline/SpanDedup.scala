@@ -32,7 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  private def toks(textCol: Column): Column = split(trim(textCol), " ")
+  /** Token array of `textCol` under the suite-wide counting rule
+    * ([[graft.Queries.tokenCountSql]] shape): NULL and blank text are
+    * ZERO tokens — `split` alone would yield `[""]` (one phantom token,
+    * so `n_tokens`=1 and `n_removed` could go negative) or a null array
+    * (document silently dropped).
+    */
+  private def toks(textCol: Column): Column = {
+    val t = trim(coalesce(textCol, lit("")))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, " "))
+  }
 
   /** (id, s, h): md5 of each `windowTokens`-token window, `s` the
     * 0-based token index of the window start. Documents shorter than
@@ -113,7 +123,8 @@ object SpanDedup {
       .select(col("h")).distinct()
       .withColumn("hp", substring(col("h"), 1, 2))
       .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
-    val nDocs = corpus.select(col(idCol)).distinct().count()
+    // row count, not a distinct-id shuffle (see writeLineIndex)
+    val nDocs = corpus.count()
     Seq((windowTokens, nDocs)).toDF("windowTokens", "corpusDocs")
       .coalesce(1).write.mode("overwrite").json(s"$path/params")
   }

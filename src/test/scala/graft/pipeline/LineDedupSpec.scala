@@ -73,6 +73,18 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(p.getAs[Long]("corpusDocs") == 12L)
   }
 
+  test("null text survives as an empty-text row, never dropped") {
+    val d = Seq((1L, Some("common\nunique")), (2L, None),
+      (3L, Some("common\nother")), (4L, Some("common\nthird")))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dropBoilerplate(d, "doc_id", "text",
+        maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 4)
+    assert(out(2L) == (("", 1L, 0L))) // null -> one structural empty line
+  }
+
   test("a literal regex-metachar delimiter splits literally") {
     val d = Seq((1L, "a|b|a|b")).toDF("doc_id", "text")
     val stats = LineDedup.lineStats(d, "doc_id", "text", delim = "|")

@@ -89,6 +89,19 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(p.getAs[Long]("corpusDocs") == 2L)
   }
 
+  test("null and blank text count zero tokens and are never dropped") {
+    val docs = Seq((1L, Some(seq(0 until 25))), (2L, None),
+      (3L, Some("")), (4L, Some("   ")))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 4)
+    assert(out(2L) == (("", 0L, 0L)))
+    assert(out(3L) == (("", 0L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
   test("removeDuplicateSpans drops span tokens, keeps the rest") {
     val shared = seq(2 until 8)
     val docs = Seq(

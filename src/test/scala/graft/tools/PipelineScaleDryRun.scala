@@ -165,15 +165,10 @@ object PipelineScaleDryRun {
     if (args.contains("lines")) {
       log("## line-level boilerplate dedup at 500k docs (guard=1000)")
       import graft.pipeline.LineDedup
-      val lined = corpus.select($"doc_id",
-        concat(
-          when($"doc_id" % 5 === 0, lit("nav home about contact\n"))
-            .otherwise(lit("")),
-          replace($"text", lit(" value "), lit("\n")),
-          when($"doc_id" % 3 === 0,
-            lit("\ncopyright footer all rights reserved"))
-            .otherwise(lit(""))).as("text"))
-        .persist()
+      // the oracle fixture's exact shape at 100× — shared helper, so a
+      // fixture change in Queries cannot silently diverge from what
+      // this leg measures
+      val lined = graft.Queries.linedDocs(corpus).persist()
       log(s"  lined docs: ${lined.count()}; exploded lines: " +
         LineDedup.explodedLines(lined, "doc_id", "text").count())
       val idxPath = java.nio.file.Files
