@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Existing sessions use `GraftFunctions.register(spark)` instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.injectInto(ext)
+    functions.GraftTableFunctions.injectInto(ext)
+  }
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftshim
+
+import graft.pipeline.Curation
+
+/** The engine's PIPELINE operators as SQL table-valued functions, so a
+  * pure-`spark.sql` user reaches the composed operators — not just the
+  * scalar surface ([[GraftFunctions]]). Registered either in-place on
+  * an existing session ([[register]]) or at session build time via
+  * [[graft.GraftExtensions]].
+  *
+  * Each builder constructs the SAME DataFrame operator the Column API
+  * runs (no parallel SQL reimplementation to drift) and splices its
+  * logical plan in place of the `FROM graft_curate(...)` reference —
+  * Catalyst then optimizes the whole statement as one plan, exactly as
+  * if the operator had been composed through the DataFrame API:
+  *
+  * {{{
+  * docs.createOrReplaceTempView("docs")
+  * spark.sql("""SELECT * FROM graft_curate('docs', 'doc_id', 'text')
+  *              WHERE status = 'kept'""")
+  * }}}
+  *
+  * Only declarative operators are exposed this way: a table function's
+  * plan is built during ANALYSIS, so iterative operators that run jobs
+  * while constructing their result (transitive clustering, persisted
+  * index builds) stay DataFrame-API-only by design.
+  */
+object GraftTableFunctions {
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
+      n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def numLit(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
+      n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** `graft_curate(view, idCol, textCol[, keepLang, minQuality,
+    * threshold, strategy])` — the end-to-end curation audit
+    * ([[Curation.curate]]: language → quality → exact dedup → near-dup
+    * → split) as a FROM-clause table function returning
+    * `(idCol, status, split)`. `strategy` ∈ 'minhash' (default — the
+    * at-scale candidate generation), 'ngram' (exact-Jaccard blocking
+    * with the stop-shingle guard), 'ngram_exact' (guard off — what the
+    * DuckDB oracle replays).
+    */
+  private def curateBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length >= 3 && es.length <= 7,
+      "usage: graft_curate(view, idCol, textCol[, keepLang, minQuality," +
+        " threshold, strategy])")
+    val view = strLit(es(0), "view name")
+    val idCol = strLit(es(1), "id column")
+    val textCol = strLit(es(2), "text column")
+    val lang = if (es.length > 3) strLit(es(3), "keepLang") else "en"
+    val minQ = if (es.length > 4) intLit(es(4), "minQuality") else 40
+    val thr = if (es.length > 5) numLit(es(5), "threshold") else 0.8
+    val nearDup = (if (es.length > 6) strLit(es(6), "strategy")
+      else "minhash") match {
+      case "minhash" => Curation.NearDupStrategy.MinHash()
+      case "ngram" => Curation.NearDupStrategy.Ngram()
+      case "ngram_exact" => Curation.NearDupStrategy.Ngram(maxDocFreq = 0)
+      case other => throw new IllegalArgumentException(
+        s"strategy must be minhash | ngram | ngram_exact, got '$other'")
+    }
+    val spark = SparkSession.active
+    graftshim.logicalPlan(Curation.curate(spark.table(view), idCol,
+      textCol, Curation.Config(keepLangs = Seq(lang), minQuality = minQ,
+        nearDupThreshold = thr, nearDup = nearDup)))
+  }
+
+  /** (name, builder) for every registered table function. */
+  val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_curate" -> (curateBuilder _))
+
+  /** Register every table function on an existing session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      graftshim.registerTableFunction(spark, name, builder)
+    }
+
+  /** Inject every table function into a `SparkSessionExtensions` (the
+    * `spark.sql.extensions` path — see [[graft.GraftExtensions]]).
+    */
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftTableFunctions", name),
+        builder))
+    }
+}

@@ -219,7 +219,14 @@ object Dedup {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(b,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
 
-  /** Distinct hashed word n-gram shingles of one text (JVM kernel). */
+  /** Distinct hashed word n-gram shingles of one text (JVM kernel),
+    * SORTED ascending: every consumer is order-insensitive (inverted
+    * index emission, minhash signature folds, intersection/union SIZES
+    * in the Jaccard verify), and sorted arrays let the verify stage run
+    * an allocation-free linear merge ([[graft.functions.ShingleOps]])
+    * instead of a per-pair hash set — the verify join is the dominant
+    * cost of every near-dup family once candidates are dense.
+    */
   private[pipeline] def shingleHashArray(text: String, n: Int): Array[Long] = {
     val words = text.trim.toLowerCase.split("\\s+")
     val set = new java.util.LinkedHashSet[java.lang.Long]()
@@ -240,6 +247,7 @@ object Dedup {
     val it = set.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
     out
   }
 
@@ -483,7 +491,11 @@ object Dedup {
         .withColumnRenamed("sh", "sh_b"), "id_b")
       .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
         size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // codegen'd linear merge over the sorted shingle arrays — NOT
+      // array_intersect/array_union, which build two hash tables per
+      // pair (the verify stage's former dominant cost)
+      .withColumn("jaccard", graft.functions.ShingleOps.jaccardSortedC(
+        col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
@@ -950,6 +962,11 @@ object Dedup {
   private def rankCapPairs(cand: DataFrame, cap: Int): DataFrame =
     if (cap <= 0) cand.select("id_a", "id_b")
     else {
+      // single frame with `rn_a <= cap || rn_b <= cap` — NOT two
+      // rank-limited window branches unioned: that form lets each
+      // branch plan as a WindowGroupLimit, but it duplicates the whole
+      // candidate-generation subtree (exchange reuse does not reliably
+      // dedupe it under AQE) and measured 2-4× slower at sf0.1
       val wA = Window.partitionBy("id_a")
         .orderBy(col("hamming").asc, col("id_b").asc)
       val wB = Window.partitionBy("id_b")
@@ -1291,11 +1308,16 @@ object Dedup {
     * hazard, so cell sizes are CHECKED, not hoped: any cell above
     * `maxCellSize` fails fast with the offending sizes (re-train with
     * larger k, or 0 to opt out). The size audit shares one scan with
-    * the join via the scoped persist of the assignment.
+    * the join via the scoped persist of the assignment. The default cap
+    * of 10000 admits at most ~5e7 cosine evaluations per cell (~one
+    * task-minute of 64-dim dot products) — a ceiling an executor
+    * actually survives; the earlier 100000 default nominally allowed
+    * ~5e9 per-cell pairs, far past the "k ~ corpus/1000" sizing story.
+    * Raise it explicitly only with cluster capacity to match.
     */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], threshold: Double = 0.95,
-      maxCellSize: Int = 100000,
+      maxCellSize: Int = 10000,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sc = CacheScope.resolve(scope, df.sparkSession)
     val assigned = sc.persist(
@@ -1336,7 +1358,7 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], threshold: Double = 0.95,
-      maxCellSize: Int = 100000,
+      maxCellSize: Int = 10000,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val drops = semanticPairs(df, idCol, vecCol, centroids, threshold,
         maxCellSize, scope)

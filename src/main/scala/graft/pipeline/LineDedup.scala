@@ -94,9 +94,14 @@ object LineDedup {
 
   /** Offline corpus line-frequency index: `hashes/` holds one row per
     * distinct non-empty line as (`h` = md5 of the line bytes,
-    * `doc_freq`, `occurrences`), partitioned by the first hash byte so
-    * a probe join prunes; `params/` records the delimiter and corpus
-    * size. Line TEXT is not stored — at web scale the distinct-line
+    * `doc_freq`, `occurrences`), partitioned by the first hash byte —
+    * this bounds per-file sizes and gives the layout a stable 256-way
+    * spread; it does NOT prune the membership probe, which reads every
+    * partition by design (a batch's line hashes cover all prefixes
+    * after a few thousand lines, and the probe's scan is already tiny:
+    * the `doc_freq > maxDocFreq` filter reduces it to the boilerplate
+    * set, which AQE then broadcasts). `params/` records the delimiter
+    * and corpus size. Line TEXT is not stored — at web scale the distinct-line
     * table is dominated by singleton long lines, and the 16-byte hash
     * is what the per-batch join needs (md5 collisions are negligible
     * at any corpus size reachable here, and a collision only ever

@@ -39,6 +39,21 @@ object Sampling {
     substring(md5(coalesce(key.cast("binary"),
       lit(Array.emptyByteArray))), 1, 4)
 
+  /** Full-width deterministic hash ORDER key (32-hex md5 of the key's
+    * string rendering; null keys hash as the empty string — the
+    * [[permutationColumn]] null rule, usable with keys of ANY type
+    * where the binary-cast bucket rule accepts only strings):
+    * `orderBy(hashOrderKey(k), k).limit(n)` draws a uniform n-row
+    * sample corpus-wide with a top-n heap (TakeOrderedAndProject — no
+    * count pass, no full sort) and no ingestion-order bias, the defect
+    * of `orderBy(id).limit(n)` when ids correlate with ingestion time.
+    * The 4-char bucket is too coarse as an order key: at 1e9 rows one
+    * bucket holds ~15k rows, so a 10k sample would fall inside a single
+    * bucket and re-inherit the id tiebreak's ingestion order.
+    */
+  def hashOrderKey(key: Column): Column =
+    md5(coalesce(key.cast("string"), lit("")))
+
   /** Split-label Column for `key`: `splits` are (label, fraction) in
     * declared order, fractions summing to 1 (±1e-9). Row → label is
     * deterministic in the key bytes alone.
@@ -122,7 +137,11 @@ object Sampling {
     * meaning keep-all (the domain is under-represented vs its target
     * and saturates; upsampling is out of scope). One aggregation keyed
     * by domain — domain cardinality, not corpus size. Domains carrying
-    * weight but absent from `df` produce no row (nothing to sample);
+    * weight but absent from `df` produce no row (nothing to sample),
+    * and so do domains whose `available_tokens` sums to ZERO — without
+    * that filter the cutoff arithmetic divides by zero (null under
+    * Spark's non-ANSI divide), `least` skips the null, and the plan
+    * would silently emit keep-all for a domain with nothing to give;
     * weights are relative to `tokenBudget`, callers usually pass a set
     * summing to 1.
     */
@@ -141,7 +160,8 @@ object Sampling {
     df.groupBy(col(domainCol).as("domain"))
       .agg(sum(tokens).cast("long").as("available_tokens"))
       .withColumn("weight", weightCol)
-      .filter(col("weight").isNotNull)
+      .filter(col("weight").isNotNull &&
+        col("available_tokens") > 0)
       .withColumn("target_tokens",
         floor(col("weight") * lit(tokenBudget)).cast("long"))
       .withColumn("cutoff_bucket",

@@ -332,12 +332,20 @@ object Similarity {
 
   // ----------------------------------------------------------------- IVF
 
-  /** Train IVF coarse-quantizer centroids: deterministic bounded sample
-    * (ordered limit — reproducible across runs), Lloyd's iterations on the
-    * DRIVER. Training is the offline step of an IVF index; the sample is
-    * bounded (`sampleN` rows × dim floats), so driver memory is fixed no
-    * matter the corpus size. Assignment by max cosine (scale-invariant,
-    * consistent with the search metric).
+  /** Train IVF coarse-quantizer centroids: deterministic bounded sample,
+    * Lloyd's iterations on the DRIVER. Training is the offline step of
+    * an IVF index; the sample is bounded (`sampleN` rows × dim floats),
+    * so driver memory is fixed no matter the corpus size. Assignment by
+    * max cosine (scale-invariant, consistent with the search metric).
+    *
+    * Sample membership is the deterministic content-hash order
+    * ([[Sampling.hashOrderKey]]): top-`sampleN` by md5 of the id still
+    * plans as TakeOrderedAndProject (a top-n heap per partition — no
+    * full sort, no count pass) but draws UNIFORMLY across the corpus.
+    * The previous `orderBy(id).limit(n)` drew the lowest ids only — on
+    * a corpus whose ids correlate with ingestion time, centroids
+    * trained on the oldest shard alone (the r9 verdict's
+    * wrong-by-default at scale).
     */
   def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, sampleN: Int = 10000, iters: Int = 5): Array[Array[Float]] = {
@@ -345,7 +353,9 @@ object Similarity {
     import spark.implicits._
     val sample: Array[Array[Float]] = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .orderBy(col(idCol)).limit(sampleN)
+      .orderBy(graft.pipeline.Sampling.hashOrderKey(col(idCol)),
+        col(idCol))
+      .limit(sampleN)
       .as[(Long, Array[Float])].collect().map(_._2)
     require(sample.nonEmpty, "empty training sample")
     // init: evenly spaced sample points (deterministic)
@@ -406,6 +416,53 @@ object Similarity {
       .toDF(idAs, vAs, "cid")
   }
 
+  /** Measured nProbe → recall@`k` curve for an IVF quantizer over `df`,
+    * in ONE bounded pass: `sampleN` deterministic self-queries
+    * ([[Sampling.hashOrderKey]] top-n — corpus-wide, no ingestion
+    * bias), exact brute-force truth for them, then each truth
+    * neighbor's PROBE RANK (the position of its cell in the query's
+    * centroid ranking) — recall at nProbe p is simply the fraction of
+    * truth pairs with rank ≤ p, so the whole curve costs one
+    * brute-force pass + one broadcast join, not one corpus pass per
+    * candidate p. Driver state: sampleN×k pairs (bounded by contract).
+    */
+  def ivfRecallCurve(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], k: Int = 10,
+      sampleN: Int = 100): Seq[(Int, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(sampleN > 0, "sampleN must be positive")
+    val queries = df
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<float>").as("qv"))
+      .filter(col("qv").isNotNull)
+      .orderBy(graft.pipeline.Sampling.hashOrderKey(col("qid")),
+        col("qid"))
+      .limit(sampleN)
+    val truth = bruteForceTopK(df, idCol, vecCol, queries, "qid", "qv", k)
+      .select(col("query_id"), col("id"))
+    val nv = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("nv"))
+    val pairs = nv.join(broadcast(truth), "id")
+      .select(col("query_id"), col("nv"))
+      .as[(Long, Array[Float])].collect()
+    val qMap = queries.as[(Long, Array[Float])].collect().toMap
+    val maxP = centroids.length
+    val ranks = pairs.map { case (qid, nvec) =>
+      val order = probeCentroids(qMap(qid), centroids, maxP)
+      order.indexOf(nearestCentroid(nvec, centroids)) + 1
+    }
+    require(ranks.nonEmpty, "empty recall sample — corpus has no vectors")
+    (1 to maxP).map(p => p -> ranks.count(_ <= p).toDouble / ranks.length)
+  }
+
+  /** The smallest nProbe whose measured recall meets `target` (the full
+    * cell count when none does — exhaustive probing is always exact).
+    */
+  def deriveIvfNProbe(curve: Seq[(Int, Double)],
+      target: Double = 0.95): (Int, Double) =
+    curve.find(_._2 >= target).getOrElse(curve.last)
+
   /** Persist an IVF index: the assigned corpus written `partitionBy(cid)`
     * — one directory per cell. A later [[ivfTopKFromIndex]] query filters
     * on `cid IN (probes)`, so Spark's partition pruning reads ONLY the
@@ -413,15 +470,33 @@ object Similarity {
     * `queries × nProbe / k_centroids` of the corpus bytes, not all of
     * them. Centroids are stored alongside as JSON for self-contained
     * reload.
+    *
+    * The sidecar also stores a RECALL-DERIVED `nProbe` operating point
+    * (the simhash-index discipline, measured rather than assumed): the
+    * smallest probe count whose recall@`recallK` on `recallSampleN`
+    * deterministic self-queries meets `recallTarget`, plus the measured
+    * recall itself — an index outlives the corpus knowledge of whoever
+    * queries it, and defaulted reads resolve this stored point.
+    * Derivation costs one bounded brute-force pass ([[ivfRecallCurve]]);
+    * pass `recallSampleN = 0` to skip it (readers then fall back to
+    * nProbe=2). Unlike the simhash envelope, an explicit `nProbe`
+    * override is NOT refused: probe count is a recall/cost dial with no
+    * silent-drop cliff — every probed cell only ADDS candidates.
     */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], path: String,
-      quantize: Boolean = false): Unit = {
+      quantize: Boolean = false, recallK: Int = 10,
+      recallTarget: Double = 0.95, recallSampleN: Int = 100): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     require(dim > 0 && centroids.forall(_.length == dim),
       "centroids must be non-empty with one uniform dimension")
+    val derived =
+      if (recallSampleN <= 0) None
+      else Some(deriveIvfNProbe(
+        ivfRecallCurve(df, idCol, vecCol, centroids, recallK,
+          recallSampleN), recallTarget))
     val assigned = ivfAssignDf(df, idCol, vecCol, centroids)
     // quantize = true stores 1 code byte per dimension (+ per-vector
     // min/max) instead of 4 float bytes — ~3.5× fewer index bytes
@@ -435,12 +510,15 @@ object Similarity {
         (id, mn, mx, packCodesJ(codes), cid)
       }.toDF("id", "mn", "mx", "qv", "cid")
     stored.write.mode("overwrite").partitionBy("cid").parquet(path)
-    // self-describing sidecar: dim/k/metric/quantized ride with the
-    // centroids so a reader can VALIDATE a query workload against the
-    // index identity instead of silently scoring mismatched vectors
+    // self-describing sidecar: dim/k/metric/quantized (+ the derived
+    // probe point) ride with the centroids so a reader can VALIDATE a
+    // query workload against the index identity instead of silently
+    // scoring mismatched vectors
     Seq((centroids.map(_.toSeq).toSeq, dim, centroids.length, "cosine",
-        quantize))
-      .toDF("centroids", "dim", "k", "metric", "quantized").coalesce(1)
+        quantize, derived.map(_._1).getOrElse(-1),
+        derived.map(_._2).getOrElse(-1.0), recallK))
+      .toDF("centroids", "dim", "k", "metric", "quantized",
+        "nProbe", "nProbeRecall", "recallK").coalesce(1)
       .write.mode("overwrite").json(s"$path.centroids")
   }
 
@@ -460,15 +538,26 @@ object Similarity {
     * identity (`dim`) is validated against the query vectors up front —
     * a mismatched embedding would otherwise probe garbage cells and
     * score truncated dot products silently.
+    *
+    * `nProbe` defaults to the RECALL-DERIVED point the index stored at
+    * build time (pass -1 = "use the index's"; legacy sidecars without
+    * one resolve to 2). Explicit values remain an open dial — see
+    * [[writeIvfIndex]] for why overrides are not refused here.
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nProbe: Int = 2): DataFrame = {
+      k: Int, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
     val side = spark.read.json(s"$path.centroids")
     // ONE driver job over the sidecar per call (this runs per
     // micro-batch in streaming ANN): every field probe reads this row
     val sideRow = side.head()
+    val nProbeResolved =
+      if (nProbe > 0) nProbe
+      else if (side.schema.fieldNames.contains("nProbe") &&
+          sideRow.getAs[Long]("nProbe") > 0)
+        sideRow.getAs[Long]("nProbe").toInt
+      else 2
     if (side.schema.fieldNames.contains("dim")) {
       val storedDim = sideRow.getAs[Long]("dim").toInt
       // validate against the first NON-NULL query vector; an empty
@@ -492,7 +581,8 @@ object Similarity {
       .filter(col("_qv").isNotNull) // null vectors probe nothing
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qv) =>
-        probeCentroids(qv, bc.value, nProbe).map(cid => (qid, qv, cid))
+        probeCentroids(qv, bc.value, nProbeResolved)
+          .map(cid => (qid, qv, cid))
       }.toDF("query_id", "qv", "cid")
     val probedCells = qProbes.select("cid").distinct()
       .as[Int].collect().toSeq

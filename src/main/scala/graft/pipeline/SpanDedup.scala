@@ -105,8 +105,11 @@ object SpanDedup {
   }
 
   /** Offline corpus window index: `hashes/` holds one row per DISTINCT
-    * window hash, partitioned by the first hash byte; `params/` records
-    * the window width and corpus size. Window TEXT is never stored —
+    * window hash, partitioned by the first hash byte (a layout/file-size
+    * bound only — the probe join reads every partition, since a batch's
+    * window hashes cover all 256 prefixes; the probe's cost bound is the
+    * hash shuffle of batch ∪ index rows, not a pruned scan); `params/`
+    * records the window width and corpus size. Window TEXT is never stored —
     * the hash is what a probe needs. The per-batch contract
     * ([[duplicateSpansFromIndex]]): a batch window matching ANY corpus
     * hash is a duplicate (the corpus copy precedes the batch by

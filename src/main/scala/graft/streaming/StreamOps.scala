@@ -141,7 +141,7 @@ object StreamOps {
     * validated against every batch, same as the batch contract.
     */
   def annStreamAgainstIvfIndex(stream: DataFrame, indexPath: String,
-      qIdCol: String, qVecCol: String, k: Int, nProbe: Int = 2)(
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int = -1)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =

@@ -32,4 +32,28 @@ package object graftshim {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft.functions.GraftFunctions", name),
         builder)
+
+  /** Register `name` as a TABLE-VALUED function on an existing session
+    * (the in-place complement of
+    * `SparkSessionExtensions.injectTableFunction`): the builder maps the
+    * SQL call's argument expressions to a LogicalPlan spliced in place
+    * of the `FROM name(...)` reference. Idempotent.
+    */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState
+      .tableFunctionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftTableFunctions", name),
+        builder)
+
+  /** The (analyzed) logical plan behind a DataFrame — what a
+    * table-function builder returns so the operator's whole Column tree
+    * is spliced into the calling SQL statement's plan.
+    */
+  def logicalPlan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -101,6 +101,54 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(err2.getMessage.contains("literal"))
   }
 
+  test("graft_curate table function equals the DataFrame operator") {
+    GraftTableFunctions.register(spark)
+    docs.createOrReplaceTempView("gf_curate_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id, status, split
+      FROM graft_curate('gf_curate_docs', 'doc_id', 'text',
+                        'en', 40, 0.8D, 'ngram_exact')""")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)))).toMap
+    val viaApi = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+        graft.pipeline.Curation.Config(nearDup =
+          graft.pipeline.Curation.NearDupStrategy.Ngram(maxDocFreq = 0)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)))).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("graft_curate composes inside a larger SQL statement") {
+    GraftTableFunctions.register(spark)
+    docs.createOrReplaceTempView("gf_curate_docs")
+    // the TVF result is a first-class FROM source: filter + aggregate
+    // over it in the SAME statement, one optimized plan
+    val bySplit = spark.sql("""
+      SELECT split, count(*) AS n
+      FROM graft_curate('gf_curate_docs', 'doc_id', 'text')
+      WHERE status = 'kept' GROUP BY split""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum > 0)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("graft_curate rejects bad arguments loudly") {
+    GraftTableFunctions.register(spark)
+    docs.createOrReplaceTempView("gf_curate_docs")
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_curate('gf_curate_docs')").collect()
+    }
+    assert(err.getMessage.contains("usage: graft_curate"))
+    val err2 = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_curate('gf_curate_docs',
+        'doc_id', 'text', 'en', 40, 0.8D, 'bogus')""").collect()
+    }
+    assert(err2.getMessage.contains("strategy must be"))
+  }
+
   test("GraftExtensions registers the surface at session build time") {
     // `spark.sql.extensions` is a STATIC conf — it cannot take effect
     // over an already-running SparkContext, and getOrCreate would hand
@@ -121,6 +169,15 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       val out = s2.sql(
         "SELECT graft_token_count('a b c') AS n").head().getInt(0)
       assert(out == 3)
+      // the TABLE function rides the same injection: every input row
+      // gets an audit row regardless of status, so count(*) = inputs
+      s2.range(3).selectExpr("id AS doc_id",
+          "'hello world text here' AS text")
+        .createOrReplaceTempView("gf_ext_docs")
+      val n = s2.sql("SELECT count(*) AS n FROM " +
+        "graft_curate('gf_ext_docs', 'doc_id', 'text')").head().getLong(0)
+      assert(n == 3)
+      graft.pipeline.CacheScope.releaseSession(s2)
       // do NOT stop s2: the SparkContext is shared with the suite session
     } finally {
       SparkSession.setDefaultSession(spark)

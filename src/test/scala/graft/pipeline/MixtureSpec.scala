@@ -38,6 +38,22 @@ class MixtureSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(0).getLong(3) == 65536L) // target 10000 > available 500
   }
 
+  test("a zero-token domain emits NO plan row (not a keep-all cutoff)") {
+    // weight*budget/available is a divide-by-zero here: without the
+    // available_tokens > 0 filter, least() skips the null and the plan
+    // would silently claim keep-all for a domain with nothing to give
+    val zeroToks = docs.withColumn("toks",
+      when(col("domain") === "a", lit(0L)).otherwise(col("toks")))
+    val plan = Sampling.mixturePlan(zeroToks, "domain", col("toks"),
+        Map("a" -> 0.5, "b" -> 0.5), tokenBudget = 1000L)
+      .orderBy("domain").collect()
+    assert(plan.map(_.getString(0)).toSeq == Seq("b"))
+    // and the sample drops the domain entirely (defaultFrac 0)
+    val out = Sampling.mixtureSample(zeroToks, "key", "domain",
+      col("toks"), Map("a" -> 0.5, "b" -> 0.5), 1000L)
+    assert(out.filter(col("domain") === "a").count() == 0L)
+  }
+
   test("mixtureSample keeps saturated domains whole, drops unweighted") {
     val out = Sampling.mixtureSample(docs, "key", "domain", col("toks"),
       Map("c" -> 1.0, "a" -> 0.2), tokenBudget = 1000L)
