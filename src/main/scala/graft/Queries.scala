@@ -329,6 +329,48 @@ object Queries {
       grids
     })
 
+  /** Planted image-DEDUP fixture for `image_dedup_pairs`: every doc an
+    * 8×8 constant-cell gray grid (lossless container) with lumas
+    * `(doc_id*7 + c*11) % 256`; every 10th doc also arrives RE-ENCODED
+    * (+50000: same raster in the OTHER container at a different
+    * resolution — cellPx 3 vs 2, so the pair exercises both re-encode
+    * and resize invariance of the perceptual fingerprint); every 15th
+    * doc arrives NEAR-DUPLICATED (+60000: first four cells perturbed
+    * +3 mod 256). All lumas are integer-arithmetic from doc_id, so the
+    * oracle replays every fingerprint bit exactly.
+    */
+  private val dedupGridBlobCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def dedupGridBlobsFor(s: SparkSession, dir: String): DataFrame =
+    sweepStopped(dedupGridBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      def lumasFor(src: Long, pert: Boolean): Array[Int] =
+        Array.tabulate(64) { c =>
+          (if (pert && c < 4) (src * 7 + c * 11 + 3) % 256
+           else (src * 7 + c * 11) % 256).toInt
+        }
+      val ids = rdPar(s, d, "documents").select(col("doc_id").cast("long"))
+      val base = ids.as[Long].map { id =>
+        (id, Multimodal.encodeCellImage(8, 8, cellPx = 2,
+          lumasFor(id, pert = false), if (id % 2 == 0) "png" else "bmp"))
+      }
+      val reenc = ids.filter(col("doc_id") % 10 === 0).as[Long].map { id =>
+        (id + 50000, Multimodal.encodeCellImage(8, 8, cellPx = 3,
+          lumasFor(id, pert = false), if (id % 2 == 0) "bmp" else "png"))
+      }
+      val near = ids.filter(col("doc_id") % 15 === 0).as[Long].map { id =>
+        (id + 60000, Multimodal.encodeCellImage(8, 8, cellPx = 2,
+          lumasFor(id, pert = true), "png"))
+      }
+      val all = base.union(reenc).union(near).toDF("doc_id", "img")
+        .select(col("doc_id"),
+          Multimodal.asBlob(col("img"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count() // materialize at build time, not first evaluation
+      all
+    })
+
   /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
     * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
     * doc_id-derived timescale/duration/dims/frame-count the oracle knows
@@ -443,7 +485,7 @@ object Queries {
     */
   def releaseFixtures(s: SparkSession): Unit =
     Seq(imageBlobCache, audioBlobCache, gridBlobCache,
-        videoBlobCache).foreach { cache =>
+        dedupGridBlobCache, videoBlobCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -2486,6 +2528,52 @@ object Queries {
              CAST((doc_id * 7 + cell * 11) % 256 AS INTEGER) AS lum
       FROM (SELECT doc_id, unnest(range(0, 16)) AS cell FROM documents)
       ORDER BY doc_id, cell""")),
+
+    // ---- IMAGE near-dup: perceptual 64-bit fingerprints (8×8
+    // luminance grid, bit = cell above mean — integer rule) banded
+    // through the SimHash block join, verified by exact Hamming ≤ 8.
+    // The fixture plants re-encoded copies (other container, other
+    // resolution → Hamming 0) and locally-perturbed near-copies; every
+    // luma is doc_id arithmetic in a lossless container, so the oracle
+    // replays EVERY fingerprint bit and the full pairwise Hamming
+    // matrix exactly — accidental cross-pairs included. blocks=8 with
+    // 1-bit probing guarantees every pair within Hamming 15 shares a
+    // join key, so the ≤ 8 output is complete by derivation. ----
+    ("image_dedup_pairs", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.imageDedupPairs(dedupGridBlobsFor(s, dir),
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH imgs AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(CASE WHEN pert = 1 AND c < 4
+                    THEN (src*7 + c*11 + 3) % 256
+                    ELSE (src*7 + c*11) % 256 END AS BIGINT) AS lum
+        FROM (SELECT doc_id, src, pert, unnest(range(0, 64)) AS c
+              FROM imgs)),
+      tot AS (SELECT doc_id, SUM(lum) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.lum * 64 > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b""")),
 
     // ---- multimodal blob pipeline with a REAL video container decode:
     // every doc plants an in-memory ISO-BMFF (MP4) stream whose

@@ -749,19 +749,32 @@ object Dedup {
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       blocks: Int = 4, maxHamming: Int = 64,
       maxBucketSize: Int = 1000, probeBits: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    // the expensive kernel (one simhash per doc) is the shared base of
+    // both join sides — the core persists it, the block explodes are
+    // cheap. The kernel input is `spread` (simhashDfJ): when the exact
+    // side broadcasts, the bucket join's collision-production loop (the
+    // dominant cost — ~4x the candidate count in raw join rows) streams
+    // at this very partitioning.
+    fingerprintCandidatePairs(simhashDfJ(df, idCol, textCol), blocks,
+      maxHamming, maxBucketSize, probeBits, scope)
+
+  /** The block-bucket candidate join over an ARBITRARY 64-bit
+    * fingerprint frame `(id, sh)` — SimHash text fingerprints and
+    * image perceptual hashes share this core (same pigeonhole recall
+    * bounds, same skew cap, same multi-probe trade; see
+    * [[simhashCandidatePairs]] for the derivations).
+    */
+  def fingerprintCandidatePairs(fpDf: DataFrame,
+      blocks: Int = 4, maxHamming: Int = 64,
+      maxBucketSize: Int = 1000, probeBits: Int = 0,
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
-    val sc = CacheScope.resolve(scope, df.sparkSession)
+    val sc = CacheScope.resolve(scope, fpDf.sparkSession)
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
-    // the expensive kernel (one simhash per doc) is the shared base of
-    // both join sides — persist it, the block explodes below are cheap.
-    // The kernel input is `spread` (simhashDfJ): when the exact side
-    // broadcasts, the bucket join's collision-production loop (the
-    // dominant cost — ~4x the candidate count in raw join rows) streams
-    // at this very partitioning.
-    val withSh = sc.persist(simhashDfJ(df, idCol, textCol))
+    val withSh = sc.persist(fpDf.select(col("id"), col("sh")))
     def partCol(q: Int): Column =
       shiftright(col("sh"), q * bits).bitwiseAND(mask)
     // j = -1 → the exact block value; j >= 0 → that value with bit j

@@ -354,6 +354,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual IMAGE fingerprint: the 8×8 luminance grid with
+    * bit `c` set iff cell `c`'s luma exceeds the image's mean luma —
+    * the aHash shape of the published perceptual-hash family. The
+    * threshold rule is INTEGER (`luma * 64 > total`): no float mean, so
+    * an arithmetic oracle can replay every bit exactly. Because the
+    * grid averages over the full raster, the fingerprint is invariant
+    * to lossless re-encoding, container changes, and resizing (cell
+    * boundaries land on the same image fractions), and it moves only a
+    * few bits under small local edits — which is what lets the SimHash
+    * block machinery ([[graft.pipeline.Dedup.fingerprintCandidatePairs]])
+    * band it for near-dup candidate generation at corpus scale.
+    */
+  def imageFingerprint64(bytes: Array[Byte]): Option[Long] =
+    imageLumaGrid(bytes, 8, 8).map { lumas =>
+      var total = 0L
+      var i = 0
+      while (i < 64) { total += lumas(i); i += 1 }
+      var fp = 0L
+      i = 0
+      while (i < 64) {
+        if (lumas(i).toLong * 64 > total) fp |= (1L << i)
+        i += 1
+      }
+      fp
+    }
+
+  /** `(id, sh)` fingerprint frame over blob rows — the
+    * [[graft.pipeline.Dedup.fingerprintCandidatePairs]] input shape.
+    * Rows whose bytes don't decode are DROPPED here (an undecodable
+    * image can match nothing; quarantine is the ingest stage's job).
+    */
+  def imageFingerprintDf(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getStruct(blobIdx)
+        val content = if (blob == null || blob.isNullAt(0)) null
+          else blob.getAs[Array[Byte]](0)
+        imageFingerprint64(content).map(fp => (r.getLong(idIdx), fp))
+      }
+    }.toDF("id", "sh")
+  }
+
+  /** Re-encode / resize-robust image near-duplicate pairs: perceptual
+    * fingerprints ([[imageFingerprint64]]) banded through the SimHash
+    * block join — `(id_a, id_b, hamming)` for every pair within
+    * `maxHamming`. The default point (blocks=8, probeBits=1) carries
+    * the pigeonhole guarantee for every pair within Hamming 15, so
+    * `maxHamming` ≤ 15 keeps the candidate bound derivation exact; the
+    * bucket cap defaults OFF (unconditional recall — image corpora
+    * concentrate on flat-image fingerprints like all-zero bits, pass a
+    * cap explicitly when that skew dominates a corpus).
+    */
+  def imageDedupPairs(blobs: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, blocks: Int = 8, probeBits: Int = 1,
+      maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    require(maxHamming <=
+      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
+      s"maxHamming $maxHamming exceeds the guaranteed radius " +
+        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
+        s"of blocks=$blocks/probeBits=$probeBits — pairs past it would " +
+        "be silently incomplete; raise blocks/probeBits or lower the " +
+        "threshold")
+    graft.pipeline.Dedup.fingerprintCandidatePairs(
+      imageFingerprintDf(blobs, idCol, blobCol), blocks, maxHamming,
+      maxBucketSize, probeBits, scope)
+  }
+
   /** Deterministic constant-cell image fixture: a `gridW`×`gridH` grid
     * of `cellPx`×`cellPx` gray cells, cell `c` at luma `lumas(c)` —
     * planted so [[imageLumaGrid]] at the same grid recovers EXACTLY
