@@ -90,9 +90,44 @@ object GraftTableFunctions {
         nearDupThreshold = thr, nearDup = nearDup)))
   }
 
+  /** `graft_dedup_exact(view, idCol, textCol)` — exact duplicate
+    * groups by content hash ([[graft.pipeline.Dedup.exactGroups]]):
+    * one row per duplicated content as
+    * `(content_hash, keep_id, n_copies)`.
+    */
+  private def dedupExactBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3,
+      "usage: graft_dedup_exact(view, idCol, textCol)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Dedup.exactGroups(
+      spark.table(strLit(es(0), "view name")),
+      strLit(es(1), "id column"), strLit(es(2), "text column")))
+  }
+
+  /** `graft_contamination(corpusView, benchView, idCol, textCol,
+    * benchTextCol[, shingleSize])` — the benchmark-decontamination
+    * report ([[Curation.contamination]]): per overlapping corpus doc,
+    * its shingle count and distinct shingles shared with ANY benchmark
+    * text. The benchmark side broadcasts; the corpus is scanned once.
+    */
+  private def contaminationBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 5 || es.length == 6,
+      "usage: graft_contamination(corpusView, benchView, idCol, " +
+        "textCol, benchTextCol[, shingleSize])")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(Curation.contamination(
+      spark.table(strLit(es(0), "corpus view")),
+      spark.table(strLit(es(1), "benchmark view")),
+      strLit(es(2), "id column"), strLit(es(3), "text column"),
+      strLit(es(4), "benchmark text column"),
+      if (es.length > 5) intLit(es(5), "shingle size") else 3))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
-    "graft_curate" -> (curateBuilder _))
+    "graft_curate" -> (curateBuilder _),
+    "graft_dedup_exact" -> (dedupExactBuilder _),
+    "graft_contamination" -> (contaminationBuilder _))
 
   /** Register every table function on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

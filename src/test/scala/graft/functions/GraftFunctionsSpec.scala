@@ -135,6 +135,32 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("graft_dedup_exact and graft_contamination equal the operators") {
+    GraftTableFunctions.register(spark)
+    // plant exact copies so the group table is non-empty
+    val planted = docs.union(docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 90000).as("doc_id"), $"text"))
+    planted.createOrReplaceTempView("gf_tvf_docs")
+    val viaSql = spark.sql("""
+      SELECT content_hash, keep_id, n_copies
+      FROM graft_dedup_exact('gf_tvf_docs', 'doc_id', 'text')""")
+      .collect().map(_.toSeq).toSet
+    val viaApi = graft.pipeline.Dedup.exactGroups(planted,
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    docs.limit(5).select($"text".as("bench_text"))
+      .createOrReplaceTempView("gf_tvf_bench")
+    val cSql = spark.sql("""
+      SELECT * FROM graft_contamination('gf_tvf_docs', 'gf_tvf_bench',
+        'doc_id', 'text', 'bench_text')""")
+      .collect().map(_.toSeq).toSet
+    val cApi = graft.pipeline.Curation.contamination(planted,
+      spark.table("gf_tvf_bench"), "doc_id", "text", "bench_text")
+      .collect().map(_.toSeq).toSet
+    assert(cSql == cApi && cSql.nonEmpty)
+  }
+
   test("graft_curate rejects bad arguments loudly") {
     GraftTableFunctions.register(spark)
     docs.createOrReplaceTempView("gf_curate_docs")
