@@ -202,8 +202,13 @@ object Bench {
     try {
       var warm = List.empty[Double] // most recent first
       var cum = 0.0
+      // 10% band: at 20% the multi-second queries stopped after 3
+      // warmups while their timed samples were still trending down
+      // ~10%/run (C2 still compiling) — the tighter band buys 1-2 more
+      // warmups exactly when the trend is real and exits on genuine
+      // plateaus
       def stable: Boolean = warm match {
-        case a :: b :: _ => math.max(a, b) / math.min(a, b).max(1e-9) <= 1.2
+        case a :: b :: _ => math.max(a, b) / math.min(a, b).max(1e-9) <= 1.1
         case _ => false
       }
       def more: Boolean =

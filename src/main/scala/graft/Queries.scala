@@ -371,6 +371,23 @@ object Queries {
       all
     })
 
+  /** Persisted image-fingerprint index over the BASE planted grid
+    * images (doc_id < 50000 of [[dedupGridBlobsFor]]), same
+    * once-per-(session, dir) offline-build pattern as
+    * [[minhashIndexFor]]: the corpus decode runs once at build, probes
+    * scan 8-byte fingerprints.
+    */
+  private val imageIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def imageIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(imageIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("imagefp", d)
+      graft.pipeline.Multimodal.writeImageIndex(
+        dedupGridBlobsFor(s, d).filter(col("doc_id") < 50000),
+        "doc_id", "blob", path)
+      path
+    })
+
   /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
     * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
     * doc_id-derived timescale/duration/dims/frame-count the oracle knows
@@ -2574,6 +2591,58 @@ object Queries {
               GROUP BY 1, 2)
       SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
       FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b""")),
+
+    // ---- incremental image near-dup against the PERSISTED fingerprint
+    // index (writeImageIndex): the re-encoded and perturbed copies
+    // arrive as a NEW batch probed against the base-corpus index —
+    // batch decodes + fingerprints, corpus side is the 8-byte scan,
+    // multi-probe on the batch side only. Same arithmetic oracle as
+    // image_dedup_pairs, restricted to pairs with a batch member and
+    // re-oriented to the incremental contract (batch id first for
+    // batch-vs-corpus, a<b batch-internal). ----
+    ("image_dedup_index_pairs", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      val path = imageIndexFor(s, dir)
+      val batch = dedupGridBlobsFor(s, dir)
+        .filter(col("doc_id") >= 50000)
+      Multimodal.imageDedupPairsFromIndex(s, path, batch,
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH imgs AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(CASE WHEN pert = 1 AND c < 4
+                    THEN (src*7 + c*11 + 3) % 256
+                    ELSE (src*7 + c*11) % 256 END AS BIGINT) AS lum
+        FROM (SELECT doc_id, src, pert, unnest(range(0, 64)) AS c
+              FROM imgs)),
+      tot AS (SELECT doc_id, SUM(lum) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.lum * 64 > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT CAST(CASE WHEN x >= 50000 THEN x ELSE y END AS BIGINT)
+               AS id_a,
+             CAST(CASE WHEN x >= 50000 THEN y ELSE x END AS BIGINT)
+               AS id_b,
+             CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 AND y >= 50000
+      ORDER BY id_a, id_b""")),
 
     // ---- multimodal blob pipeline with a REAL video container decode:
     // every doc plants an in-memory ISO-BMFF (MP4) stream whose

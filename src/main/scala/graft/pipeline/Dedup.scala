@@ -1129,11 +1129,28 @@ object Dedup {
       threshold: Double, blocks: Int, prefilterHamming: Int,
       maxBucketSize: Int, probeBits: Int, verifyRankCap: Int,
       sc: CacheScope): DataFrame = {
-    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
-    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     // default prefilter = the derived bound (see simhashJaccardPairs)
     val pf = if (prefilterHamming < 0) guaranteedRadius(blocks, probeBits)
       else prefilterHamming
+    val cand = fingerprintIncrementalCandidates(sh0, blocks, pf,
+      maxBucketSize, probeBits, sc)
+    verifyPairs(rankCapPairs(cand, verifyRankCap), sc.persist(texts),
+      threshold)
+  }
+
+  /** Incremental block-bucket candidates over an `(id, sh, new)`
+    * fingerprint frame — the batch-sized-cost core shared by the
+    * incremental SimHash operators and the image-fingerprint family
+    * (see [[simhashPairsIncremental]] for the XOR multi-probe
+    * derivation). Emits `(id_a, id_b, hamming <= maxHamming)`
+    * deduplicated, batch id first for batch-vs-corpus pairs, `a < b`
+    * for batch-internal.
+    */
+  def fingerprintIncrementalCandidates(sh0: DataFrame, blocks: Int,
+      maxHamming: Int, maxBucketSize: Int, probeBits: Int,
+      sc: CacheScope): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
     val sh = sc.persist(sh0)
@@ -1166,7 +1183,7 @@ object Dedup {
     val r = bounded(parts(sh.filter(col("new")), flips = true))
       .select(col("q"), col("part"), col("id").as("id_y"),
         col("sh").as("sh_y"), col("new").as("new_y"))
-    val cand = l.join(r, Seq("q", "part"))
+    l.join(r, Seq("q", "part"))
       .filter(col("id_x") =!= col("id_y"))
       // y is always a batch doc; batch id first for batch-vs-corpus,
       // a<b when both are batch
@@ -1176,10 +1193,8 @@ object Dedup {
         when(col("new_x"), greatest(col("id_x"), col("id_y")))
           .otherwise(col("id_x")).as("id_b"),
         bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
-      .filter(col("hamming") <= pf)
+      .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
-    verifyPairs(rankCapPairs(cand, verifyRankCap), sc.persist(texts),
-      threshold)
   }
 
   // -------------------------------------------------------------------

@@ -428,6 +428,61 @@ object Multimodal {
       maxBucketSize, probeBits, scope)
   }
 
+  /** Persist an image-fingerprint index: the corpus's 64-bit perceptual
+    * fingerprints ([[imageFingerprint64]] — 8 bytes/image) as parquet
+    * plus a params sidecar storing the banding operating point
+    * (blocks/probeBits) and corpus size — the other dedup families'
+    * index discipline. The DECODE runs once at build; every later
+    * batch probe scans fingerprints only.
+    */
+  def writeImageIndex(blobs: DataFrame, idCol: String, blobCol: String,
+      path: String, blocks: Int = 8, probeBits: Int = 1): Unit = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val fp = imageFingerprintDf(blobs, idCol, blobCol)
+    fp.write.mode("overwrite").parquet(s"$path/fingerprints")
+    val n = spark.read.parquet(s"$path/fingerprints").count()
+    Seq((blocks, probeBits, n))
+      .toDF("blocks", "probeBits", "nImages")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental image near-dup pairs of a NEW batch of blobs against a
+    * [[writeImageIndex]] corpus — the `*PairsFromIndex` shape for the
+    * image family: batch decodes + fingerprints, corpus side is the
+    * 8-byte-per-image fingerprint scan, multi-probe expansion on the
+    * BATCH side only (cost scales with |batch|). Emits
+    * `(id_a, id_b, hamming <= maxHamming)`, batch id first for
+    * batch-vs-corpus, `a < b` batch-internal; `maxHamming` past the
+    * stored point's guaranteed radius is refused (silently incomplete
+    * pairs otherwise).
+    */
+  def imageDedupPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
+    val params = spark.read.json(s"$path/params").head()
+    val blocks = params.getAs[Long]("blocks").toInt
+    val probeBits = params.getAs[Long]("probeBits").toInt
+    require(maxHamming <=
+      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
+      s"maxHamming $maxHamming exceeds the guaranteed radius " +
+        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
+        s"of the index's stored point (blocks=$blocks/" +
+        s"probeBits=$probeBits) — rebuild with more probing or lower " +
+        "the threshold")
+    val sh = imageFingerprintDf(batch, idCol, blobCol)
+      .withColumn("new", lit(true))
+      .union(spark.read.parquet(s"$path/fingerprints")
+        .withColumn("new", lit(false)))
+    graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
+      maxHamming, maxBucketSize, probeBits, sc)
+  }
+
   /** Deterministic constant-cell image fixture: a `gridW`×`gridH` grid
     * of `cellPx`×`cellPx` gray cells, cell `c` at luma `lumas(c)` —
     * planted so [[imageLumaGrid]] at the same grid recovers EXACTLY

@@ -150,6 +150,23 @@ object StreamOps {
         indexPath, batch, qIdCol, qVecCol, k, nProbe)
     }
 
+  /** [[probeIndexPerBatch]] against a persisted IMAGE-fingerprint index
+    * ([[graft.pipeline.Multimodal.writeImageIndex]]): each micro-batch
+    * of image blobs decodes, fingerprints, and probes the 8-byte-per-
+    * image corpus scan at the index's stored banding point; `sink`
+    * receives that batch's `(id_a, id_b, hamming)` near-dup pairs.
+    */
+  def imageDedupStreamAgainstIndex(stream: DataFrame, indexPath: String,
+      idCol: String, blobCol: String, maxHamming: Int = 8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Multimodal.imageDedupPairsFromIndex(
+        batch.sparkSession, indexPath, batch, idCol, blobCol,
+        maxHamming, scope = scope)
+    }
+
   /** Per-micro-batch corpus CURATION — the composed daily-driver on a
     * stream: each arriving batch runs the full `Curation.curate` audit
     * (language → quality → exact dedup → near-dup → split) WITHIN the

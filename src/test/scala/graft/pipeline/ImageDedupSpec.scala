@@ -81,6 +81,102 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestBase {
     CacheScope.releaseSession(spark)
   }
 
+  private def batchBlobs = {
+    val ids = (0L until 120L).toDF("doc_id")
+    val reenc = ids.filter($"doc_id" % 10 === 0).as[Long].map { id =>
+      (id + 50000, Multimodal.encodeCellImage(8, 8, 3,
+        lumasFor(id, false), if (id % 2 == 0) "bmp" else "png"))
+    }
+    val near = ids.filter($"doc_id" % 15 === 0).as[Long].map { id =>
+      (id + 60000, Multimodal.encodeCellImage(8, 8, 2,
+        lumasFor(id, true), "png"))
+    }
+    reenc.union(near).toDF("doc_id", "img")
+      .select($"doc_id", Multimodal.asBlob($"img", "unknown").as("blob"))
+  }
+
+  private def baseOnlyBlobs = {
+    val ids = (0L until 120L).toDF("doc_id")
+    ids.as[Long].map { id =>
+      (id, Multimodal.encodeCellImage(8, 8, 2, lumasFor(id, false),
+        if (id % 2 == 0) "png" else "bmp"))
+    }.toDF("doc_id", "img")
+      .select($"doc_id", Multimodal.asBlob($"img", "unknown").as("blob"))
+  }
+
+  test("index probe equals incremental brute force over fingerprints") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_imgidx").toString + "/idx"
+    Multimodal.writeImageIndex(baseOnlyBlobs, "doc_id", "blob", path)
+    val got = Multimodal.imageDedupPairsFromIndex(spark, path,
+        batchBlobs, "doc_id", "blob", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val corpusFp = Multimodal.imageFingerprintDf(baseOnlyBlobs,
+      "doc_id", "blob").as[(Long, Long)].collect()
+    val batchFp = Multimodal.imageFingerprintDf(batchBlobs,
+      "doc_id", "blob").as[(Long, Long)].collect()
+    val bvc = for {
+      (ib, sb) <- batchFp; (ic, sc) <- corpusFp
+      if java.lang.Long.bitCount(sb ^ sc) <= 8
+    } yield (ib, ic) // batch id first
+    val bInternal = for {
+      (ia, sa) <- batchFp; (ib, sb) <- batchFp if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield (ia, ib)
+    assert(got == (bvc ++ bInternal).toSet)
+    assert(bvc.nonEmpty, "planted re-encodes must hit the corpus")
+    CacheScope.releaseSession(spark)
+  }
+
+  test("micro-batch image dedup against the index = per-wave FromIndex") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_imgidx_stream").toString + "/idx"
+    Multimodal.writeImageIndex(baseOnlyBlobs, "doc_id", "blob", path)
+    def wave(mod: Long, offset: Long): Seq[(Long, Array[Byte])] =
+      (0L until 120L).filter(_ % 10 === mod).map { id =>
+        (id + offset, Multimodal.encodeCellImage(8, 8, 3,
+          lumasFor(id, false), "bmp"))
+      }
+    val (w1, w2) = (wave(0L, 50000L), wave(0L, 70000L))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamOps.imageDedupStreamAgainstIndex(
+      input.toDF().toDF("doc_id", "img")
+        .select($"doc_id", Multimodal.asBlob($"img", "unknown")
+          .as("blob")),
+      path, "doc_id", "blob", maxHamming = 8) { (pairs, _) =>
+        found ++= pairs.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    val expected = Seq(w1, w2).map { w =>
+      val batch = w.toDF("doc_id", "img")
+        .select($"doc_id", Multimodal.asBlob($"img", "unknown")
+          .as("blob"))
+      Multimodal.imageDedupPairsFromIndex(spark, path, batch,
+          "doc_id", "blob", maxHamming = 8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }.reduce(_ union _)
+    assert(found.toSet == expected)
+    assert(found.nonEmpty)
+    CacheScope.releaseSession(spark)
+  }
+
+  test("index probe refuses maxHamming past the stored point's radius") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_imgidx_refuse").toString + "/idx"
+    Multimodal.writeImageIndex(baseOnlyBlobs, "doc_id", "blob", path)
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.imageDedupPairsFromIndex(spark, path, batchBlobs,
+        "doc_id", "blob", maxHamming = 40)
+    }
+    assert(err.getMessage.contains("guaranteed radius"))
+  }
+
   test("maxHamming past the guaranteed radius is refused") {
     val err = intercept[IllegalArgumentException] {
       Multimodal.imageDedupPairs(plantedBlobs, "doc_id", "blob",
