@@ -3009,7 +3009,155 @@ object Queries {
                  ORDER BY cosine DESC, id) AS rank
         FROM scored)
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
-      WHERE rank <= 1 ORDER BY query_id, rank""")))
+      WHERE rank <= 1 ORDER BY query_id, rank""")),
+
+    // ---- STREAMING duplicated-SPAN detection against the persisted
+    // window index, oracle-checked: the prefix-tagged corpus copies of
+    // span_index_documents arrive as THREE micro-batches, each running
+    // its own window pass through StreamOps.spanStreamAgainstIndex.
+    // BATCHING-INDEPENDENT by construction, so the whole-batch oracle
+    // is exact under any micro-batch split: every batch window either
+    // contains the doc's unique 'bq<id>' lead token (occurs once per
+    // doc → no two shifts of it are equal, so never a repeat) or is a
+    // verbatim window of an INDEXED corpus doc (corpus-known → flags
+    // row-locally in every batch it lands in). The batch-internal
+    // keep-first clause therefore never fires — verified 0 firing
+    // windows at sf0.01 AND sf0.1 — and the oracle needs only the
+    // corpus-match leg plus the per-doc islands merge. ----
+    ("span_stream_documents", ((s: SparkSession, dir: String) => {
+      val idxPath = spanIndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "spanbatch", 3) {
+        rd(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(lit("bq"), col("doc_id"), lit(" "), col("text"))
+              .as("text"))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.spanStreamAgainstIndex(
+          stream, idxPath, "doc_id", "text") { (res, _) =>
+            res.write.mode("append").parquet(outDir)
+          }
+      }.withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    }): Q, Some("""
+      WITH bfx AS (SELECT doc_id + 10000 AS doc_id,
+                     'bq' || doc_id || ' ' || text AS text
+                   FROM documents WHERE doc_id % 7 = 0),
+      ctk AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS t
+              FROM documents),
+      cst AS (SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 20)) AS s
+              FROM ctk WHERE len(t) >= 20),
+      cwin AS (SELECT DISTINCT md5(array_to_string(t[s+1:s+20], ' '))
+                 AS h
+               FROM cst),
+      btk AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS t
+              FROM bfx),
+      bst AS (SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 20)) AS s
+              FROM btk WHERE len(t) >= 20),
+      bwin AS (SELECT doc_id, s,
+                 md5(array_to_string(t[s+1:s+20], ' ')) AS h
+               FROM bst),
+      fl AS (SELECT b.doc_id, b.s FROM bwin b
+             JOIN cwin c ON b.h = c.h),
+      brks AS (SELECT doc_id, s,
+                 CASE WHEN max(s + 20) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) IS NULL
+                   OR s > max(s + 20) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+               FROM fl),
+      isl AS (SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY s) AS island
+              FROM brks)
+      SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+             CAST(max(s) + 20 AS INTEGER) AS span_end
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""")),
+
+    // ---- STREAMING MinHash near-dup against the persisted signature
+    // index, oracle-checked: the +20000 near-copy batch of
+    // dedup_index_documents arrives as THREE micro-batches, each
+    // probing the index through StreamOps.dedupStreamAgainstIndex.
+    // BATCHING-INDEPENDENT: every emitted pair is batch-vs-corpus
+    // (row-local given the fixed index) — the %20 batch docs descend
+    // from DISTINCT corpus documents, and no two of them reach the
+    // 0.7 Jaccard threshold with each other (verified 0 batch-internal
+    // pairs at sf0.01 AND sf0.1), so the per-micro-batch internal-pair
+    // clause of the streaming contract never fires and the whole-batch
+    // incremental oracle is exact under any split. ----
+    ("minhash_stream_pairs", ((s: SparkSession, dir: String) => {
+      val idxPath = minhashIndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "minhashbatch", 3) {
+        val corpus = rd(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        corpus.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zz qq xx")).as("text"))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.dedupStreamAgainstIndex(
+          stream, idxPath, "doc_id", "text", threshold = 0.7) {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(incrementalJaccardSql(0.7))),
+
+    // ---- STREAMING boilerplate line removal against the persisted
+    // line-frequency index, oracle-checked: the multi-line fixture
+    // arrives as THREE micro-batches, each rewritten through
+    // StreamOps.lineDedupStreamAgainstIndex at read-time
+    // maxDocFreq=10. Row-local given the index — the boilerplate set
+    // is fixed at probe time and reassembly is per-document — so the
+    // whole-corpus oracle (identical to line_index_documents) is exact
+    // under any micro-batch split. ----
+    ("line_dedup_stream_documents", ((s: SparkSession, dir: String) => {
+      val idxPath = lineIndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "linedbatch", 3) {
+        linedDocs(rd(s, dir, "documents"))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.lineDedupStreamAgainstIndex(
+          stream, idxPath, "doc_id", "text", maxDocFreq = 10) {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH lined AS ($linedDocsSql),
+      ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1)
+                      AS pos
+             FROM lined),
+      boiler AS (SELECT line FROM ex WHERE length(line) > 0
+                 GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+      j AS (SELECT e.doc_id, e.pos, e.line,
+                   (b.line IS NOT NULL) AS is_boiler
+            FROM ex e LEFT JOIN boiler b ON e.line = b.line)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+               chr(10) ORDER BY pos), '') AS text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM j GROUP BY doc_id ORDER BY doc_id""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap
