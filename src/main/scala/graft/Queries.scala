@@ -2894,6 +2894,56 @@ object Queries {
         ORDER BY doc_id""")
     }): Q, Some(curationOracleSql("en", 40, 0.8))),
 
+    // ---- line-level boilerplate dedup reached ENTIRELY through
+    // spark.sql (graft_line_dedup table function): same operator plan
+    // and oracle as line_dedup_documents, spliced in place of the FROM
+    // reference — SQL reach for the rewrite family, not just curation. ----
+    ("sql_line_dedup_documents", ((s: SparkSession, dir: String) => {
+      graft.functions.GraftTableFunctions.register(s)
+      linedDocs(rd(s, dir, "documents"))
+        .createOrReplaceTempView("graft_sql_lined_docs")
+      s.sql("""
+        SELECT doc_id, text, n_lines, n_dropped
+        FROM graft_line_dedup('graft_sql_lined_docs', 'doc_id', 'text',
+                              10)
+        ORDER BY doc_id""")
+    }): Q, Some(s"""
+      WITH lined AS ($linedDocsSql),
+      ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1)
+                      AS pos
+             FROM lined),
+      boiler AS (SELECT line FROM ex WHERE length(line) > 0
+                 GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+      j AS (SELECT e.doc_id, e.pos, e.line,
+                   (b.line IS NOT NULL) AS is_boiler
+            FROM ex e LEFT JOIN boiler b ON e.line = b.line)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+               chr(10) ORDER BY pos), '') AS text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- duplicated-span detection reached ENTIRELY through spark.sql
+    // (graft_span_dedup table function): same operator plan and oracle
+    // as span_dedup_documents. ----
+    ("sql_span_dedup_documents", ((s: SparkSession, dir: String) => {
+      graft.functions.GraftTableFunctions.register(s)
+      spanDocs(rd(s, dir, "documents"))
+        .createOrReplaceTempView("graft_sql_span_docs")
+      s.sql("""
+        SELECT id AS doc_id, span_start, span_end
+        FROM graft_span_dedup('graft_sql_span_docs', 'doc_id', 'text',
+                              20)
+        ORDER BY doc_id, span_start""")
+    }): Q, Some(s"""
+      WITH fx AS ($spanDocsSql),
+      ${spanSpansSql(20)}
+      SELECT doc_id, span_start, span_end FROM spans
+      ORDER BY doc_id, span_start""")),
+
     // ---- STREAMING exact-dedup against the persisted content-hash
     // index, oracle-checked end to end: a 4-file parquet directory
     // replayed as FOUR micro-batches (maxFilesPerTrigger=1), each
@@ -3086,6 +3136,67 @@ object Queries {
              CAST(max(s) + 20 AS INTEGER) AS span_end
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""")),
+
+    // ---- STREAMING image near-dup against the persisted fingerprint
+    // index, oracle-checked: the re-encoded (+50000) and perturbed
+    // (+60000) copies arrive as ONE micro-batch (the curate_stream
+    // convention) probing the index through
+    // StreamOps.imageDedupStreamAgainstIndex, so the streaming contract
+    // equals the batch FromIndex contract exactly and the
+    // image_dedup_index_pairs oracle applies verbatim. One batch on
+    // purpose: the synthetic low-entropy fingerprints make ~17k
+    // ACCIDENTAL batch-internal pairs at sf0.1 (measured), so a
+    // multi-batch split would change which pairs count as
+    // batch-internal — unlike the span/line/minhash streams above,
+    // whose fixtures prove the batch-internal clause can never fire. ----
+    ("image_stream_pairs", ((s: SparkSession, dir: String) => {
+      val idxPath = imageIndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "imagebatch", 1) {
+        dedupGridBlobsFor(s, dir).filter(col("doc_id") >= 50000)
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.imageDedupStreamAgainstIndex(
+          stream, idxPath, "doc_id", "blob", maxHamming = 8) {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH imgs AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(CASE WHEN pert = 1 AND c < 4
+                    THEN (src*7 + c*11 + 3) % 256
+                    ELSE (src*7 + c*11) % 256 END AS BIGINT) AS lum
+        FROM (SELECT doc_id, src, pert, unnest(range(0, 64)) AS c
+              FROM imgs)),
+      tot AS (SELECT doc_id, SUM(lum) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.lum * 64 > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT CAST(CASE WHEN x >= 50000 THEN x ELSE y END AS BIGINT)
+               AS id_a,
+             CAST(CASE WHEN x >= 50000 THEN y ELSE x END AS BIGINT)
+               AS id_b,
+             CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 AND y >= 50000
+      ORDER BY id_a, id_b""")),
 
     // ---- STREAMING MinHash near-dup against the persisted signature
     // index, oracle-checked: the +20000 near-copy batch of

@@ -123,11 +123,44 @@ object GraftTableFunctions {
       if (es.length > 5) intLit(es(5), "shingle size") else 3))
   }
 
+  /** `graft_line_dedup(view, idCol, textCol, maxDocFreq)` — line-level
+    * boilerplate removal ([[graft.pipeline.LineDedup.dropBoilerplate]]):
+    * per input document, the text with corpus-frequent lines stripped
+    * plus its line accounting, as `(idCol, text, n_lines, n_dropped)`.
+    */
+  private def lineDedupBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 4,
+      "usage: graft_line_dedup(view, idCol, textCol, maxDocFreq)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.LineDedup.dropBoilerplate(
+      spark.table(strLit(es(0), "view name")),
+      strLit(es(1), "id column"), strLit(es(2), "text column"),
+      intLit(es(3), "maxDocFreq")))
+  }
+
+  /** `graft_span_dedup(view, idCol, textCol, windowTokens)` — exact
+    * duplicated-span detection
+    * ([[graft.pipeline.SpanDedup.duplicateSpans]]): one row per merged
+    * duplicated token span as `(id, span_start, span_end)`, keep-first
+    * by corpus (doc, start) order.
+    */
+  private def spanDedupBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 4,
+      "usage: graft_span_dedup(view, idCol, textCol, windowTokens)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.SpanDedup.duplicateSpans(
+      spark.table(strLit(es(0), "view name")),
+      strLit(es(1), "id column"), strLit(es(2), "text column"),
+      intLit(es(3), "windowTokens")))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_curate" -> (curateBuilder _),
     "graft_dedup_exact" -> (dedupExactBuilder _),
-    "graft_contamination" -> (contaminationBuilder _))
+    "graft_contamination" -> (contaminationBuilder _),
+    "graft_line_dedup" -> (lineDedupBuilder _),
+    "graft_span_dedup" -> (spanDedupBuilder _))
 
   /** Register every table function on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -161,6 +161,40 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(cSql == cApi && cSql.nonEmpty)
   }
 
+  test("graft_line_dedup and graft_span_dedup equal the operators") {
+    GraftTableFunctions.register(spark)
+    // multi-line fixture with frequent lines so the boilerplate set is
+    // non-empty, same construction as the oracle queries
+    val lined = docs.select($"doc_id",
+      concat(lit("nav home about\n"),
+        regexp_replace($"text", lit(" value "), lit("\n"))).as("text"))
+    lined.createOrReplaceTempView("gf_lined_docs")
+    val lSql = spark.sql("""
+      SELECT doc_id, text, n_lines, n_dropped
+      FROM graft_line_dedup('gf_lined_docs', 'doc_id', 'text', 10)""")
+      .collect().map(_.toSeq).toSet
+    val lApi = graft.pipeline.LineDedup.dropBoilerplate(lined,
+      "doc_id", "text", maxDocFreq = 10)
+      .select("doc_id", "text", "n_lines", "n_dropped")
+      .collect().map(_.toSeq).toSet
+    assert(lSql == lApi && lSql.nonEmpty)
+    assert(lSql.exists(_(3).asInstanceOf[Long] > 0)) // something dropped
+
+    // plant a verbatim 25-token repeat so span rows exist
+    val spanned = docs.union(docs.filter($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 90000).as("doc_id"), $"text"))
+    spanned.createOrReplaceTempView("gf_span_docs")
+    val sSql = spark.sql("""
+      SELECT id, span_start, span_end
+      FROM graft_span_dedup('gf_span_docs', 'doc_id', 'text', 20)""")
+      .collect().map(_.toSeq).toSet
+    val sApi = graft.pipeline.SpanDedup.duplicateSpans(spanned,
+      "doc_id", "text", windowTokens = 20)
+      .select("id", "span_start", "span_end")
+      .collect().map(_.toSeq).toSet
+    assert(sSql == sApi && sSql.nonEmpty)
+  }
+
   test("graft_curate rejects bad arguments loudly") {
     GraftTableFunctions.register(spark)
     docs.createOrReplaceTempView("gf_curate_docs")
