@@ -690,6 +690,34 @@ object Queries {
         "a.doc_id >= 20000 AND a.doc_id <> b.doc_id " +
           "AND (b.doc_id < 20000 OR a.doc_id < b.doc_id)")
 
+  /** Incremental-Jaccard oracle with the STREAMING fixture's
+    * batch-internal exclusion mirrored: the greater doc of every
+    * batch-internal pair at `threshold` true Jaccard leaves the batch
+    * (the `excl` CTE — same greatest-id rule as the Spark fixture
+    * builder), which makes the remaining batch provably internal-pair
+    * free on any corpus, so the whole-batch oracle is exact under any
+    * micro-batch split.
+    */
+  def incrementalJaccardExclSql(threshold: Double): String = {
+    val jacc = "CAST(len(list_intersect(a.shingles, b.shingles)) AS " +
+      "DOUBLE) / len(list_distinct(list_concat(a.shingles, b.shingles)))"
+    s"""WITH all_docs AS ($docsNearDupsSql), $shingleCteSql,
+      excl AS (SELECT DISTINCT greatest(a.doc_id, b.doc_id) AS doc_id
+               FROM sh a JOIN sh b
+                 ON a.doc_id >= 20000 AND b.doc_id >= 20000
+                AND a.doc_id < b.doc_id
+               WHERE $jacc >= $threshold)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round($jacc, 6) AS jacc
+      FROM sh a JOIN sh b
+        ON a.doc_id >= 20000 AND a.doc_id <> b.doc_id
+       AND (b.doc_id < 20000 OR a.doc_id < b.doc_id)
+       AND a.doc_id NOT IN (SELECT doc_id FROM excl)
+       AND b.doc_id NOT IN (SELECT doc_id FROM excl)
+      WHERE $jacc >= $threshold
+      ORDER BY id_a, id_b"""
+  }
+
   /** PII oracle — generated from the SAME pattern constants as the Spark
     * expressions (TextAnalysis.emailPattern/ipv4Pattern/phonePattern) so
     * the two engines can never drift; the patterns are written to the
@@ -3202,21 +3230,44 @@ object Queries {
     // index, oracle-checked: the +20000 near-copy batch of
     // dedup_index_documents arrives as THREE micro-batches, each
     // probing the index through StreamOps.dedupStreamAgainstIndex.
-    // BATCHING-INDEPENDENT: every emitted pair is batch-vs-corpus
-    // (row-local given the fixed index) — the %20 batch docs descend
-    // from DISTINCT corpus documents, and no two of them reach the
-    // 0.7 Jaccard threshold with each other (verified 0 batch-internal
-    // pairs at sf0.01 AND sf0.1), so the per-micro-batch internal-pair
-    // clause of the streaming contract never fires and the whole-batch
-    // incremental oracle is exact under any split. ----
+    // BATCHING-INDEPENDENT BY CONSTRUCTION: every emitted pair is
+    // batch-vs-corpus (row-local given the fixed index), which is only
+    // oracle-exact if no two batch docs reach the 0.7 threshold with
+    // each other — otherwise pass/fail would depend on which
+    // micro-batch files the pair lands in. The fixture ENFORCES the
+    // property for ANY corpus: the greater doc of every exact-Jaccard
+    // batch-internal pair is excluded (identically in the oracle SQL's
+    // `excl` CTE), after which a surviving internal pair would have
+    // had its greater member excluded — a contradiction. A zero-count
+    // backstop assertion still fails loudly if the argument is ever
+    // broken. (At sf0.001 one internal pair really exists; the old
+    // measured-at-sf0.01 assumption was split-dependent there.) ----
     ("minhash_stream_pairs", ((s: SparkSession, dir: String) => {
       val idxPath = minhashIndexFor(s, dir)
       val inDir = streamInputFor(s, dir, "minhashbatch", 3) {
         val corpus = rd(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        corpus.filter(col("doc_id") % 20 === 0)
+        val batch0 = corpus.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 20000).as("doc_id"),
             concat(col("text"), lit(" zz qq xx")).as("text"))
+        // exact (maxDocFreq=0) so the exclusion set matches the SQL's
+        // true-Jaccard `excl` CTE on any corpus — an LSH miss here
+        // would diverge the two engines
+        val internal = graft.pipeline.Dedup.ngramJaccardPairs(batch0,
+          "doc_id", "text", threshold = 0.7, shingleSize = 3,
+          maxDocFreq = 0)
+        val excluded = internal
+          .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+          .distinct()
+        val batch = batch0.join(excluded, Seq("doc_id"), "left_anti")
+        val remaining = graft.pipeline.Dedup.ngramJaccardPairs(batch,
+          "doc_id", "text", threshold = 0.7, shingleSize = 3,
+          maxDocFreq = 0).count()
+        require(remaining == 0L,
+          s"minhash_stream_pairs fixture kept $remaining batch-internal " +
+            "pairs at 0.7 Jaccard after exclusion; the streaming oracle " +
+            "would be micro-batch-split-dependent")
+        batch
       }
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -3228,7 +3279,7 @@ object Queries {
       }.select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jacc"))
         .orderBy("id_a", "id_b")
-    }): Q, Some(incrementalJaccardSql(0.7))),
+    }): Q, Some(incrementalJaccardExclSql(0.7))),
 
     // ---- STREAMING boilerplate line removal against the persisted
     // line-frequency index, oracle-checked: the multi-line fixture
@@ -3268,7 +3319,160 @@ object Queries {
              CAST(count(*) AS BIGINT) AS n_lines,
              CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dropped
-      FROM j GROUP BY doc_id ORDER BY doc_id""")))
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- AS-OF JOIN (backward, inclusive): every click joined to the
+    // user's latest purchase at-or-before it. Plan: tagged union + ONE
+    // exchange on user_id + a running last() window — candidate pairs
+    // never materialize (the naive range formulation would BNLJ). The
+    // right side is made unique per (user_id, ts) CONSTRUCTIVELY (max
+    // event_id wins, identically in both engines), so neither the
+    // operator's struct tie-break nor DuckDB's ASOF tie choice is ever
+    // exercised — determinism by construction, not by fixture luck. ----
+    ("asof_join_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(struct(col("event_id").as("p_id"),
+          col("value").as("p_value"))).as("m"))
+        .select(col("user_id"), col("p_ts"), col("m.p_id").as("p_id"),
+          col("m.p_value").as("p_value"))
+      graft.pipeline.Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+          "c_ts", "p_ts")
+        // timestamps leave as epoch micros: the gate compares string
+        // renderings and tz-aware vs naive timestamp text would diverge
+        .select(col("c_id"), col("user_id"),
+          unix_micros(col("c_ts").cast("timestamp")).as("c_us"), col("p_id"),
+          col("p_value"), unix_micros(col("p_ts").cast("timestamp")).as("p_us"))
+        .orderBy("c_id")
+    }): Q, Some("""
+      WITH p0 AS (SELECT user_id, ts AS p_ts, event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'purchase'),
+      p AS (SELECT user_id, p_ts, event_id AS p_id, value AS p_value
+            FROM p0 WHERE rn = 1),
+      c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+            FROM events WHERE event_type = 'click')
+      SELECT c.c_id, c.user_id, epoch_us(c.c_ts) AS c_us, p.p_id,
+             p.p_value, epoch_us(p.p_ts) AS p_us
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.c_ts >= p.p_ts
+      ORDER BY c_id""")),
+
+    // ---- RANGE JOIN via derived bin keys: clicks inside the 24-hour
+    // attribution window after each purchase by the same user. The
+    // equi-join key becomes (user_id, 24h-bin); each interval explodes
+    // onto <= 2 bins and every matching pair meets on exactly one (the
+    // click's), so no distinct pass. The operator measures the widest
+    // interval up front and refuses runaway bin explosion. ----
+    ("range_join_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("w_start"),
+          timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+            lit(86400000000L))
+            .as("w_end"))
+      graft.pipeline.Temporal.pointInIntervalJoin(clicks, windows,
+          Seq("user_id"), "c_ts", "w_start", "w_end",
+          binWidthMicros = 86400000000L)
+        .select(col("c_id"), col("user_id"), col("p_id"))
+        .orderBy("c_id", "p_id")
+    }): Q, Some("""
+      SELECT c.event_id AS c_id, c.user_id, p.event_id AS p_id
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+      ORDER BY c_id, p_id""")),
+
+    // ---- BAND JOIN: click/purchase pairs of the same user within two
+    // hours of each other (either direction). The left side fans out to
+    // its band bin and both neighbors (constant 3x) so any in-band pair
+    // shares exactly one bin; the exact predicate prunes the rest. ----
+    ("band_join_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      graft.pipeline.Temporal.bandJoin(clicks, purchases, Seq("user_id"),
+          "c_ts", "p_ts", bandMicros = 7200000000L)
+        .select(col("c_id"), col("user_id"), col("p_id"))
+        .orderBy("c_id", "p_id")
+    }): Q, Some("""
+      SELECT c.event_id AS c_id, c.user_id, p.event_id AS p_id
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 7200000000
+      ORDER BY c_id, p_id""")),
+
+    // ---- GAP-BASED SESSIONIZATION (6h gap): per-event session labels
+    // from one exchange on user_id + one sorted window pass (boundary
+    // flag prefix-summed over a RANGE frame, so duplicated timestamps
+    // cannot split a label — see Temporal.sessionize). ----
+    ("sessionize_events", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Temporal.sessionize(
+          rd(s, dir, "events").select("event_id", "user_id", "ts"),
+          Seq("user_id"), "ts", gapMicros = 21600000000L)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy("event_id")
+    }): Q, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tl
+                 FROM events),
+      b AS (SELECT event_id, user_id, tl,
+              CASE WHEN lag(tl) OVER (PARTITION BY user_id ORDER BY tl)
+                     IS NULL
+                   OR tl - lag(tl) OVER (PARTITION BY user_id
+                     ORDER BY tl) > 21600000000
+                   THEN 1 ELSE 0 END AS bd
+            FROM e)
+      SELECT event_id, user_id,
+             CAST(SUM(bd) OVER (PARTITION BY user_id ORDER BY tl
+               RANGE UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM b ORDER BY event_id""")),
+
+    // ---- per-session aggregates: after the sessionize window, each
+    // (user, session) is contiguous in its partition, so the map-side
+    // partial agg collapses sessions before the final exchange moves
+    // session-count (not event-count) rows. ----
+    ("session_stats_events", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Temporal.sessionStats(
+          rd(s, dir, "events").select(col("event_id"), col("user_id"),
+            col("ts")),
+          Seq("user_id"), "ts", gapMicros = 21600000000L)
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start").cast("timestamp")).as("start_us"),
+          unix_micros(col("session_end").cast("timestamp")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }): Q, Some("""
+      WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tl
+                 FROM events),
+      b AS (SELECT event_id, user_id, ts, tl,
+              CASE WHEN lag(tl) OVER (PARTITION BY user_id ORDER BY tl)
+                     IS NULL
+                   OR tl - lag(tl) OVER (PARTITION BY user_id
+                     ORDER BY tl) > 21600000000
+                   THEN 1 ELSE 0 END AS bd
+            FROM e),
+      lab AS (SELECT user_id, tl,
+                CAST(SUM(bd) OVER (PARTITION BY user_id ORDER BY tl
+                  RANGE UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM b)
+      SELECT user_id, session_seq, min(tl) AS start_us, max(tl) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM lab GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

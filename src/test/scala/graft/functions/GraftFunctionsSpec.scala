@@ -180,7 +180,8 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(lSql == lApi && lSql.nonEmpty)
     assert(lSql.exists(_(3).asInstanceOf[Long] > 0)) // something dropped
 
-    // plant a verbatim 25-token repeat so span rows exist
+    // duplicate whole documents (%9 docs re-added under +90000 ids) so
+    // 20-token duplicated-span rows exist for the window width below
     val spanned = docs.union(docs.filter($"doc_id" % 9 === 0)
       .select(($"doc_id" + 90000).as("doc_id"), $"text"))
     spanned.createOrReplaceTempView("gf_span_docs")
