@@ -174,6 +174,23 @@ object Queries {
       path
     })
 
+  /** Persisted bigram-LM model sidecar (vocab/unigram/bigram parquet
+    * triple + params), same once-per-(session, dir) offline-build
+    * pattern as [[minhashIndexFor]] — `lm_index_documents` then
+    * measures the daily read+score path only.
+    */
+  private val lmIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def lmIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(lmIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("lm", d)
+      graft.pipeline.LanguageModel.writeLm(
+        graft.pipeline.LanguageModel.train(
+          rd(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", vocabSize = 20), path)
+      path
+    })
+
   /** Persisted EXACT content-hash index (distinct md5 → keeper, hash-
     * prefix partitioned, bloom sidecar), same once-per-(session, dir)
     * offline-build pattern as [[minhashIndexFor]].
@@ -717,6 +734,54 @@ object Queries {
       WHERE $jacc >= $threshold
       ORDER BY id_a, id_b"""
   }
+
+  /** Shared CTE chain of the bigram-LM oracles (vocabSize=20, V=21 —
+    * parameter-defined smoothing, mirroring LanguageModel.smoothingV):
+    * positioned tokens → top-20 vocab → `<unk>` mapping → lag bigrams →
+    * unigram/bigram counts. Tokenization matches the vocabulary oracle
+    * (single-space split over the synthetic corpus).
+    */
+  val lmCtesSql: String = """
+      toks0 AS (SELECT doc_id,
+                  unnest(string_split(lower(trim(text)), ' ')) AS tok,
+                  generate_subscripts(
+                    string_split(lower(trim(text)), ' '), 1) AS pos
+                FROM documents),
+      toks AS (SELECT doc_id, pos, tok FROM toks0 WHERE length(tok) > 0),
+      voc AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks
+                               GROUP BY tok ORDER BY n DESC, tok
+                               LIMIT 20)),
+      m AS (SELECT t.doc_id, t.pos,
+              CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS vtok
+            FROM toks t LEFT JOIN voc v ON t.tok = v.tok),
+      big0 AS (SELECT doc_id,
+                 lag(vtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                 vtok AS w2
+               FROM m),
+      big AS (SELECT * FROM big0 WHERE w1 IS NOT NULL),
+      uni AS (SELECT vtok AS w1, CAST(count(*) AS BIGINT) AS cu
+              FROM m GROUP BY vtok),
+      bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+             FROM big GROUP BY w1, w2)"""
+
+  /** Quantized-mean LM score oracle over [[lmCtesSql]]. */
+  val lmScoreSql: String = s"""
+      WITH $lmCtesSql,
+      q AS (SELECT b.doc_id,
+              CAST(floor(1e9 * (CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE)
+                / CAST(u.cu + 21 AS DOUBLE))) AS BIGINT) AS qp
+            FROM big b
+            LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            JOIN uni u ON b.w1 = u.w1),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(qp) AS BIGINT) AS sq
+              FROM q GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+             CAST(a.sq AS DOUBLE) /
+               (CAST(a.n_bigrams AS DOUBLE) * 1e9) AS lm_score
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
 
   /** PII oracle — generated from the SAME pattern constants as the Spark
     * expressions (TextAnalysis.emailPattern/ipv4Pattern/phonePattern) so
@@ -3472,7 +3537,49 @@ object Queries {
       SELECT user_id, session_seq, min(tl) AS start_us, max(tl) AS end_us,
              CAST(count(*) AS BIGINT) AS n_events
       FROM lab GROUP BY user_id, session_seq
-      ORDER BY user_id, session_seq""")))
+      ORDER BY user_id, session_seq""")),
+
+    // ---- BIGRAM LM QUALITY SCORE (CCNet shape): train an add-one-
+    // smoothed bigram model on the corpus (vocab capped at 20 — the
+    // synthetic corpus has a small vocabulary, so the cap exercises the
+    // <unk> collapse), then score every document. The oracle-gated
+    // score quantizes each probability to floor(p*1e9) BEFORE summing,
+    // so the mean is exact integer math wrapped in two deterministic
+    // double ops — bit-reproducible on any partitioning and in DuckDB
+    // (an unquantized double sum would be partition-order-dependent;
+    // the ln form is the non-oracled logProb variant, as with tf-idf).
+    ("lm_score_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = graft.pipeline.LanguageModel.train(docs, "doc_id", "text",
+        vocabSize = 20)
+      graft.pipeline.LanguageModel.score(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }): Q, Some(lmScoreSql)),
+
+    // ---- the same scoring through the PERSISTED model sidecar (the
+    // daily-production shape: train once offline, score every new
+    // batch from the parquet triple) — the model build is the cached
+    // fixture stage, the query measures read + score only. ----
+    ("lm_index_documents", ((s: SparkSession, dir: String) => {
+      val path = lmIndexFor(s, dir)
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = graft.pipeline.LanguageModel.readLm(s, path,
+        expectVocabSize = Some(20))
+      graft.pipeline.LanguageModel.score(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }): Q, Some(lmScoreSql)),
+
+    // ---- the trained model's head: top-50 bigrams by count — the
+    // sanity surface a model consumer inspects first. ----
+    ("lm_top_bigrams_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = graft.pipeline.LanguageModel.train(docs, "doc_id", "text",
+        vocabSize = 20)
+      m.bigrams.orderBy(desc("cb"), col("w1"), col("w2")).limit(50)
+    }): Q, Some(s"""
+      WITH $lmCtesSql
+      SELECT w1, w2, cb FROM bc
+      ORDER BY cb DESC, w1, w2 LIMIT 50""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap
