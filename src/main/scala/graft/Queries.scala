@@ -3428,6 +3428,53 @@ object Queries {
         ON c.user_id = p.user_id AND c.c_ts >= p.p_ts
       ORDER BY c_id""")),
 
+    // ---- STREAMING as-of join: the same clicks arrive as THREE
+    // micro-batches and join per batch against the STATIC deduped
+    // purchase series (StreamOps.asofStreamAgainstStatic). Every match
+    // is row-local given the fixed right side, so the whole-batch
+    // oracle (identical to asof_join_events) is exact under any
+    // micro-batch split — batching independence by construction, no
+    // fixture property needed. ----
+    ("asof_stream_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(struct(col("event_id").as("p_id"),
+          col("value").as("p_value"))).as("m"))
+        .select(col("user_id"), col("p_ts"), col("m.p_id").as("p_id"),
+          col("m.p_value").as("p_value"))
+      val inDir = streamInputFor(s, dir, "asofclicks", 3) {
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            col("ts").as("c_ts"))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.asofStreamAgainstStatic(
+          stream, purchases, Seq("user_id"), "c_ts", "p_ts") {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.select(col("c_id"), col("user_id"),
+          unix_micros(col("c_ts").cast("timestamp")).as("c_us"),
+          col("p_id"), col("p_value"),
+          unix_micros(col("p_ts").cast("timestamp")).as("p_us"))
+        .orderBy("c_id")
+    }): Q, Some("""
+      WITH p0 AS (SELECT user_id, ts AS p_ts, event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'purchase'),
+      p AS (SELECT user_id, p_ts, event_id AS p_id, value AS p_value
+            FROM p0 WHERE rn = 1),
+      c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+            FROM events WHERE event_type = 'click')
+      SELECT c.c_id, c.user_id, epoch_us(c.c_ts) AS c_us, p.p_id,
+             p.p_value, epoch_us(p.p_ts) AS p_us
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.c_ts >= p.p_ts
+      ORDER BY c_id""")),
+
     // ---- RANGE JOIN via derived bin keys: clicks inside the 24-hour
     // attribution window after each purchase by the same user. The
     // equi-join key becomes (user_id, 24h-bin); each interval explodes
@@ -3568,6 +3615,46 @@ object Queries {
       graft.pipeline.LanguageModel.score(docs, "doc_id", "text", m)
         .orderBy("doc_id")
     }): Q, Some(lmScoreSql)),
+
+    // ---- the as-of join reached ENTIRELY through spark.sql
+    // (graft_asof_join table function): same operator plan and oracle
+    // as asof_join_events, spliced in place of the FROM reference —
+    // SQL reach for the temporal family. ----
+    ("sql_asof_join_events", ((s: SparkSession, dir: String) => {
+      graft.functions.GraftTableFunctions.register(s)
+      val ev = rd(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .createOrReplaceTempView("graft_sql_clicks")
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(struct(col("event_id").as("p_id"),
+          col("value").as("p_value"))).as("m"))
+        .select(col("user_id"), col("p_ts"), col("m.p_id").as("p_id"),
+          col("m.p_value").as("p_value"))
+        .createOrReplaceTempView("graft_sql_purchases")
+      s.sql("""
+        SELECT c_id, user_id,
+               unix_micros(CAST(c_ts AS TIMESTAMP)) AS c_us, p_id,
+               p_value, unix_micros(CAST(p_ts AS TIMESTAMP)) AS p_us
+        FROM graft_asof_join('graft_sql_clicks', 'graft_sql_purchases',
+                             'user_id', 'c_ts', 'p_ts')
+        ORDER BY c_id""")
+    }): Q, Some("""
+      WITH p0 AS (SELECT user_id, ts AS p_ts, event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'purchase'),
+      p AS (SELECT user_id, p_ts, event_id AS p_id, value AS p_value
+            FROM p0 WHERE rn = 1),
+      c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+            FROM events WHERE event_type = 'click')
+      SELECT c.c_id, c.user_id, epoch_us(c.c_ts) AS c_us, p.p_id,
+             p.p_value, epoch_us(p.p_ts) AS p_us
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.c_ts >= p.p_ts
+      ORDER BY c_id""")),
 
     // ---- the trained model's head: top-50 bigrams by count — the
     // sanity surface a model consumer inspects first. ----

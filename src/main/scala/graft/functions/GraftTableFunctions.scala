@@ -154,13 +154,111 @@ object GraftTableFunctions {
       intLit(es(3), "windowTokens")))
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
+      n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** `graft_sessionize(view, keyCol, tsCol, gapMicros)` — gap-based
+    * session labels ([[graft.pipeline.Temporal.sessionize]]): every
+    * input row plus its 1-based `session_seq` within the key.
+    */
+  private def sessionizeBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 4,
+      "usage: graft_sessionize(view, keyCol, tsCol, gapMicros)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Temporal.sessionize(
+      spark.table(strLit(es(0), "view name")),
+      Seq(strLit(es(1), "key column")), strLit(es(2), "ts column"),
+      longLit(es(3), "gapMicros")))
+  }
+
+  /** `graft_session_stats(view, keyCol, tsCol, gapMicros)` — per-
+    * session aggregates ([[graft.pipeline.Temporal.sessionStats]]) as
+    * `(keyCol, session_seq, session_start, session_end, n_events)`.
+    */
+  private def sessionStatsBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 4,
+      "usage: graft_session_stats(view, keyCol, tsCol, gapMicros)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Temporal.sessionStats(
+      spark.table(strLit(es(0), "view name")),
+      Seq(strLit(es(1), "key column")), strLit(es(2), "ts column"),
+      longLit(es(3), "gapMicros")))
+  }
+
+  /** `graft_asof_join(leftView, rightView, keyCol, leftTs, rightTs[,
+    * direction])` — the as-of join
+    * ([[graft.pipeline.Temporal.asofJoin]]): every left row with the
+    * latest at-or-before (backward, default), earliest at-or-after
+    * (forward), or closest (nearest) right row per key.
+    */
+  private def asofJoinBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 5 || es.length == 6,
+      "usage: graft_asof_join(leftView, rightView, keyCol, leftTs, " +
+        "rightTs[, direction])")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Temporal.asofJoin(
+      spark.table(strLit(es(0), "left view")),
+      spark.table(strLit(es(1), "right view")),
+      Seq(strLit(es(2), "key column")), strLit(es(3), "left ts column"),
+      strLit(es(4), "right ts column"),
+      if (es.length > 5) strLit(es(5), "direction") else "backward"))
+  }
+
+  /** `graft_band_join(leftView, rightView, keyCol, leftTs, rightTs,
+    * bandMicros)` — pairs within a time band
+    * ([[graft.pipeline.Temporal.bandJoin]]). The interval form
+    * (`pointInIntervalJoin`) stays DataFrame-API-only: it measures the
+    * widest interval (a job) while building its plan, which a table
+    * function must not do during analysis.
+    */
+  private def bandJoinBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 6,
+      "usage: graft_band_join(leftView, rightView, keyCol, leftTs, " +
+        "rightTs, bandMicros)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Temporal.bandJoin(
+      spark.table(strLit(es(0), "left view")),
+      spark.table(strLit(es(1), "right view")),
+      Seq(strLit(es(2), "key column")), strLit(es(3), "left ts column"),
+      strLit(es(4), "right ts column"), longLit(es(5), "bandMicros")))
+  }
+
+  /** `graft_lm_score(view, idCol, textCol[, vocabSize])` — bigram-LM
+    * quality scores self-trained on the view
+    * ([[graft.pipeline.LanguageModel]]), as
+    * `(doc_id, n_bigrams, lm_score)`. Training is itself declarative
+    * (two aggregations), so the whole train+score composition splices
+    * as one plan.
+    */
+  private def lmScoreBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3 || es.length == 4,
+      "usage: graft_lm_score(view, idCol, textCol[, vocabSize])")
+    val spark = SparkSession.active
+    val df = spark.table(strLit(es(0), "view name"))
+    val idCol = strLit(es(1), "id column")
+    val textCol = strLit(es(2), "text column")
+    val vocab = if (es.length > 3) intLit(es(3), "vocabSize") else 10000
+    val m = graft.pipeline.LanguageModel.train(df, idCol, textCol, vocab)
+    graftshim.logicalPlan(
+      graft.pipeline.LanguageModel.score(df, idCol, textCol, m))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_curate" -> (curateBuilder _),
     "graft_dedup_exact" -> (dedupExactBuilder _),
     "graft_contamination" -> (contaminationBuilder _),
     "graft_line_dedup" -> (lineDedupBuilder _),
-    "graft_span_dedup" -> (spanDedupBuilder _))
+    "graft_span_dedup" -> (spanDedupBuilder _),
+    "graft_sessionize" -> (sessionizeBuilder _),
+    "graft_session_stats" -> (sessionStatsBuilder _),
+    "graft_asof_join" -> (asofJoinBuilder _),
+    "graft_band_join" -> (bandJoinBuilder _),
+    "graft_lm_score" -> (lmScoreBuilder _))
 
   /** Register every table function on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -256,6 +256,45 @@ object StreamOps {
         idCol, textCol, benchTextCol, shingleSize)
     }
 
+  /** Per micro-batch AS-OF join against a STATIC right side (the
+    * reference series — quotes, sensor calibrations, exchange rates —
+    * loaded once): each batch's left rows take the latest at-or-before
+    * (or forward/nearest) right row per key via
+    * [[graft.pipeline.Temporal.asofJoin]]. Every match is row-local
+    * given the fixed right frame, so the accumulated result is
+    * independent of micro-batch placement BY CONSTRUCTION — the
+    * one-shot batch join over the union is the exact contract.
+    */
+  def asofStreamAgainstStatic(stream: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTsCol: String, rightTsCol: String,
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      graft.pipeline.Temporal.asofJoin(batch, right, keys, leftTsCol,
+        rightTsCol, direction, toleranceMicros)
+    }
+
+  /** Native gap-session aggregation over an event-time stream:
+    * watermark + `session_window` + count, Spark's built-in streaming
+    * session support (state closes `delay` after a session's last
+    * event). NOTE the boundary convention differs from
+    * [[graft.pipeline.Temporal.sessionize]] by one tick: the batch
+    * operator merges rows with `diff <= gap`, `session_window` merges
+    * `diff < gap` — identical for every non-exact-boundary gap.
+    */
+  def sessionWindowStats(stream: DataFrame, keyCol: String,
+      tsCol: String, gap: String = "30 minutes",
+      delay: String = "2 minutes"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Per-key running session state via flatMapGroupsWithState: emits one
     * update row per input batch per key (running count + sum). The custom
     * state shape the reference's per-record pipeline would need when moved

@@ -196,6 +196,72 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(sSql == sApi && sSql.nonEmpty)
   }
 
+  test("temporal and LM table functions equal the operators") {
+    GraftTableFunctions.register(spark)
+    val ev = Seq(
+      ("u1", 100L, 1L, "c"), ("u1", 200L, 2L, "p"), ("u1", 250L, 3L, "c"),
+      ("u2", 10L, 4L, "p"), ("u2", 900L, 5L, "c")
+    ).toDF("user", "ts", "eid", "kind")
+    ev.createOrReplaceTempView("gf_events")
+    ev.filter($"kind" === "c").select($"user", $"ts".as("c_ts"),
+      $"eid".as("c_id")).createOrReplaceTempView("gf_clicks")
+    ev.filter($"kind" === "p").select($"user", $"ts".as("p_ts"),
+      $"eid".as("p_id")).createOrReplaceTempView("gf_purchases")
+
+    val sesSql = spark.sql("""
+      SELECT eid, session_seq
+      FROM graft_sessionize('gf_events', 'user', 'ts', 100)""")
+      .collect().map(_.toSeq).toSet
+    val sesApi = graft.pipeline.Temporal.sessionize(ev, Seq("user"),
+        "ts", 100L).select("eid", "session_seq")
+      .collect().map(_.toSeq).toSet
+    assert(sesSql == sesApi && sesSql.nonEmpty)
+
+    val stSql = spark.sql("""
+      SELECT user, session_seq, session_start, session_end, n_events
+      FROM graft_session_stats('gf_events', 'user', 'ts', 100)""")
+      .collect().map(_.toSeq).toSet
+    val stApi = graft.pipeline.Temporal.sessionStats(ev, Seq("user"),
+        "ts", 100L)
+      .select("user", "session_seq", "session_start", "session_end",
+        "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(stSql == stApi && stSql.nonEmpty)
+
+    val asofSql = spark.sql("""
+      SELECT c_id, p_id
+      FROM graft_asof_join('gf_clicks', 'gf_purchases', 'user',
+                           'c_ts', 'p_ts')""")
+      .collect().map(_.toSeq).toSet
+    val asofApi = graft.pipeline.Temporal.asofJoin(
+        spark.table("gf_clicks"), spark.table("gf_purchases"),
+        Seq("user"), "c_ts", "p_ts")
+      .select("c_id", "p_id").collect().map(_.toSeq).toSet
+    assert(asofSql == asofApi && asofSql.nonEmpty)
+
+    val bandSql = spark.sql("""
+      SELECT c_id, p_id
+      FROM graft_band_join('gf_clicks', 'gf_purchases', 'user',
+                           'c_ts', 'p_ts', 60)""")
+      .collect().map(_.toSeq).toSet
+    val bandApi = graft.pipeline.Temporal.bandJoin(
+        spark.table("gf_clicks"), spark.table("gf_purchases"),
+        Seq("user"), "c_ts", "p_ts", 60L)
+      .select("c_id", "p_id").collect().map(_.toSeq).toSet
+    assert(bandSql == bandApi && bandSql.nonEmpty)
+
+    docs.createOrReplaceTempView("gf_lm_docs")
+    val lmSql = spark.sql("""
+      SELECT doc_id, n_bigrams, lm_score
+      FROM graft_lm_score('gf_lm_docs', 'doc_id', 'text', 20)""")
+      .collect().map(_.toSeq).toSet
+    val m = graft.pipeline.LanguageModel.train(docs, "doc_id", "text",
+      vocabSize = 20)
+    val lmApi = graft.pipeline.LanguageModel.score(docs, "doc_id",
+        "text", m).collect().map(_.toSeq).toSet
+    assert(lmSql == lmApi && lmSql.nonEmpty)
+  }
+
   test("graft_curate rejects bad arguments loudly") {
     GraftTableFunctions.register(spark)
     docs.createOrReplaceTempView("gf_curate_docs")

@@ -468,4 +468,74 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     // the clean doc never appears
     assert(!got(0L).exists(_._1 == 2L))
   }
+
+  test("micro-batch as-of join against a static right = batch join") {
+    import graft.pipeline.Temporal
+    val quotes = Seq(("A", 90L, 1.0), ("A", 200L, 2.0), ("B", 60L, 9.0))
+      .toDF("sym", "q_ts", "px")
+    val w1 = Seq(("A", 100L, 1L), ("B", 50L, 2L))
+    val w2 = Seq(("A", 205L, 3L), ("A", 95L, 4L)) // 95 < wave-1's 100:
+    // out-of-order arrival across batches must not matter (row-local)
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Double])]
+    val q = StreamOps.asofStreamAgainstStatic(
+        input.toDF().toDF("sym", "t_ts", "trade_id"), quotes,
+        Seq("sym"), "t_ts", "q_ts") { (res, _) =>
+      found ++= res.select("trade_id", "px").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      ()
+    }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    val oneShot = Temporal.asofJoin(
+        (w1 ++ w2).toDF("sym", "t_ts", "trade_id"), quotes,
+        Seq("sym"), "t_ts", "q_ts")
+      .select("trade_id", "px").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(found.toSet == oneShot)
+    assert(found.size == 4) // left join: every trade kept exactly once
+  }
+
+  test("sessionWindowStats: batch parity with sessionStats, stream closes sessions") {
+    import graft.pipeline.Temporal
+    // gaps strictly off the 10s boundary — the one tick where
+    // session_window (diff < gap) and sessionize (diff <= gap) differ
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(30)), (2L, ts(7)))
+      .toDF("user_id", "ts")
+    val native = StreamOps.sessionWindowStats(ev, "user_id", "ts",
+        gap = "10 seconds")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2))).toSet
+    val labeled = Temporal.sessionStats(ev, Seq("user_id"), "ts",
+        gapMicros = 10000000L)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2))).toSet
+    assert(native == labeled &&
+      native == Set((1L, 0L, 2L), (1L, 30L, 1L), (2L, 7L, 1L)))
+
+    // streaming: sessions close once the watermark passes last+gap —
+    // a far-future sentinel on another key advances it
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val stream = StreamOps.sessionWindowStats(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = "10 seconds", delay = "1 second")
+    val q = stream.writeStream.format("memory").queryName("swstats")
+      .outputMode("append").start()
+    input.addData(Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(7))))
+    q.processAllAvailable()
+    input.addData(Seq((99L, ts(10000)))) // watermark → 9999s-1s
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("swstats")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(closed == Set((1L, 2L), (2L, 1L)), closed.toString)
+  }
 }
