@@ -741,16 +741,21 @@ object Queries {
     * unigram/bigram counts. Tokenization matches the vocabulary oracle
     * (single-space split over the synthetic corpus).
     */
-  val lmCtesSql: String = """
+  val lmCtesSql: String = lmCtesSqlFor("documents", 20)
+
+  /** [[lmCtesSql]] parametrized over the source CTE/table and the
+    * vocabulary cap (the curation oracle trains on its own `base`).
+    */
+  def lmCtesSqlFor(src: String, vocabSize: Int): String = s"""
       toks0 AS (SELECT doc_id,
                   unnest(string_split(lower(trim(text)), ' ')) AS tok,
                   generate_subscripts(
                     string_split(lower(trim(text)), ' '), 1) AS pos
-                FROM documents),
+                FROM $src),
       toks AS (SELECT doc_id, pos, tok FROM toks0 WHERE length(tok) > 0),
       voc AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks
                                GROUP BY tok ORDER BY n DESC, tok
-                               LIMIT 20)),
+                               LIMIT $vocabSize)),
       m AS (SELECT t.doc_id, t.pos,
               CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS vtok
             FROM toks t LEFT JOIN voc v ON t.tok = v.tok),
@@ -1015,7 +1020,8 @@ object Queries {
   def curationOracleSqlFull(keepLang: String, minQuality: Int,
       threshold: Double, transitive: Boolean,
       maxPiiHits: Option[Int], maxTokenRunPct: Option[Int],
-      baseSql: String): String = {
+      baseSql: String, minLmScore: Option[Double] = None,
+      lmVocabSize: Int = 20): String = {
     // single-pass: drop the higher id of each pair; transitive: drop
     // every non-minimum member of each pair-graph component (recursive
     // reachability closure, min reachable id = cluster label)
@@ -1058,17 +1064,42 @@ object Queries {
     val repCase = maxTokenRunPct.map(p =>
       s"WHEN s.mt * 100 > s.ntok * $p THEN 'repetition_filtered' ")
       .getOrElse("")
+    // optional LM stage: the bigram-LM CTEs self-train on `base` (same
+    // corpus the Spark side trains on when no model is supplied); a
+    // NULL score rejects, mirroring Curation's cannot-certify rule
+    val lmCtes = minLmScore.map(_ =>
+      s"""${lmCtesSqlFor("base", lmVocabSize)},
+        lmq AS (SELECT b.doc_id,
+                  CAST(floor(1e9 * (CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE)
+                    / CAST(u.cu + ${lmVocabSize + 1} AS DOUBLE)))
+                    AS BIGINT) AS qp
+                FROM big b
+                LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                JOIN uni u ON b.w1 = u.w1),
+        lmagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                    CAST(sum(qp) AS BIGINT) AS sq
+                  FROM lmq GROUP BY doc_id),
+        lms AS (SELECT doc_id, CAST(sq AS DOUBLE) /
+                  (CAST(nb AS DOUBLE) * 1e9) AS lm
+                FROM lmagg), """).getOrElse("")
+    val lmSel = minLmScore.map(_ => ", lms.lm AS lm").getOrElse("")
+    val lmFrom = minLmScore.map(_ =>
+      " LEFT JOIN lms USING (doc_id)").getOrElse("")
+    val lmCond = minLmScore.map(t =>
+      s" AND lm IS NOT NULL AND lm >= $t").getOrElse("")
+    val lmCase = minLmScore.map(t =>
+      s"WHEN s.lm IS NULL OR s.lm < $t THEN 'lm_filtered' ").getOrElse("")
     s"""WITH ${if (transitive) "RECURSIVE " else ""}base AS ($baseSql),
-      $tmaxCte
+      $tmaxCte $lmCtes
       staged AS (
         SELECT doc_id, text,
                ${langIdSql("text")} AS lang_d,
                ${qualityScoreSql("text")} AS q
-               $piiSel $repSel
-        $stagedFrom),
+               $piiSel $repSel $lmSel
+        $stagedFrom $lmFrom),
       lq AS (SELECT doc_id, text FROM staged
              WHERE lang_d = '$keepLang' AND q >= $minQuality
-               $piiCond $repCond),
+               $piiCond $repCond $lmCond),
       ranked AS (
         SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
           ORDER BY doc_id) AS rn FROM lq),
@@ -1080,7 +1111,7 @@ object Queries {
         SELECT s.doc_id, s.text,
                CASE WHEN s.lang_d <> '$keepLang' THEN 'lang_filtered'
                     WHEN s.q < $minQuality THEN 'quality_filtered'
-                    $piiCase$repCase
+                    $piiCase$repCase$lmCase
                     WHEN r.rn > 1 THEN 'exact_dup'
                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
                     ELSE 'kept' END AS status
@@ -2790,6 +2821,24 @@ object Queries {
         .orderBy("doc_id")
     }): Q, Some(curationOracleSql("en", 40, 0.8))),
 
+    // ---- curation with the OPT-IN bigram-LM quality stage (CCNet
+    // shape): the model self-trains on the curation corpus (vocab 20)
+    // and documents scoring under 0.09 — or unscorable (<2 tokens) —
+    // reject as `lm_filtered` between the cheap filters and exact
+    // dedup. The oracle replays the LM CTEs over the same `base`. ----
+    ("curate_lm_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curation.curate(docsForCuration(s, dir),
+        "doc_id", "text",
+        graft.pipeline.Curation.Config(
+          nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+            maxDocFreq = 0),
+          minLmScore = Some(0.09), lmVocabSize = 20))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSqlFull("en", 40, 0.8, transitive = false,
+      maxPiiHits = None, maxTokenRunPct = None,
+      baseSql = docsCurationSql, minLmScore = Some(0.09),
+      lmVocabSize = 20))),
+
     // ---- curation with TRANSITIVE near-dup removal: the same composed
     // pipeline, near-dup drop set = every non-minimum member of each
     // pair-graph connected component (Clustering.connectedComponents);
@@ -3504,6 +3553,35 @@ object Queries {
        AND c.event_type = 'click' AND p.event_type = 'purchase'
        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
       ORDER BY c_id, p_id""")),
+
+    // ---- INTERVAL-OVERLAP JOIN: 24-hour purchase windows against
+    // 12-hour signup windows of the same user. Both sides explode onto
+    // their covered bins; a pair meets once per SHARED bin, and the
+    // canonical-bin filter (the bin holding max of the two starts)
+    // keeps exactly one copy — no distinct pass. ----
+    ("interval_join_events", ((s: SparkSession, dir: String) => {
+      val ev = rd(s, dir, "events")
+      def win(kind: String, idAs: String, micros: Long, s0: String,
+          e0: String) =
+        ev.filter(col("event_type") === kind)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts").as(s0),
+            timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+              lit(micros)).as(e0))
+      val p = win("purchase", "p_id", 86400000000L, "p_s", "p_e")
+      val g = win("signup", "s_id", 43200000000L, "s_s", "s_e")
+      graft.pipeline.Temporal.intervalOverlapJoin(p, g, Seq("user_id"),
+          "p_s", "p_e", "s_s", "s_e", binWidthMicros = 86400000000L)
+        .select(col("p_id"), col("user_id"), col("s_id"))
+        .orderBy("p_id", "s_id")
+    }): Q, Some("""
+      SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id
+      FROM events p JOIN events s
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase' AND s.event_type = 'signup'
+       AND epoch_us(p.ts) <= epoch_us(s.ts) + 43200000000
+       AND epoch_us(s.ts) <= epoch_us(p.ts) + 86400000000
+      ORDER BY p_id, s_id""")),
 
     // ---- BAND JOIN: click/purchase pairs of the same user within two
     // hours of each other (either direction). The left side fans out to

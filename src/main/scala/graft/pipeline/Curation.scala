@@ -30,6 +30,7 @@ object Curation {
   val QualityFiltered = "quality_filtered"
   val PiiFiltered = "pii_filtered"
   val RepetitionFiltered = "repetition_filtered"
+  val LmFiltered = "lm_filtered"
   val ExactDup = "exact_dup"
   val NearDup = "near_dup"
   val Kept = "kept"
@@ -69,8 +70,9 @@ object Curation {
     * most frequent token exceeds this percent of all tokens; 100 = stage
     * off — integer percent so the comparison is exact integer math in
     * both engines) insert two more filter stages between quality and
-    * exact dedup: language → quality → pii → repetition → exact →
-    * near-dup → split.
+    * exact dedup, and `minLmScore` (with `lmModel`/`lmVocabSize`) an
+    * optional bigram-LM reference-likeness stage after them: language
+    * → quality → pii → repetition → lm → exact → near-dup → split.
     */
   final case class Config(
       keepLangs: Seq[String] = Seq("en"),
@@ -81,6 +83,9 @@ object Curation {
       transitiveNearDup: Boolean = false,
       maxPiiHits: Int = Int.MaxValue,
       maxTokenRunPct: Int = 100,
+      minLmScore: Option[Double] = None,
+      lmVocabSize: Int = 10000,
+      lmModel: Option[LanguageModel.BigramLm] = None,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
@@ -136,15 +141,34 @@ object Curation {
       if (cfg.maxTokenRunPct >= 100) lit(true)
       else TextAnalysis.maxTokenCount(col("text")) * 100 <=
         TextAnalysis.tokenCount(col("text")) * cfg.maxTokenRunPct
-    val staged = TextAnalysis.withLangId(base, "text", as = "_lang")
+    val staged0 = TextAnalysis.withLangId(base, "text", as = "_lang")
       .withColumn("_lang_ok", col("_lang").isin(cfg.keepLangs: _*))
       .withColumn("_q_ok",
         TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
       .withColumn("_pii_ok", piiOk)
       .withColumn("_rep_ok", repOk)
       .drop("_lang")
+    // optional LM-quality stage (CCNet shape): reference-likeness by
+    // bigram-LM score, joined per id — the one filter that is not a
+    // pure Column predicate. The model is caller-supplied (production:
+    // trained offline on a REFERENCE corpus) or self-trained on the
+    // input; a NULL score (fewer than two tokens) REJECTS — a document
+    // the model cannot certify is not certified.
+    val staged = cfg.minLmScore match {
+      case Some(thr) =>
+        val model = cfg.lmModel.getOrElse(LanguageModel.train(
+          base, "id", "text", cfg.lmVocabSize, sc))
+        val scores = LanguageModel.score(base, "id", "text", model,
+            scope = sc)
+          .select(col("doc_id").as("id"), col("lm_score"))
+        staged0.join(scores, Seq("id"), "left")
+          .withColumn("_lm_ok",
+            col("lm_score").isNotNull && col("lm_score") >= thr)
+          .drop("lm_score")
+      case None => staged0.withColumn("_lm_ok", lit(true))
+    }
     val filtersOk = col("_lang_ok") && col("_q_ok") &&
-      col("_pii_ok") && col("_rep_ok")
+      col("_pii_ok") && col("_rep_ok") && col("_lm_ok")
     // exact-dedup rank among filter survivors only; rejected rows get a
     // unique synthetic key (rank 1 in a singleton window partition — no
     // all-rejects-in-one-partition skew, and their rank is never read)
@@ -183,6 +207,7 @@ object Curation {
       .when(!col("_q_ok"), lit(QualityFiltered))
       .when(!col("_pii_ok"), lit(PiiFiltered))
       .when(!col("_rep_ok"), lit(RepetitionFiltered))
+      .when(!col("_lm_ok"), lit(LmFiltered))
       .when(col("_rn") > 1, lit(ExactDup))
       .when(col("_near_dup"), lit(NearDup))
       .otherwise(lit(Kept))

@@ -253,6 +253,48 @@ object Temporal {
     ((cl - pmod(cl, lit(w))) / lit(w)).cast(LongType)
   }
 
+  /** Interval-overlap join: every pair with equal keys whose intervals
+    * intersect (`s1 <= e2 AND s2 <= e1`, inclusive). Both sides explode
+    * onto their covered bins; a candidate pair then appears once per
+    * SHARED bin, so instead of a distinct pass the join keeps only the
+    * canonical bin — the one containing `max(s1, s2)`, which every
+    * overlapping pair shares exactly once (the overlap starts there).
+    * The same widest-interval refusal as [[pointInIntervalJoin]]
+    * guards both sides' explosion.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftStartCol: String, leftEndCol: String,
+      rightStartCol: String, rightEndCol: String, binWidthMicros: Long,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    requireDisjoint(left, right, keys)
+    require(binWidthMicros > 0, "binWidthMicros must be > 0")
+    val ls = tsLong(col(leftStartCol), fieldType(left, leftStartCol))
+    val le = tsLong(col(leftEndCol), fieldType(left, leftEndCol))
+    val rs = tsLong(col(rightStartCol), fieldType(right, rightStartCol))
+    val re = tsLong(col(rightEndCol), fieldType(right, rightEndCol))
+    Seq(("left", left, le - ls), ("right", right, re - rs))
+      .foreach { case (side, df, span) =>
+        val maxSpan = df.agg(max(span)).head()
+        if (!maxSpan.isNullAt(0)) {
+          val worstBins = maxSpan.getLong(0) / binWidthMicros + 2
+          require(worstBins <= maxBinsPerInterval,
+            s"widest $side interval spans ~$worstBins bins of " +
+              s"$binWidthMicros (cap $maxBinsPerInterval) — raise " +
+              "binWidthMicros or split the intervals")
+        }
+      }
+    val l = left.withColumn("_graft_bin",
+      explode(sequence(floorDiv(ls, binWidthMicros),
+        floorDiv(le, binWidthMicros))))
+    val r = right.withColumn("_graft_bin",
+      explode(sequence(floorDiv(rs, binWidthMicros),
+        floorDiv(re, binWidthMicros))))
+    l.join(r, keys :+ "_graft_bin")
+      .filter(ls <= re && rs <= le &&
+        col("_graft_bin") === floorDiv(greatest(ls, rs), binWidthMicros))
+      .drop("_graft_bin")
+  }
+
   /** Band join: every pair with equal keys and `|l - r| <= band` in the
     * time-long space. The right side keeps its single bin of width
     * `band`; each LEFT row fans out to its bin and both neighbors

@@ -172,6 +172,38 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       off(3L) != Curation.RepetitionFiltered)
   }
 
+  test("LM stage sits between cheap filters and dedup; null score rejects") {
+    // model trained on a reference corpus the junk doc diverges from
+    val ref = docs.limit(50)
+    val model = LanguageModel.train(ref, "doc_id", "text", vocabSize = 20)
+    // the %10 exact copies must still label exact_dup (LM passes them
+    // like their originals), and an earlier-stage reject must KEEP its
+    // earlier label: the one-token doc is unscorable (null LM score)
+    // but the language stage already rejected it — stage order wins
+    val withJunk = fixture
+      .union(Seq((90001L, "solitary")).toDF("doc_id", "text"))
+    val audit = Curation.curate(withJunk, "doc_id", "text",
+      Curation.Config(nearDup = Curation.NearDupStrategy.Ngram(
+          maxDocFreq = 0),
+        minLmScore = Some(0.01), lmVocabSize = 20,
+        lmModel = Some(model)))
+    val byId = audit.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(90001L) == Curation.LangFiltered) // not lm_filtered
+    assert(byId.values.count(_ == Curation.ExactDup) > 0)
+    assert(byId.values.count(_ == Curation.Kept) > 0)
+    // threshold above every score → everything not rejected earlier is
+    // lm_filtered, and no doc ever reaches exact/near/kept
+    val strict = Curation.curate(withJunk, "doc_id", "text",
+      Curation.Config(nearDup = Curation.NearDupStrategy.Ngram(
+          maxDocFreq = 0),
+        minLmScore = Some(1.1), lmVocabSize = 20, lmModel = Some(model)))
+      .collect().map(_.getString(1)).toSet
+    assert(!strict.contains(Curation.Kept) &&
+      !strict.contains(Curation.ExactDup) &&
+      strict.contains(Curation.LmFiltered))
+  }
+
   test("curate is deterministic across runs") {
     CacheScope.withScope { scope =>
       val a = Curation.curate(fixture, "doc_id", "text", cfg, scope)

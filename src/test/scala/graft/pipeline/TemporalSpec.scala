@@ -142,6 +142,28 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("binWidthMicros"))
   }
 
+  test("interval-overlap join matches the naive overlap join") {
+    val lv = Seq(("A", 0L, 50L, 1L), ("A", 100L, 200L, 2L),
+      ("A", 199L, 210L, 3L), ("B", 5L, 6L, 4L)).toDF(
+      "sym", "l_s", "l_e", "l_id")
+    val rv = Seq(("A", 40L, 120L, 10L), ("A", 210L, 300L, 11L),
+      ("A", 0L, 1000L, 12L), ("B", 7L, 8L, 13L)).toDF(
+      "sym", "r_s", "r_e", "r_id")
+    val naive = lv.join(rv, Seq("sym"))
+      .filter($"l_s" <= $"r_e" && $"r_s" <= $"l_e")
+      .select("l_id", "r_id").collect().toSet
+    for (w <- Seq(1L, 16L, 500L, 5000L)) {
+      val got = Temporal.intervalOverlapJoin(lv, rv, Seq("sym"),
+          "l_s", "l_e", "r_s", "r_e", binWidthMicros = w)
+        .select("l_id", "r_id").collect().toSet
+      assert(got == naive, s"binWidth=$w")
+      // each overlapping pair must appear EXACTLY once (canonical bin)
+      val cnt = Temporal.intervalOverlapJoin(lv, rv, Seq("sym"),
+        "l_s", "l_e", "r_s", "r_e", binWidthMicros = w).count()
+      assert(cnt == naive.size, s"binWidth=$w duplicated pairs")
+    }
+  }
+
   test("band join matches the naive |l-r| <= band join") {
     val naive = trades.join(quotes, Seq("sym"))
       .filter(abs($"t_ts" - $"q_ts") <= 15L)
