@@ -58,6 +58,25 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("temporal joins plan as binned equi-joins, never BNLJ/cartesian") {
+    for (q <- Seq("asof_join_events", "range_join_events",
+        "band_join_events", "interval_join_events",
+        "sessionize_events", "session_stats_events",
+        "lm_score_documents")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+    // the as-of join's union trick shuffles ONCE on the key — if a
+    // second hash exchange over the unioned frame ever appears, the
+    // single-pass design regressed
+    val asof = executed("asof_join_events")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(asof.replace("\n", " ")).length
+    assert(exchanges <= 2, s"asof grew exchanges:\n$asof")
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("curate_documents: rejected rows never reach the dedup shuffles") {
     // the lang/quality predicates must sit BELOW the exact-dedup window
     // (filter pushed under the rank computation is impossible — the rank
