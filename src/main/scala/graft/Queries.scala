@@ -191,6 +191,52 @@ object Queries {
       path
     })
 
+  /** Compacted copy of the orders table: the fixture fragments orders
+    * into 64 small parquet files and runs [[graft.sinks.Compaction
+    * .compact]] over them ONCE per (session, dir) — the query then
+    * reads the compacted directory, so the oracle hash proves the
+    * rewrite was content-identical.
+    */
+  private val compactedOrdersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def compactedOrdersFor(s: SparkSession, dir: String): String =
+    sweepStopped(compactedOrdersCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val path = indexTmpPath("compact_orders", d) + "/orders"
+        rd(s, d, "orders").repartition(64).write.mode("overwrite")
+          .parquet(path)
+        val p = graft.sinks.Compaction.compact(s, path,
+          targetBytes = 8L * 1024 * 1024)
+        require(p.worthwhile, s"fixture not fragmented enough: $p")
+        path
+    })
+
+  /** Bucketed orders/customer tables (8 buckets on the customer key),
+    * built ONCE per (session, dir) through [[graft.sinks.Bucketing
+    * .writeBucketed]] — the query joins them through the catalog read
+    * path, which is what carries the bucketed layout.
+    */
+  private val bucketedTablesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, String)]()
+  def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
+    sweepStopped(bucketedTablesCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val base = indexTmpPath("bucketed", d)
+        val suffix = math.abs(d.hashCode).toString
+        val (to, tc) = (s"graft_bkt_orders_$suffix",
+          s"graft_bkt_customer_$suffix")
+        graft.sinks.Bucketing.writeBucketed(
+          rd(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          to, s"$base/orders", Seq("o_custkey"), 8)
+        graft.sinks.Bucketing.writeBucketed(
+          rd(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")),
+          tc, s"$base/customer", Seq("o_custkey"), 8)
+        (to, tc)
+    })
+
   /** Persisted EXACT content-hash index (distinct md5 → keeper, hash-
     * prefix partitioned, bloom sidecar), same once-per-(session, dir)
     * offline-build pattern as [[minhashIndexFor]].
@@ -3663,6 +3709,43 @@ object Queries {
              CAST(count(*) AS BIGINT) AS n_events
       FROM lab GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""")),
+
+    // ---- PARQUET COMPACTION round-trip: the fixture fragments orders
+    // into 64 small files and compacts them (refusal-guarded staging
+    // rewrite, Hadoop FS API); the query reads the compacted directory
+    // — the oracle hash against the ORIGINAL table proves the rewrite
+    // was content-identical. ----
+    ("compact_roundtrip_orders", ((s: SparkSession, dir: String) => {
+      val path = compactedOrdersFor(s, dir)
+      s.read.parquet(path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- BUCKETED co-located join: orders and customer written ONCE
+    // as 8-bucket tables on the customer key (the write-time shuffle
+    // that every later join amortizes), joined through the catalog
+    // read path — CompactionBucketingSpec pins the exchange-free
+    // sort-merge plan; this row pins the content. ----
+    ("bucketed_join_orders", ((s: SparkSession, dir: String) => {
+      val (to, tc) = bucketedTablesFor(s, dir)
+      graft.sinks.Bucketing.bucketedJoin(s, to, tc, Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }): Q, Some("""
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ---- BIGRAM LM QUALITY SCORE (CCNet shape): train an add-one-
     // smoothed bigram model on the corpus (vocab capped at 20 — the
