@@ -3817,6 +3817,67 @@ object Queries {
         ON c.user_id = p.user_id AND c.c_ts >= p.p_ts
       ORDER BY c_id""")),
 
+    // ---- STREAMING LM scoring against the persisted model sidecar:
+    // the documents arrive as THREE micro-batches, each scored through
+    // StreamOps.lmScoreStreamAgainstModel. Row-local given the fixed
+    // model, so the whole-corpus oracle (identical to
+    // lm_score_documents) is exact under any split. ----
+    ("lm_stream_documents", ((s: SparkSession, dir: String) => {
+      val modelPath = lmIndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "lmdocs", 3) {
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.lmScoreStreamAgainstModel(
+          stream, modelPath, "doc_id", "text") {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.orderBy("doc_id")
+    }): Q, Some(lmScoreSql)),
+
+    // ---- asymmetric CONTAINMENT pairs — the partial-copy detector
+    // Jaccard structurally misses (an excerpt inside a longer doc has
+    // tiny Jaccard, containment ~1). Fixture plants half-length
+    // truncations (+40000, every 15th doc) derived identically in both
+    // engines. ----
+    ("containment_pairs_documents", ((s: SparkSession, dir: String) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val half = greatest(lit(2),
+        (size(split(col("text"), " ")) / 2).cast("int"))
+      val withTrunc = d.union(d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1), half), " ")
+            .as("text")))
+      graft.pipeline.Dedup.containmentPairs(withTrunc, "doc_id", "text",
+          threshold = 0.9, maxDocFreq = 0)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment_a"), 6).as("cont_a"),
+          round(col("containment_b"), 6).as("cont_b"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(s"""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 40000,
+               array_to_string(string_split(text, ' ')[1:greatest(2,
+                 len(string_split(text, ' ')) // 2)], ' ')
+        FROM documents WHERE doc_id % 15 = 0),
+      $shingleCteSql
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles))
+               AS DOUBLE) / len(a.shingles), 6) AS cont_a,
+             round(CAST(len(list_intersect(a.shingles, b.shingles))
+               AS DOUBLE) / len(b.shingles), 6) AS cont_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE greatest(
+              CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(a.shingles),
+              CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(b.shingles)) >= 0.9
+      ORDER BY id_a, id_b""")),
+
     // ---- the trained model's head: top-50 bigrams by count — the
     // sanity surface a model consumer inspects first. ----
     ("lm_top_bigrams_documents", ((s: SparkSession, dir: String) => {

@@ -562,6 +562,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric shingle CONTAINMENT — the partial-copy detector
+    * Jaccard structurally misses: a paragraph quoted inside a much
+    * longer document has tiny Jaccard (union is the long doc) but
+    * containment `C(A,B) = |A∩B| / |A|` near 1. Emits one row per
+    * unordered pair whose LARGER direction reaches `threshold`:
+    * `(id_a, id_b, containment_a, containment_b)` with `id_a < id_b`,
+    * where `containment_a` is how much of A lies inside B and vice
+    * versa.
+    *
+    * Same inverted-index join as [[ngramJaccardPairs]] but WITHOUT the
+    * length block — size-mismatched pairs are exactly the ones this
+    * operator exists for — so the stop-shingle guard (`maxDocFreq`,
+    * opt-out via 0 like the Jaccard family) is the only candidate
+    * bound; keep it on at scale.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleSize: Int = 3,
+      maxDocFreq: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, df.sparkSession)
+    val exploded = shingleIndex(df, idCol, textCol, shingleSize)
+    val bounded =
+      if (maxDocFreq > 0) {
+        val oversized = exploded.groupBy("s").count()
+          .filter(col("count") > maxDocFreq).select("s")
+        exploded.join(broadcast(oversized), Seq("s"), "left_anti")
+      } else exploded
+    val cached = sc.persist(bounded)
+    val l = cached.select(col("s"), col("id").as("id_a"),
+      col("nsh").as("n_a"))
+    val r = cached.select(col("s"), col("id").as("id_b"),
+      col("nsh").as("n_b"))
+    l.join(r, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment_a",
+        col("inter").cast("double") / col("n_a"))
+      .withColumn("containment_b",
+        col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+      .select("id_a", "id_b", "containment_a", "containment_b")
+  }
+
   /** Incremental EXACT n-gram Jaccard — the inverted-index member of the
     * incremental family, with the others' output contract (batch id
     * first, batch-internal once, corpus-internal excluded) but EXACT

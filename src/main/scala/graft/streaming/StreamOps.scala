@@ -277,6 +277,24 @@ object StreamOps {
         rightTsCol, direction, toleranceMicros)
     }
 
+  /** Per micro-batch LM quality scoring against a PERSISTED bigram
+    * model ([[graft.pipeline.LanguageModel.writeLm]] sidecar — the
+    * train-once-score-daily shape): each batch's documents score
+    * row-locally against the fixed model, so the accumulated result is
+    * independent of micro-batch placement by construction.
+    */
+  def lmScoreStreamAgainstModel(stream: DataFrame, modelPath: String,
+      idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      val m = graft.pipeline.LanguageModel.readLm(
+        batch.sparkSession, modelPath)
+      graft.pipeline.LanguageModel.score(batch, idCol, textCol, m,
+        scope = scope)
+    }
+
   /** Native gap-session aggregation over an event-time stream:
     * watermark + `session_window` + count, Spark's built-in streaming
     * session support (state closes `delay` after a session's last

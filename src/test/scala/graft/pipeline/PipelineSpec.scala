@@ -98,6 +98,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.nonEmpty)
   }
 
+  test("containment pairs catch partial copies Jaccard misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      // doc 2 = a 5-token excerpt of doc 1: containment 1.0, Jaccard low
+      (2L, "gamma delta epsilon zeta eta"),
+      (3L, "totally different words entirely here now")).toDF(
+      "doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, maxDocFreq = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    val (ca, cb) = got((1L, 2L))
+    assert(cb == 1.0 && ca < 0.9) // excerpt fully contained; not vice versa
+    // the same pair is invisible to Jaccard at any near-dup threshold
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDocFreq = 0).count()
+    assert(j == 0)
+  }
+
   test("ngram stop-shingle guard is opt-out, not opt-in") {
     // 1100 single-shingle docs sharing ONE ultra-common shingle: the
     // BARE operator's default guard (maxDocFreq=1000) drops it from
