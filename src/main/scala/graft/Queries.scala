@@ -792,7 +792,8 @@ object Queries {
   /** [[lmCtesSql]] parametrized over the source CTE/table and the
     * vocabulary cap (the curation oracle trains on its own `base`).
     */
-  def lmCtesSqlFor(src: String, vocabSize: Int): String = s"""
+  def lmCtesSqlFor(src: String, vocabSize: Int,
+      vocabWhere: String = ""): String = s"""
       toks0 AS (SELECT doc_id,
                   unnest(string_split(lower(trim(text)), ' ')) AS tok,
                   generate_subscripts(
@@ -800,6 +801,7 @@ object Queries {
                 FROM $src),
       toks AS (SELECT doc_id, pos, tok FROM toks0 WHERE length(tok) > 0),
       voc AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks
+                               $vocabWhere
                                GROUP BY tok ORDER BY n DESC, tok
                                LIMIT $vocabSize)),
       m AS (SELECT t.doc_id, t.pos,
@@ -816,8 +818,11 @@ object Queries {
              FROM big GROUP BY w1, w2)"""
 
   /** Quantized-mean LM score oracle over [[lmCtesSql]]. */
-  val lmScoreSql: String = s"""
-      WITH $lmCtesSql,
+  val lmScoreSql: String = lmScoreSqlOver(lmCtesSql)
+
+  /** The score-side SQL (q/agg/final) over any LM CTE chain (V=21). */
+  def lmScoreSqlOver(ctes: String): String = s"""
+      WITH $ctes,
       q AS (SELECT b.doc_id,
               CAST(floor(1e9 * (CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE)
                 / CAST(u.cu + 21 AS DOUBLE))) AS BIGINT) AS qp
@@ -3877,6 +3882,25 @@ object Queries {
               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                 / len(b.shingles)) >= 0.9
       ORDER BY id_a, id_b""")),
+
+    // ---- LM daily-refresh shape: train on the even half (vocab
+    // derives there and stays FIXED), count the odd half under that
+    // vocab (trainWithVocab), merge by count addition, score the whole
+    // corpus. Counts-additivity makes the merged model equal training
+    // once on everything under the even-half vocab — which is exactly
+    // what the oracle computes (voc CTE filtered to doc_id % 2 = 0,
+    // counts over all docs). ----
+    ("lm_merged_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.LanguageModel
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m0 = LanguageModel.train(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", vocabSize = 20)
+      val merged = LanguageModel.merge(m0, LanguageModel.trainWithVocab(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", m0))
+      LanguageModel.score(docs, "doc_id", "text", merged)
+        .orderBy("doc_id")
+    }): Q, Some(lmScoreSqlOver(lmCtesSqlFor("documents", 20,
+      vocabWhere = "WHERE doc_id % 2 = 0")))),
 
     // ---- the trained model's head: top-50 bigrams by count — the
     // sanity surface a model consumer inspects first. ----

@@ -146,6 +146,51 @@ object LanguageModel {
         .select("doc_id", "n_bigrams", "lm_score")
   }
 
+  /** Merge two models trained over the SAME vocabulary by adding their
+    * counts — the daily-refresh shape: train a small model on today's
+    * batch with yesterday's vocabulary (`train` on the batch, then
+    * merge), instead of re-aggregating the whole history. The
+    * vocabulary stays FIXED across merges deliberately: a stable vocab
+    * is what makes daily scores comparable day over day (re-deriving
+    * top-k on the union would silently re-map `<unk>`). Refuses
+    * vocabulary mismatches instead of producing inconsistent counts.
+    * Counts-additivity makes merge equal to training once on the
+    * concatenated corpus under that fixed vocab.
+    */
+  def merge(a: BigramLm, b: BigramLm): BigramLm = {
+    require(a.vocabSize == b.vocabSize,
+      s"vocabSize mismatch: ${a.vocabSize} vs ${b.vocabSize}")
+    val onlyA = a.vocab.join(b.vocab, Seq("tok"), "left_anti").count()
+    val onlyB = b.vocab.join(a.vocab, Seq("tok"), "left_anti").count()
+    require(onlyA == 0 && onlyB == 0,
+      s"vocabularies differ ($onlyA tokens only in left, $onlyB only " +
+        "in right) — merged counts would be inconsistent; retrain with " +
+        "a shared vocab (train the daily batch with trainWithVocab)")
+    BigramLm(a.vocab,
+      a.unigrams.unionByName(b.unigrams).groupBy("w1")
+        .agg(sum(col("cu")).cast(LongType).as("cu")),
+      a.bigrams.unionByName(b.bigrams).groupBy("w1", "w2")
+        .agg(sum(col("cb")).cast(LongType).as("cb")),
+      a.vocabSize)
+  }
+
+  /** Train counts over `df` under a FIXED, caller-supplied vocabulary
+    * (no top-k derivation) — the per-batch half of the daily-refresh
+    * pattern: `merge(yesterday, trainWithVocab(batch, yesterday))`.
+    */
+  def trainWithVocab(df: DataFrame, idCol: String, textCol: String,
+      base: BigramLm,
+      scope: CacheScope = CacheScope.session): BigramLm = {
+    val sc = CacheScope.resolve(scope, df.sparkSession)
+    val mapped = sc.persist(
+      mapToVocab(positionedTokens(df, idCol, textCol), base.vocab))
+    val unigrams = mapped.groupBy(col("vtok").as("w1"))
+      .agg(count(lit(1)).cast(LongType).as("cu"))
+    val bigrams = bigramRows(mapped).groupBy("w1", "w2")
+      .agg(count(lit(1)).cast(LongType).as("cb"))
+    BigramLm(base.vocab, unigrams, bigrams, base.vocabSize)
+  }
+
   /** Persist a trained model as a parquet sidecar triple plus a params
     * file, so daily scoring runs never re-train (the minhash/IVF index
     * discipline: the sidecar is self-describing and reads refuse a

@@ -82,6 +82,42 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) < got(2L), s"perplexity of natural text must be lower: $got")
   }
 
+  test("merge(yesterday, trainWithVocab(batch)) = train once on the union") {
+    val yesterday = Seq((1L, "a b a b"), (2L, "a b c")).toDF(
+      "doc_id", "text")
+    val batch = Seq((3L, "b a b a"), (4L, "c c a")).toDF(
+      "doc_id", "text")
+    val m0 = LanguageModel.train(yesterday, "doc_id", "text",
+      vocabSize = 2)
+    val merged = LanguageModel.merge(m0,
+      LanguageModel.trainWithVocab(batch, "doc_id", "text", m0))
+    // equals one-shot training on the union UNDER THE SAME VOCAB
+    val oneShot = LanguageModel.merge(
+      LanguageModel.trainWithVocab(yesterday.union(batch), "doc_id",
+        "text", m0),
+      LanguageModel.trainWithVocab(spark.emptyDataset[(Long, String)]
+        .toDF("doc_id", "text"), "doc_id", "text", m0))
+    def counts(m: LanguageModel.BigramLm) = (
+      m.unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      m.bigrams.collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSet)
+    assert(counts(merged) == counts(oneShot))
+    // scores through the merged model are well-defined
+    val s = LanguageModel.score(batch, "doc_id", "text", merged)
+      .collect()
+    assert(s.length == 2 && s.forall(!_.isNullAt(2)))
+  }
+
+  test("merge refuses a vocabulary mismatch") {
+    val m1 = LanguageModel.train(docs, "doc_id", "text", vocabSize = 2)
+    val other = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val m2 = LanguageModel.train(other, "doc_id", "text", vocabSize = 2)
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.merge(m1, m2)
+    }
+    assert(e.getMessage.contains("vocabularies differ"))
+  }
+
   test("sidecar round-trip preserves scores; vocabSize mismatch refuses") {
     val m = LanguageModel.train(docs, "doc_id", "text", vocabSize = 2)
     val path = java.nio.file.Files.createTempDirectory("graft_lm_test")
