@@ -247,6 +247,25 @@ object GraftTableFunctions {
       graft.pipeline.LanguageModel.score(df, idCol, textCol, m))
   }
 
+  /** `graft_containment(view, idCol, textCol[, threshold, maxDocFreq])`
+    * — asymmetric partial-copy detection
+    * ([[graft.pipeline.Dedup.containmentPairs]]): unordered pairs whose
+    * larger containment direction reaches `threshold`, as
+    * `(id_a, id_b, containment_a, containment_b)`.
+    */
+  private def containmentBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length >= 3 && es.length <= 5,
+      "usage: graft_containment(view, idCol, textCol[, threshold, " +
+        "maxDocFreq])")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Dedup.containmentPairs(
+      spark.table(strLit(es(0), "view name")),
+      strLit(es(1), "id column"), strLit(es(2), "text column"),
+      if (es.length > 3) numLit(es(3), "threshold") else 0.9,
+      maxDocFreq =
+        if (es.length > 4) intLit(es(4), "maxDocFreq") else 1000))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_curate" -> (curateBuilder _),
@@ -258,7 +277,8 @@ object GraftTableFunctions {
     "graft_session_stats" -> (sessionStatsBuilder _),
     "graft_asof_join" -> (asofJoinBuilder _),
     "graft_band_join" -> (bandJoinBuilder _),
-    "graft_lm_score" -> (lmScoreBuilder _))
+    "graft_lm_score" -> (lmScoreBuilder _),
+    "graft_containment" -> (containmentBuilder _))
 
   /** Register every table function on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -251,6 +251,15 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(bandSql == bandApi && bandSql.nonEmpty)
 
     docs.createOrReplaceTempView("gf_lm_docs")
+    val contSql = spark.sql("""
+      SELECT id_a, id_b, containment_a, containment_b
+      FROM graft_containment('gf_lm_docs', 'doc_id', 'text', 0.9D, 0)""")
+      .collect().map(_.toSeq).toSet
+    val contApi = graft.pipeline.Dedup.containmentPairs(docs, "doc_id",
+        "text", threshold = 0.9, maxDocFreq = 0)
+      .collect().map(_.toSeq).toSet
+    assert(contSql == contApi)
+
     val lmSql = spark.sql("""
       SELECT doc_id, n_bigrams, lm_score
       FROM graft_lm_score('gf_lm_docs', 'doc_id', 'text', 20)""")
