@@ -252,6 +252,43 @@ object Queries {
       path
     })
 
+  /** Exact index + content-closed TOMBSTONES (seeds = `doc_id%13==1`,
+    * closed over shared content via [[Dedup.contentTombstones]]) — the
+    * deletion-without-rebuild fixture: built and tombstoned once per
+    * (session, dir); the query then pays only the daily probe.
+    */
+  private val exactTombIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def exactTombIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(exactTombIndexCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val path = indexTmpPath("exact_tomb", d)
+        val corpus = rd(s, d, "documents").select(col("doc_id"), col("text"))
+        Dedup.writeExactIndex(corpus, "doc_id", "text", path)
+        val closure = Dedup.contentTombstones(corpus, "doc_id", "text",
+          corpus.filter(col("doc_id") % 13 === 1).select("doc_id"))
+        Dedup.writeTombstones(
+          corpus.join(closure.select(col("id").as("doc_id")), "doc_id"),
+          "doc_id", "text", path)
+        path
+    })
+
+  /** Minhash index with id-level tombstones (`doc_id%40==0` deleted),
+    * once per (session, dir) — the near-dup family's deletion path.
+    */
+  private val minhashTombIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def minhashTombIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(minhashTombIndexCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val path = indexTmpPath("minhash_tomb", d)
+        val corpus = rd(s, d, "documents").select(col("doc_id"), col("text"))
+        Dedup.writeMinhashIndex(corpus, "doc_id", "text", path)
+        Dedup.writeTombstones(corpus.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", path)
+        path
+    })
+
   /** Persisted window index over the plain documents table (the span
     * family's offline build), once per (session, dir).
     */
@@ -2387,6 +2424,111 @@ object Queries {
       FROM bh b LEFT JOIN idx i ON b.h = i.h
                 JOIN bmin m ON b.h = m.h
       ORDER BY b.doc_id""")),
+
+    // ---- DELETION WITHOUT REBUILD: the same exact-index probe, after
+    // a content-closed tombstone batch (Dedup.contentTombstones seeds =
+    // doc_id%13==1, closure over shared content) was APPENDED to the
+    // index sidecar — no rebuild. Batch plants the DELETED contents
+    // twice (they must now come back 'new'/'dup_in_batch', not
+    // 'dup_of_corpus') plus surviving contents (still 'dup_of_corpus'
+    // with the ORIGINAL keeper — content-closure is exactly the
+    // condition making stale keepers equal the rebuilt index's). The
+    // oracle replays the probe against the corpus MINUS the deleted
+    // contents — i.e. the rebuilt index — so a green row IS the
+    // tombstone/rebuild parity proof at the gate. ----
+    ("dedup_tombstone_documents", ((s: SparkSession, dir: String) => {
+      val path = exactTombIndexFor(s, dir)
+      val d = rd(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 60000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      Dedup.exactKeepFromIndex(s, path, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH del AS (SELECT DISTINCT md5(text) AS h FROM documents
+                   WHERE doc_id % 13 = 1),
+      batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id % 13 = 1
+        UNION ALL SELECT doc_id + 60000, text FROM documents
+        WHERE doc_id % 13 = 1
+        UNION ALL SELECT doc_id + 30000, text FROM documents
+        WHERE doc_id % 10 = 0),
+      idx AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+              FROM documents
+              WHERE md5(text) NOT IN (SELECT h FROM del) GROUP BY 1),
+      bh AS (SELECT doc_id, md5(text) AS h FROM batch),
+      bmin AS (SELECT h, min(doc_id) AS bkeep FROM bh GROUP BY h)
+      SELECT b.doc_id,
+             CASE WHEN i.h IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN b.doc_id <> m.bkeep THEN 'dup_in_batch'
+                  ELSE 'new' END AS status,
+             CAST(CASE WHEN i.h IS NOT NULL THEN i.keep_id
+                  ELSE m.bkeep END AS BIGINT) AS keep_id
+      FROM bh b LEFT JOIN idx i ON b.h = i.h
+                JOIN bmin m ON b.h = m.h
+      ORDER BY b.doc_id""")),
+
+    // ---- deletion without rebuild, NEAR-DUP family: the minhash index
+    // probe after id-level tombstones (doc_id%40==0 deleted) — deleted
+    // corpus docs must stop pairing with the batch while everything
+    // else is untouched; the oracle recomputes true Jaccard against the
+    // REDUCED corpus (the rebuilt index), so the green row is the
+    // per-doc-family tombstone/rebuild parity proof. ----
+    ("minhash_tombstone_pairs", ((s: SparkSession, dir: String) => {
+      val path = minhashTombIndexFor(s, dir)
+      val corpus = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text"))
+      Dedup.minhashPairsFromIndex(s, path, batch, "doc_id", "text",
+        threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(
+      "WITH all_docs AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 40 <> 0 " +
+        "UNION ALL SELECT doc_id+20000, text || ' zz qq xx' " +
+        "FROM documents WHERE doc_id % 20 = 0), " + shingleCteSql +
+        jaccardSelectSql(0.7,
+          "a.doc_id >= 20000 AND a.doc_id <> b.doc_id " +
+            "AND (b.doc_id < 20000 OR a.doc_id < b.doc_id)"))),
+
+    // ---- corpus snapshot diff (Refresh.snapshotDiff): the day-2 entry
+    // point — classify every id across two full snapshots as added /
+    // removed / changed / unchanged by content hash. Fixture mutates
+    // the documents table three ways (%7==3 dropped, %11==5 revised,
+    // %13==0 re-added under fresh ids); the join carries (id, md5)
+    // pairs only, never text. ----
+    ("snapshot_diff_documents", ((s: SparkSession, dir: String) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .union(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"), col("text")))
+      graft.pipeline.Refresh.snapshotDiff(d, newSnap, "doc_id", "text")
+        .orderBy("id")
+    }): Q, Some("""
+      WITH oldS AS (SELECT doc_id, md5(text) AS old_h FROM documents),
+      newS AS (
+        SELECT doc_id, md5(CASE WHEN doc_id % 11 = 5
+                                THEN text || ' rev2' ELSE text END) AS new_h
+        FROM documents WHERE doc_id % 7 <> 3
+        UNION ALL SELECT doc_id + 70000, md5(text) FROM documents
+        WHERE doc_id % 13 = 0)
+      SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.old_h <> n.new_h THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             o.old_h AS old_h, n.new_h AS new_h
+      FROM oldS o FULL OUTER JOIN newS n ON o.doc_id = n.doc_id
+      ORDER BY id""")),
 
     // ---- incremental SimHash against the PERSISTED fingerprint index
     // (writeSimhashIndex): same contract and oracle as the minhash

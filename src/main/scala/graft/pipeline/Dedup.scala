@@ -136,8 +136,9 @@ object Dedup {
         spark.emptyDataFrame
           .select(lit("").as("h"), lit(0L).as("keep_id")).limit(0)
       else
-        spark.read.parquet(s"$path/hashes")
-          .filter(col("hp").isin(prefixes: _*))
+        dropTombstoned(spark, path,
+            spark.read.parquet(s"$path/hashes")
+              .filter(col("hp").isin(prefixes: _*)), "h")
           .join(positive.select(col("h")).distinct(), "h")
           .select(col("h"), col("keep_id"))
     val bmin = bh.groupBy("h").agg(min("id").as("bkeep"))
@@ -150,6 +151,76 @@ object Dedup {
           .otherwise(lit("new")).as("status"),
         coalesce(col("ckeep"), col("bkeep")).as("keep_id"))
   }
+
+  // -------------------------------------------------------------------
+  // index tombstones — delete-by-content without rebuild
+  // -------------------------------------------------------------------
+
+  /** Deletion CLOSURE of a removal request: every corpus row sharing
+    * content with any seed id, as `(id, h)` rows. Compliance deletions
+    * are content-level — removing one copy of a duplicated text while
+    * its clones survive deletes nothing — so this is the blessed
+    * constructor for [[writeTombstones]]: a content-closed set is
+    * exactly the condition under which tombstoned index reads equal a
+    * rebuild on the reduced corpus for ALL index families (the exact
+    * index is keyed by content hash; a partial deletion of one hash's
+    * copies cannot be represented there).
+    *
+    * Scale: the seed set is request-sized → both joins broadcast; the
+    * corpus is scanned once, map-side.
+    */
+  def contentTombstones(corpus: DataFrame, idCol: String, textCol: String,
+      seedIds: DataFrame): DataFrame = {
+    val ch = corpus.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h"))
+    val seeds = seedIds.select(
+      col(seedIds.columns.head).cast("long").as("id"))
+    val seedH = ch.join(broadcast(seeds), "id").select("h").distinct()
+    ch.join(broadcast(seedH), "h").select("id", "h")
+  }
+
+  /** Append `(id, h)` deletion rows to an index's tombstone sidecar.
+    * Every `*FromIndex` reader of this path then excludes the deleted
+    * rows (ids for the per-doc families, content hashes for the exact
+    * index) — the daily deletion batch costs one small parquet append
+    * instead of an index rebuild. Requests accumulate across calls
+    * (append mode); a rebuild clears them (`overwrite` of the index
+    * root). The exact index's bloom sidecar is NOT rewritten: it may
+    * stay positive for deleted content, which only costs a pruned-join
+    * probe that then finds no live row — false positives were already
+    * in its contract, and it can never go falsely negative.
+    *
+    * Pass a content-closed set (see [[contentTombstones]]) for exact
+    * rebuild parity; `deleted` must carry the doc text (deletion
+    * requests do — the hash is computed here so callers never manage
+    * raw digests).
+    */
+  def writeTombstones(deleted: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    deleted.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("h"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstonedKeys(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select(key).distinct())
+    else None
+  }
+
+  /** Corpus-side index frame minus tombstoned rows: anti-join on `key`,
+    * explicitly broadcast (deletion lists are request-sized, never
+    * corpus-sized). No tombstone sidecar = identity — clean indexes pay
+    * nothing.
+    */
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+      path: String, frame: DataFrame, key: String): DataFrame =
+    tombstonedKeys(spark, path, key) match {
+      case Some(t) => frame.join(broadcast(t), Seq(key), "left_anti")
+      case None => frame
+    }
 
   // -------------------------------------------------------------------
   // shingles + MinHash/LSH
@@ -458,10 +529,12 @@ object Dedup {
       p.getAs[Long]("shingleSize").toInt)
     val bBuckets = minhashBuckets(batch, idCol, textCol, numHashes, bands,
       shingleSize)
-    val cBuckets = spark.read.parquet(s"$path/buckets")
+    val cBuckets = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/buckets"), "id")
     val texts = shingleSets(batch.select(col(idCol), col(textCol)),
         idCol, textCol, shingleSize)
-      .union(spark.read.parquet(s"$path/shingles"))
+      .union(dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/shingles"), "id"))
     incrementalBucketPairs(bBuckets, cBuckets, texts, threshold,
       maxBucketSize, sc)
   }
@@ -654,7 +727,8 @@ object Dedup {
         .getAs[Long]("shingleSize").toInt
     val all0 = shingleIndex(batch, idCol, textCol, shingleSize)
       .withColumn("new", lit(true))
-      .union(spark.read.parquet(s"$path/shingle_index")
+      .union(dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/shingle_index"), "id")
         .withColumn("new", lit(false)))
     ngramIncrementalCore(all0, threshold, maxDocFreq, sc)
   }
@@ -1144,11 +1218,13 @@ object Dedup {
         s"(blocks=${stored("blocks", 4L)}) or rebuild with a larger " +
         "maxBucketSize")
     val sh = simhashDfJ(batch, idCol, textCol).withColumn("new", lit(true))
-      .union(spark.read.parquet(s"$path/fingerprints")
+      .union(dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/fingerprints"), "id")
         .withColumn("new", lit(false)))
     val texts = shingleSets(batch.select(col(idCol), col(textCol)),
         idCol, textCol, shingleSize)
-      .union(spark.read.parquet(s"$path/shingles"))
+      .union(dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/shingles"), "id"))
     simhashIncrementalCore(sh, texts, threshold, b, prefilterHamming,
       cap, pb, verifyRankCap, sc)
   }
@@ -1328,7 +1404,8 @@ object Dedup {
     val all0 = Similarity.hyperplaneBucketsDf(batch, idCol, vecCol,
         p.getAs[Long]("dim").toInt, p.getAs[Long]("nBits").toInt,
         p.getAs[Long]("tables").toInt).withColumn("new", lit(true))
-      .union(spark.read.parquet(s"$path/buckets")
+      .union(dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/buckets"), "id")
         .withColumn("new", lit(false)))
     embeddingIncrementalCore(all0, threshold, maxBucketSize, sc)
   }
