@@ -289,6 +289,34 @@ object Queries {
         path
     })
 
+  /** Refresh fixture: the plain documents table curated ONCE (exact
+    * ngram mode, threshold 0.7) with its audit persisted and
+    * exact/ngram indexes built on the kept set — the offline day-1
+    * state `curate_refresh_documents` then refreshes at delta cost.
+    * Returns (exactIndexPath, ngramIndexPath, auditParquetPath).
+    */
+  private val refreshFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, String, String)]()
+  def refreshFixtureFor(s: SparkSession,
+      dir: String): (String, String, String) =
+    sweepStopped(refreshFixtureCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val base = indexTmpPath("refresh", d)
+        val old = rd(s, d, "documents").select(col("doc_id"), col("text"))
+        graft.pipeline.Curation.curate(old, "doc_id", "text",
+            graft.pipeline.Curation.Config(
+              nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+                maxDocFreq = 0),
+              nearDupThreshold = 0.7))
+          .write.mode("overwrite").parquet(s"$base/old_audit")
+        val kept = old.join(s.read.parquet(s"$base/old_audit")
+          .filter(col("status") === "kept").select("doc_id"), "doc_id")
+        Dedup.writeExactIndex(kept, "doc_id", "text", s"$base/exact")
+        Dedup.writeNgramIndex(kept, "doc_id", "text", s"$base/ngram")
+        (s"$base/exact", s"$base/ngram", s"$base/old_audit")
+    })
+
   /** Persisted window index over the plain documents table (the span
     * family's offline build), once per (session, dir).
     */
@@ -2496,6 +2524,131 @@ object Queries {
         jaccardSelectSql(0.7,
           "a.doc_id >= 20000 AND a.doc_id <> b.doc_id " +
             "AND (b.doc_id < 20000 OR a.doc_id < b.doc_id)"))),
+
+    // ---- INCREMENTAL CURATION REFRESH (Refresh.curateRefresh): the
+    // day-2 flagship — old snapshot curated once offline (fixture:
+    // audit parquet + exact/ngram indexes on its kept set); the query
+    // then refreshes a mutated new snapshot (%7==3 removed, %11==5
+    // revised, exact clones + near-dup clones + a batch-internal dup
+    // pair added) at DELTA cost: tombstones for dead kept content,
+    // stage filters on the delta only, exact probe against the index,
+    // near-dup probe against the ngram index (maxDocFreq=0 = the
+    // provably-exact mode, same convention as curate_documents),
+    // unchanged verdicts carried. The oracle replays the whole
+    // composition: the full curation oracle as the old audit, the diff,
+    // and the delta rules against the reduced (live) corpus. ----
+    ("curate_refresh_documents", ((s: SparkSession, dir: String) => {
+      val (pEx, pNg, pAudit) = refreshFixtureFor(s, dir)
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .union(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            concat(col("text"), lit(" zz qq xx")).as("text")))
+        .union(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 95000).as("doc_id"),
+            concat(col("text"), lit(" unseen tail marker")).as("text")))
+        .union(d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 96000).as("doc_id"),
+            concat(col("text"), lit(" unseen tail marker")).as("text")))
+      graft.pipeline.Refresh.curateRefresh(d, newSnap, "doc_id", "text",
+        s.read.parquet(pAudit), pEx,
+        Some(graft.pipeline.Refresh.NearDupIndexRef.Ngram(pNg,
+          maxDocFreq = 0)),
+        graft.pipeline.Curation.Config(
+          nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+            maxDocFreq = 0),
+          nearDupThreshold = 0.7))
+        .orderBy("doc_id")
+    }): Q, Some {
+      val jacc = "CAST(len(list_intersect(a.shingles, b.shingles)) AS " +
+        "DOUBLE) / len(list_distinct(list_concat(a.shingles, b.shingles)))"
+      s"""WITH old_audit AS (SELECT * FROM (${curationOracleSqlFull(
+          "en", 40, 0.7, transitive = false, maxPiiHits = None,
+          maxTokenRunPct = None,
+          baseSql = "SELECT doc_id, text FROM documents")}) oa),
+      news AS (
+        SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text || ' rev2'
+                            ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 3
+        UNION ALL SELECT doc_id+80000, text FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id+90000, text || ' zz qq xx'
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL SELECT doc_id+95000, text || ' unseen tail marker'
+        FROM documents WHERE doc_id % 25 = 0
+        UNION ALL SELECT doc_id+96000, text || ' unseen tail marker'
+        FROM documents WHERE doc_id % 25 = 0),
+      diffc AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+               ELSE 'unchanged' END AS change
+        FROM documents o FULL OUTER JOIN news n ON o.doc_id = n.doc_id),
+      carried AS (SELECT a.doc_id, a.status, a.split
+                  FROM old_audit a JOIN diffc d USING (doc_id)
+                  WHERE d.change = 'unchanged'),
+      live AS (SELECT b.doc_id, b.text FROM documents b
+               JOIN old_audit a USING (doc_id)
+               WHERE a.status = 'kept' AND b.doc_id NOT IN
+                 (SELECT doc_id FROM diffc
+                  WHERE change IN ('removed','changed'))),
+      delta AS (SELECT n.doc_id, n.text FROM news n
+                JOIN diffc d USING (doc_id)
+                WHERE d.change IN ('added','changed')),
+      staged AS (SELECT doc_id, text, ${langIdSql("text")} AS lang_d,
+                        ${qualityScoreSql("text")} AS q FROM delta),
+      surv AS (SELECT doc_id, text FROM staged
+               WHERE lang_d = 'en' AND q >= 40),
+      idx AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+              FROM live GROUP BY 1),
+      bh AS (SELECT doc_id, md5(text) AS h FROM surv),
+      bmin AS (SELECT h, min(doc_id) AS bkeep FROM bh GROUP BY h),
+      exk AS (SELECT b.doc_id,
+                CASE WHEN i.h IS NOT NULL THEN 'dup_of_corpus'
+                     WHEN b.doc_id <> m.bkeep THEN 'dup_in_batch'
+                     ELSE 'new' END AS ex
+              FROM bh b LEFT JOIN idx i ON b.h = i.h
+                        JOIN bmin m ON b.h = m.h),
+      exsurv AS (SELECT s.doc_id, s.text FROM surv s
+                 JOIN exk e USING (doc_id) WHERE e.ex = 'new'),
+      all_docs AS (SELECT doc_id, text FROM live
+                   UNION ALL SELECT doc_id, text FROM exsurv),
+      $shingleCteSql,
+      bset AS (SELECT doc_id FROM exsurv),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM bset)
+          AND (b.doc_id NOT IN (SELECT doc_id FROM bset)
+               OR a.doc_id < b.doc_id)
+          AND $jacc >= 0.7),
+      nd AS (SELECT DISTINCT CASE WHEN id_b IN (SELECT doc_id FROM bset)
+                                  THEN id_b ELSE id_a END AS doc_id
+             FROM pairs),
+      labeled AS (
+        SELECT s.doc_id, s.text,
+               CASE WHEN s.lang_d <> 'en' THEN 'lang_filtered'
+                    WHEN s.q < 40 THEN 'quality_filtered'
+                    WHEN e.ex IN ('dup_of_corpus','dup_in_batch')
+                      THEN 'exact_dup'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS status
+        FROM staged s LEFT JOIN exk e USING (doc_id)
+                      LEFT JOIN nd USING (doc_id))
+      SELECT doc_id, status, split FROM carried
+      UNION ALL
+      SELECT doc_id, status,
+             CASE WHEN status = 'kept'
+                  THEN ${splitCaseSql("text")} END AS split
+      FROM labeled
+      ORDER BY doc_id"""
+    }),
 
     // ---- corpus snapshot diff (Refresh.snapshotDiff): the day-2 entry
     // point — classify every id across two full snapshots as added /

@@ -116,12 +116,18 @@ object Curation {
     *     collapse fully; oracle = recursive-CTE closure);
     *   - split: `Sampling.hashSplitColumn(text)` on kept docs.
     */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config(),
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    require(cfg.keepLangs.nonEmpty, "keepLangs must be non-empty")
-    val sc = CacheScope.resolve(scope, docs.sparkSession)
-
+  /** The five filter stages as one frame: `(id, text, _lang_ok, _q_ok,
+    * _pii_ok, _rep_ok, _lm_ok)` — the decision columns [[curate]] and
+    * [[Refresh.curateRefresh]] share, so a refreshed delta is filtered
+    * by EXACTLY the batch rules (one definition, no drift).
+    *
+    * With `minLmScore` set and no `lmModel`, the LM self-trains on
+    * `docs` — right for a one-shot batch, wrong for a delta (the model
+    * must come from the reference corpus); refresh callers pass the
+    * persisted model.
+    */
+  private[pipeline] def stageFlags(docs: DataFrame, idCol: String,
+      textCol: String, cfg: Config, sc: CacheScope): DataFrame = {
     // null text = empty text: without the coalesce a null row's filter
     // predicates evaluate to null, every WHEN falls through, and the doc
     // lands in `kept` — empty text instead scores lang 'und'/quality 0
@@ -154,7 +160,7 @@ object Curation {
     // trained offline on a REFERENCE corpus) or self-trained on the
     // input; a NULL score (fewer than two tokens) REJECTS — a document
     // the model cannot certify is not certified.
-    val staged = cfg.minLmScore match {
+    cfg.minLmScore match {
       case Some(thr) =>
         val model = cfg.lmModel.getOrElse(LanguageModel.train(
           base, "id", "text", cfg.lmVocabSize, sc))
@@ -167,6 +173,14 @@ object Curation {
           .drop("lm_score")
       case None => staged0.withColumn("_lm_ok", lit(true))
     }
+  }
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config(),
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(cfg.keepLangs.nonEmpty, "keepLangs must be non-empty")
+    val sc = CacheScope.resolve(scope, docs.sparkSession)
+    val staged = stageFlags(docs, idCol, textCol, cfg, sc)
     val filtersOk = col("_lang_ok") && col("_q_ok") &&
       col("_pii_ok") && col("_rep_ok") && col("_lm_ok")
     // exact-dedup rank among filter survivors only; rejected rows get a

@@ -201,6 +201,76 @@ object Dedup {
         md5(col(textCol)).as("h"))
       .write.mode("append").parquet(s"$path/tombstones")
 
+  /** Roll the exact index FORWARD: append contents the index does not
+    * yet hold (anti-join on the stored hashes — an index-sized read,
+    * never a corpus rescan) and rebuild the bloom sidecar from the
+    * updated hash set. The bloom rebuild is NOT optional: an appended
+    * content missing from the bloom would prefilter to "absent" and
+    * resurface as `new` — a false NEGATIVE, the one failure mode the
+    * bloom contract forbids (stale-positive after tombstones is safe;
+    * stale-negative after appends is not).
+    *
+    * Pass one row per content (e.g. a refresh delta's `kept` docs);
+    * duplicate contents within `docs` collapse to their min id here.
+    * Appends accumulate small files per hash prefix — compact with
+    * [[graft.sinks.Compaction]] on the index's maintenance cadence.
+    */
+  def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    import spark.implicits._
+    val existing = spark.read.parquet(s"$path/hashes").select("h")
+    docs.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("h"))
+      .groupBy("h")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(existing, Seq("h"), "left_anti")
+      .withColumn("hp", substring(col("h"), 1, 2))
+      .write.mode("append").partitionBy("hp").parquet(s"$path/hashes")
+    val idx = spark.read.parquet(s"$path/hashes")
+    val fpp = spark.read.json(s"$path/params").head().getAs[Double]("fpp")
+    val n = math.max(1L, idx.count())
+    val bloom = idx.select(xxhash64(col("h")).as("hx"))
+      .stat.bloomFilter("hx", if (fpp >= 1) 1L else n,
+        if (fpp >= 1) 0.5 else fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq(Tuple1(bos.toByteArray)).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    Seq((n, fpp)).toDF("distinctContents", "fpp").coalesce(1)
+      .write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Roll a minhash index forward: sign `docs` at the index's STORED
+    * params and append the bucket/shingle rows. Caller passes only ids
+    * the index does not hold (a refresh delta's kept docs) — ids are
+    * the row identity and this writer does not rescan to dedupe them.
+    */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val p = spark.read.json(s"$path/params").head()
+    minhashBuckets(docs, idCol, textCol,
+        p.getAs[Long]("numHashes").toInt, p.getAs[Long]("bands").toInt,
+        p.getAs[Long]("shingleSize").toInt)
+      .write.mode("append").parquet(s"$path/buckets")
+    shingleSets(docs, idCol, textCol,
+        p.getAs[Long]("shingleSize").toInt)
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Roll an ngram index forward — same contract as
+    * [[appendToMinhashIndex]] for the inverted-shingle family.
+    */
+  def appendToNgramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val shingleSize = spark.read.json(s"$path/params").head()
+      .getAs[Long]("shingleSize").toInt
+    shingleIndex(docs, idCol, textCol, shingleSize)
+      .write.mode("append").parquet(s"$path/shingle_index")
+  }
+
   private def tombstonedKeys(spark: org.apache.spark.sql.SparkSession,
       path: String, key: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
