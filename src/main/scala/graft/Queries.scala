@@ -2650,6 +2650,88 @@ object Queries {
       ORDER BY doc_id"""
     }),
 
+    // ---- mergeable HLL distinct-count sketches (Sketches): the query
+    // proves BOTH sketch claims against the gate — estimates stay in
+    // the lgK=12 error envelope of the EXACT counts (est_ok, oracle
+    // expects TRUE), and unioned estimates agree across batchings to a
+    // TIGHT envelope: two halves vs four quarters within 2% (merge_ok
+    // — register state is a pointwise max, but DataSketches' estimator
+    // choice is path-dependent through sparse->dense promotion and HIP
+    // carryover, so bit-equality across splits is NOT the honest
+    // claim; SketchesSpec measures the same bound on the persisted
+    // update path and pins re-folding the same batch as EXACTLY a
+    // no-op). Exact counts are the DuckDB-matched columns. ----
+    ("sketch_distinct_documents", ((s: SparkSession, dir: String) => {
+      val d = rd(s, dir, "documents")
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      def unionOf(parts: Seq[DataFrame], as: String) = parts
+        .map(graft.pipeline.Sketches.columnSketches(_, cols))
+        .reduce(_ union _)
+        .groupBy("col_name")
+        .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+        .select(col("col_name"),
+          hll_sketch_estimate(col("sketch")).as(as))
+      val whole = graft.pipeline.Sketches.columnSketches(d, cols)
+        .select(col("col_name"),
+          hll_sketch_estimate(col("sketch")).as("est"))
+      val unioned = unionOf(
+        Seq(0, 1).map(i => d.filter(col("doc_id") % 2 === i)), "est2")
+      val quartered = unionOf(
+        Seq(0, 1, 2, 3).map(i => d.filter(col("doc_id") % 4 === i)),
+        "est3")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        countDistinct(col(c).cast("string")).as(s"_d$i") }
+      val stacks = cols.zipWithIndex.map { case (c, i) => s"'$c', _d$i" }
+      val exact = d.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, ${stacks.mkString(", ")}) " +
+          "AS (col_name, n_distinct)"))
+      exact.join(whole, "col_name").join(unioned, "col_name")
+        .join(quartered, "col_name")
+        .select(col("col_name"), col("n_distinct"),
+          (abs(col("est") - col("n_distinct")) <=
+            greatest(lit(10.0), col("n_distinct") * 0.07)).as("est_ok"),
+          (abs(col("est2") - col("est3")) <=
+            greatest(lit(2.0), col("n_distinct") * 0.02)).as("merge_ok"))
+        .orderBy("col_name")
+    }): Q, Some {
+      def leg(c: String) =
+        s"SELECT '$c' AS col_name, CAST(count(DISTINCT $c) AS BIGINT) " +
+          "AS n_distinct FROM documents"
+      Seq("doc_id", "lang", "source", "n_chars").map(leg)
+        .mkString("SELECT col_name, n_distinct, TRUE AS est_ok, " +
+          "TRUE AS merge_ok FROM (", " UNION ALL ",
+          ") ORDER BY col_name")
+    }),
+
+    // ---- one-scan column profiler (Profile.profile): per-column row/
+    // null/distinct counts, min/max, total rendered length from ONE
+    // aggregate over ONE scan (long format via stack over the single
+    // agg row). Oracle pins the EXACT-distinct mode on the integer and
+    // string columns of orders (doubles/timestamps render engine-
+    // specifically; ProfileSpec covers them and bounds the approx
+    // mode). ----
+    ("profile_orders", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Profile.profile(
+        rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        exactDistinct = true)
+        .orderBy("col_name")
+    }): Q, Some {
+      def leg(c: String, t: String) =
+        s"""SELECT '$c' AS col_name, '$t' AS data_type,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(min($c) AS VARCHAR) AS min_str,
+          CAST(max($c) AS VARCHAR) AS max_str,
+          CAST(sum(len(CAST($c AS VARCHAR))) AS BIGINT) AS total_len
+        FROM orders"""
+      Seq(leg("o_orderkey", "bigint"), leg("o_custkey", "bigint"),
+        leg("o_orderstatus", "string"), leg("o_orderpriority", "string"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY col_name")
+    }),
+
     // ---- corpus snapshot diff (Refresh.snapshotDiff): the day-2 entry
     // point — classify every id across two full snapshots as added /
     // removed / changed / unchanged by content hash. Fixture mutates
