@@ -516,6 +516,67 @@ object Queries {
       path
     })
 
+  /** Planted audio-DEDUP fixture — the WAV analog of
+    * [[dedupGridBlobsFor]]: per doc a constant-window 16-bit PCM clip
+    * with window amplitudes `(md5("src:w")[0:4] % 1024) * 2` (even, so
+    * halving is exact; md5 makes distinct docs' envelopes independent —
+    * arithmetic-progression amps made shifted near-copies of each other
+    * and flooded the corpus with ~22k accidental Hamming<=8 pairs); every 10th doc re-arrives RE-ENCODED (+50000:
+    * volume HALVED at DOUBLE the frame count and another sample rate —
+    * the integer envelope rule cancels both, Hamming 0 by arithmetic);
+    * every 15th doc NEAR-DUPLICATED (+60000: first four windows +60).
+    * All amplitudes are doc_id arithmetic, so the oracle replays every
+    * fingerprint bit exactly.
+    */
+  private val dedupWavBlobCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def dedupWavBlobsFor(s: SparkSession, dir: String): DataFrame =
+    sweepStopped(dedupWavBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      def ampsFor(src: Long, pert: Boolean, halved: Boolean): Array[Int] =
+        Array.tabulate(64) { w =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$src:$w".getBytes("UTF-8"))
+          val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+          val a = (v % 1024) * 2 + (if (pert && w < 4) 60 else 0)
+          if (halved) a / 2 else a
+        }
+      val ids = rdPar(s, d, "documents").select(col("doc_id").cast("long"))
+      val base = ids.as[Long].map { id =>
+        (id, Multimodal.encodeWindowWav(25, ampsFor(id, pert = false,
+          halved = false)))
+      }
+      val reenc = ids.filter(col("doc_id") % 10 === 0).as[Long].map { id =>
+        (id + 50000, Multimodal.encodeWindowWav(50, ampsFor(id,
+          pert = false, halved = true), sampleRate = 16000))
+      }
+      val near = ids.filter(col("doc_id") % 15 === 0).as[Long].map { id =>
+        (id + 60000, Multimodal.encodeWindowWav(25, ampsFor(id,
+          pert = true, halved = false)))
+      }
+      val all = base.union(reenc).union(near).toDF("doc_id", "wav")
+        .select(col("doc_id"),
+          Multimodal.asBlob(col("wav"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      all
+    })
+
+  /** Persisted audio-fingerprint index over the BASE planted clips
+    * (doc_id < 50000 of [[dedupWavBlobsFor]]).
+    */
+  private val audioIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def audioIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(audioIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("audiofp", d)
+      graft.pipeline.Multimodal.writeAudioIndex(
+        dedupWavBlobsFor(s, d).filter(col("doc_id") < 50000),
+        "doc_id", "blob", path)
+      path
+    })
+
   /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
     * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
     * doc_id-derived timescale/duration/dims/frame-count the oracle knows
@@ -3180,6 +3241,104 @@ object Queries {
               GROUP BY doc_id),
       bits AS (SELECT c.doc_id, c.c,
                       CASE WHEN c.lum * 64 > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT CAST(CASE WHEN x >= 50000 THEN x ELSE y END AS BIGINT)
+               AS id_a,
+             CAST(CASE WHEN x >= 50000 THEN y ELSE x END AS BIGINT)
+               AS id_b,
+             CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 AND y >= 50000
+      ORDER BY id_a, id_b""")),
+
+    // ---- AUDIO near-dup: 64-bit energy-envelope fingerprints (64 time
+    // windows over decoded 16-bit PCM, bit = window mean over clip mean
+    // — integer cross-multiplication) banded through the same SimHash
+    // block join as the image family. The fixture plants volume-halved
+    // + frame-doubled re-encodes (Hamming 0 — the integer rule cancels
+    // both transforms exactly) and locally-perturbed near-copies; all
+    // amplitudes are doc_id arithmetic so the oracle replays every bit
+    // and the full Hamming matrix, accidental cross-pairs included. ----
+    ("audio_dedup_pairs", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.audioDedupPairs(dedupWavBlobsFor(s, dir),
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH clips AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert, 1 AS scale
+        FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0, 2 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(((CAST(('0x' || left(md5(CAST(src AS VARCHAR)
+                        || ':' || CAST(c AS VARCHAR)), 4)) AS INTEGER)
+                      % 1024) * 2 +
+                     CASE WHEN pert = 1 AND c < 4 THEN 60 ELSE 0 END)
+                    // scale AS BIGINT) AS amp
+        FROM (SELECT doc_id, src, pert, scale, unnest(range(0, 64)) AS c
+              FROM clips)),
+      tot AS (SELECT doc_id, SUM(amp) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.amp * 64 > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b""")),
+
+    // ---- incremental audio near-dup against the PERSISTED fingerprint
+    // index (writeAudioIndex): the re-encoded and perturbed clips
+    // arrive as a NEW batch probed against the base-corpus index; same
+    // arithmetic oracle re-oriented to the incremental contract. ----
+    ("audio_dedup_index_pairs", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      val path = audioIndexFor(s, dir)
+      val batch = dedupWavBlobsFor(s, dir)
+        .filter(col("doc_id") >= 50000)
+      Multimodal.audioDedupPairsFromIndex(s, path, batch,
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some("""
+      WITH clips AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert, 1 AS scale
+        FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0, 2 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(((CAST(('0x' || left(md5(CAST(src AS VARCHAR)
+                        || ':' || CAST(c AS VARCHAR)), 4)) AS INTEGER)
+                      % 1024) * 2 +
+                     CASE WHEN pert = 1 AND c < 4 THEN 60 ELSE 0 END)
+                    // scale AS BIGINT) AS amp
+        FROM (SELECT doc_id, src, pert, scale, unnest(range(0, 64)) AS c
+              FROM clips)),
+      tot AS (SELECT doc_id, SUM(amp) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.amp * 64 > t.total THEN 1 ELSE 0 END
                         AS b
                FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
       ham AS (SELECT a.doc_id AS x, b.doc_id AS y,

@@ -280,12 +280,23 @@ object Dedup {
     else None
   }
 
+  /** Id-only tombstones for indexes whose rows have no text identity
+    * (media fingerprints, embeddings): the content-hash slot is filled
+    * from the rendered id — only the exact index reads it, and an exact
+    * index is never keyed by bare ids.
+    */
+  def writeIdTombstones(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    writeTombstones(ids.withColumn("_t", col(idCol).cast("string")),
+      idCol, "_t", path)
+
   /** Corpus-side index frame minus tombstoned rows: anti-join on `key`,
     * explicitly broadcast (deletion lists are request-sized, never
     * corpus-sized). No tombstone sidecar = identity — clean indexes pay
     * nothing.
     */
-  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+  private[pipeline] def dropTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
       path: String, frame: DataFrame, key: String): DataFrame =
     tombstonedKeys(spark, path, key) match {
       case Some(t) => frame.join(broadcast(t), Seq(key), "left_anti")

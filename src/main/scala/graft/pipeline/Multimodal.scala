@@ -245,6 +245,33 @@ object Multimodal {
     out.array()
   }
 
+  /** Deterministic constant-window WAV fixture: 16-bit mono PCM where
+    * every sample of time-window `w` (of 64) holds `amps(w)` — planted
+    * so [[audioFingerprint64]]'s window energies are EXACTLY
+    * `framesPerWindow * amps(w)` and an arithmetic oracle replays every
+    * bit. The audio analog of [[encodeCellImage]].
+    */
+  def encodeWindowWav(framesPerWindow: Int, amps: Array[Int],
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(amps.length == 64, "one amplitude per window")
+    val n = framesPerWindow * 64
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      out.putShort(amps(i / framesPerWindow).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
   /** Deterministic in-memory image fixture: a real `w`×`h` PNG/JPEG/BMP
     * encoded with the JDK (pixels seeded from `seed`). This is how specs
     * and the driver query plant decodable bytes without fixture files —
@@ -497,7 +524,175 @@ object Multimodal {
         "the threshold")
     val sh = imageFingerprintDf(batch, idCol, blobCol)
       .withColumn("new", lit(true))
-      .union(spark.read.parquet(s"$path/fingerprints")
+      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/fingerprints"), "id")
+        .withColumn("new", lit(false)))
+    graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
+      maxHamming, maxBucketSize, probeBits, sc)
+  }
+
+  /** 64-bit perceptual AUDIO fingerprint: the time-domain analog of
+    * [[imageFingerprint64]] — 64 equal time windows over the decoded
+    * 16-bit PCM stream, bit `w` set iff window `w`'s mean absolute
+    * amplitude exceeds the clip's mean (energy envelope aHash). The
+    * rule is pure integer cross-multiplication
+    * (`energy_w * nFrames > total * frames_w`, BigInt compare — exact
+    * at any clip length), so an arithmetic oracle replays every bit.
+    * Invariances, all EXACT under the integer rule: volume scaling
+    * that scales samples exactly (both sides of the comparison scale
+    * together), container rewrites, and uniform resampling that
+    * preserves window time-fractions; local edits move only their
+    * windows' bits — which lets the SimHash block machinery band it.
+    * Returns None for non-PCM/non-16-bit/shorter-than-64-frame clips
+    * (too short to carry an envelope).
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i16(o: Int): Int = u16(o).toShort.toInt
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt = 0; var channels = 0; var bits = 0; var blockAlign = 0
+      var dataOff = -1; var dataSize = -1L
+      var walking = true
+      while (walking && off + 8 <= bytes.length &&
+          (fmt == 0 || dataOff < 0)) {
+        val id = tag(off)
+        val size = u32(off + 4)
+        if (id == "fmt " && size >= 16) {
+          fmt = u16(off + 8)
+          channels = u16(off + 10)
+          blockAlign = u16(off + 20)
+          bits = u16(off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataSize = size }
+        val adv = 8L + size + (size & 1L) // strict progress, Long space
+        if (off + adv > bytes.length) walking = false
+        else off += adv.toInt
+      }
+      if (fmt != 1 || bits != 16 || channels <= 0 || blockAlign <= 0 ||
+        dataOff < 0) return None
+      val usable = math.min(dataSize, (bytes.length - dataOff).toLong)
+      val n = (usable / blockAlign).toInt
+      if (n < 64) return None
+      val energy = new Array[Long](64)
+      var w = 0
+      while (w < 64) {
+        val start = (w.toLong * n / 64).toInt
+        val end = ((w + 1).toLong * n / 64).toInt
+        var i = start
+        var e = 0L
+        while (i < end) {
+          var c = 0
+          val base = dataOff + i * blockAlign
+          while (c < channels) {
+            e += math.abs(i16(base + 2 * c))
+            c += 1
+          }
+          i += 1
+        }
+        energy(w) = e
+        w += 1
+      }
+      var total = 0L
+      w = 0
+      while (w < 64) { total += energy(w); w += 1 }
+      var fp = 0L
+      w = 0
+      while (w < 64) {
+        val fw = ((w + 1).toLong * n / 64) - (w.toLong * n / 64)
+        if (BigInt(energy(w)) * n > BigInt(total) * fw) fp |= (1L << w)
+        w += 1
+      }
+      Some(fp)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `(id, sh)` audio-fingerprint frame over blob rows — the banding
+    * input shape; undecodable blobs drop (quarantine is ingest's job).
+    */
+  def audioFingerprintDf(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getStruct(blobIdx)
+        val content = if (blob == null || blob.isNullAt(0)) null
+          else blob.getAs[Array[Byte]](0)
+        audioFingerprint64(content).map(fp => (r.getLong(idIdx), fp))
+      }
+    }.toDF("id", "sh")
+  }
+
+  /** Volume-/container-robust audio near-duplicate pairs — the
+    * [[imageDedupPairs]] contract over [[audioFingerprint64]]:
+    * `(id_a, id_b, hamming)` within `maxHamming`, complete by the same
+    * blocks/probeBits pigeonhole derivation.
+    */
+  def audioDedupPairs(blobs: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, blocks: Int = 8, probeBits: Int = 1,
+      maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    require(maxHamming <=
+      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
+      s"maxHamming $maxHamming exceeds the guaranteed radius " +
+        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
+        s"of blocks=$blocks/probeBits=$probeBits — pairs past it would " +
+        "be silently incomplete; raise blocks/probeBits or lower the " +
+        "threshold")
+    graft.pipeline.Dedup.fingerprintCandidatePairs(
+      audioFingerprintDf(blobs, idCol, blobCol), blocks, maxHamming,
+      maxBucketSize, probeBits, scope)
+  }
+
+  /** Persist an audio-fingerprint index — [[writeImageIndex]]'s
+    * discipline for the audio family: decode once at build, probe at
+    * 8 bytes/clip.
+    */
+  def writeAudioIndex(blobs: DataFrame, idCol: String, blobCol: String,
+      path: String, blocks: Int = 8, probeBits: Int = 1): Unit = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    audioFingerprintDf(blobs, idCol, blobCol)
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    val n = spark.read.parquet(s"$path/fingerprints").count()
+    Seq((blocks, probeBits, n))
+      .toDF("blocks", "probeBits", "nClips")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental audio near-dup against a persisted [[writeAudioIndex]]
+    * — batch decodes + fingerprints, corpus side is the 8-byte scan
+    * (tombstone-aware), multi-probe on the batch side only.
+    */
+  def audioDedupPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
+    val params = spark.read.json(s"$path/params").head()
+    val blocks = params.getAs[Long]("blocks").toInt
+    val probeBits = params.getAs[Long]("probeBits").toInt
+    require(maxHamming <=
+      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
+      s"maxHamming $maxHamming exceeds the guaranteed radius " +
+        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
+        s"of the index's stored point (blocks=$blocks/" +
+        s"probeBits=$probeBits) — rebuild with more probing or lower " +
+        "the threshold")
+    val sh = audioFingerprintDf(batch, idCol, blobCol)
+      .withColumn("new", lit(true))
+      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/fingerprints"), "id")
         .withColumn("new", lit(false)))
     graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
       maxHamming, maxBucketSize, probeBits, sc)

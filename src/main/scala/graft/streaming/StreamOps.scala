@@ -167,6 +167,21 @@ object StreamOps {
         maxHamming, scope = scope)
     }
 
+  /** Per-micro-batch AUDIO near-dup against a persisted
+    * [[graft.pipeline.Multimodal.writeAudioIndex]] — the image stream
+    * member's contract for the audio family.
+    */
+  def audioDedupStreamAgainstIndex(stream: DataFrame, indexPath: String,
+      idCol: String, blobCol: String, maxHamming: Int = 8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Multimodal.audioDedupPairsFromIndex(
+        batch.sparkSession, indexPath, batch, idCol, blobCol,
+        maxHamming, scope = scope)
+    }
+
   /** Per-micro-batch corpus CURATION — the composed daily-driver on a
     * stream: each arriving batch runs the full `Curation.curate` audit
     * (language → quality → exact dedup → near-dup → split) WITHIN the
