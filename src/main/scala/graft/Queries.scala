@@ -211,6 +211,26 @@ object Queries {
         path
     })
 
+  /** Z-ordered copy of the orders table, written ONCE per (session,
+    * dir) through [[graft.sinks.Layout.writeZOrdered]] (custkey ×
+    * totalprice) — the layout rewrite is the offline build step; the
+    * query reads the directory back, so the oracle hash proves the
+    * multi-dimensional clustering preserved content exactly
+    * (LayoutSpec holds the file-skipping evidence).
+    */
+  private val zorderedOrdersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def zorderedOrdersFor(s: SparkSession, dir: String): String =
+    sweepStopped(zorderedOrdersCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val path = indexTmpPath("zorder_orders", d) + "/orders"
+        graft.sinks.Layout.writeZOrdered(
+          rd(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          Seq("o_custkey", "o_totalprice"), path, bits = 8, numFiles = 16)
+        path
+    })
+
   /** Bucketed orders/customer tables (8 buckets on the customer key),
     * built ONCE per (session, dir) through [[graft.sinks.Bucketing
     * .writeBucketed]] — the query joins them through the catalog read

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-window document chunking — the retrieval-corpus prep step
+  * (RAG / embedding-index ingestion): split every document into
+  * fixed-size token chunks with a configurable overlap so no retrieval
+  * context straddles an invisible boundary.
+  *
+  * Chunk rule: with `size` tokens per chunk and `overlap` shared
+  * between neighbours, chunk `i` covers tokens
+  * `[i*(size-overlap), i*(size-overlap)+size)`; the last chunk is the
+  * first one whose window reaches the end of the document (it may be
+  * shorter than `size`, never empty). A document with fewer than `size`
+  * tokens yields exactly one chunk; blank/NULL text yields none (the
+  * suite-wide zero-token rule — [[SpanDedup]]'s `toks` discipline, so
+  * the chunker and the span deduper agree about what a token is).
+  *
+  * Scale design: pure codegen'd Column arithmetic — `split` →
+  * `sequence` over the chunk count → `transform`/`posexplode` into one
+  * row per chunk. MAP-ONLY at any scale: no shuffle, no window, no
+  * state; output partitioning inherits the input's, so a downstream
+  * embedding pass or ANN index build sees the same layout. Because it
+  * is stateless per row it runs UNCHANGED on a micro-batch stream.
+  */
+object Chunking {
+
+  /** Token array under the suite-wide counting rule (blank → zero). */
+  private def toks(textCol: Column): Column = {
+    val t = trim(coalesce(textCol, lit("")))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, " "))
+  }
+
+  /** One row per chunk: `(doc_id, chunk_id, start_tok, n_tok, chunk)`.
+    * `chunk_id` is 0-based and dense per document; `start_tok` is the
+    * 0-based token offset of the chunk start; `chunk` is the
+    * space-rejoined token window.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size >= 1, s"chunk size $size must be >= 1")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size)")
+    val stride = size - overlap
+    val t = toks(col(textCol))
+    val n = org.apache.spark.sql.functions.size(t)
+    // ceil((n - size) / stride) + 1 for n > size, else 1 (n > 0)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(floor((n - size + stride - 1) / lit(stride))
+        .cast("int") + 1)
+    docs
+      .filter(n > 0)
+      .select(col(idCol).as("doc_id"), t.as("_t"), nChunks.as("_nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          i => struct(
+            (i * stride).as("start_tok"),
+            slice(col("_t"), i * stride + 1, size).as("_win")))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col._win").as("_win"), col("col.start_tok").as("start_tok"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("_win")).as("n_tok"),
+        array_join(col("_win"), " ").as("chunk"))
+  }
+}
