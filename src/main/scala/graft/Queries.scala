@@ -4287,6 +4287,23 @@ object Queries {
              CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
       FROM orders ORDER BY o_orderkey""")),
 
+    // ---- Z-ORDER round-trip: the fixture rewrites orders with
+    // [[graft.sinks.Layout.writeZOrdered]] (custkey × totalprice,
+    // 8-bit interleave, 16 files); the query reads the clustered copy
+    // back — the oracle hash against the ORIGINAL table proves the
+    // multi-dimensional clustering preserved content exactly
+    // (LayoutSpec holds the per-file min/max skipping evidence). ----
+    ("zorder_roundtrip_orders", ((s: SparkSession, dir: String) => {
+      val path = zorderedOrdersFor(s, dir)
+      s.read.parquet(path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders ORDER BY o_orderkey""")),
+
     // ---- BUCKETED co-located join: orders and customer written ONCE
     // as 8-bucket tables on the customer key (the write-time shuffle
     // that every later join amortizes), joined through the catalog

@@ -81,8 +81,13 @@ object BottomK {
     * k. The merged rows are collected before the overwrite (k rows,
     * bounded by construction) because a plan that lazily reads the path
     * it overwrites would race itself — the [[Sketches.updateSketches]]
-    * discipline. Folding the same batch twice is EXACTLY a no-op (its
-    * hashes are already present or already beaten).
+    * discipline. Folding the same batch twice is EXACTLY a no-op: the
+    * merge deduplicates on `(h, v)` before the re-trim, so a re-folded
+    * batch's rows are already present (or already beaten) and cannot
+    * displace genuine bottom-k entries through multiplicity. The
+    * sidecar therefore stores a SET of `(hash, value)` pairs — rows
+    * sharing both key and value collapse, which is exactly the
+    * identity the sketch can observe.
     */
   def updateSketch(spark: SparkSession, path: String,
       batch: DataFrame): Unit = {
@@ -91,6 +96,7 @@ object BottomK {
     val merged = spark.read.parquet(s"$path/sample")
       .unionAll(sketch(batch, p.getAs[String]("keyCol"),
         p.getAs[String]("valueCol"), k))
+      .dropDuplicates("h", "v")
       .orderBy(col("h"), col("v"))
       .limit(k)
     val rows = java.util.Arrays.asList(merged.collect(): _*)

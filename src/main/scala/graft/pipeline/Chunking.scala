@@ -57,7 +57,7 @@ object Chunking {
         posexplode(transform(sequence(lit(0), col("_nc") - 1),
           i => struct(
             (i * stride).as("start_tok"),
-            slice(col("_t"), i * stride + 1, size).as("_win")))))
+            slice(col("_t"), i * stride + 1, lit(size)).as("_win")))))
       .select(col("doc_id"), col("pos").as("chunk_id"),
         col("col._win").as("_win"), col("col.start_tok").as("start_tok"))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),

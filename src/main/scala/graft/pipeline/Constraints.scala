@@ -148,16 +148,25 @@ object Constraints {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
 
-    val rowFrames = rowLevel.map { case (c, i) =>
-      val passed = c match {
-        case Completeness(_, f) =>
-          (col("_n") - col(s"_v$i")).cast("double") >= lit(f) * col("_n")
-        case _ => col(s"_v$i") === 0L
+    // all row-level report rows come out of ONE select over the one-row
+    // agg (explode of a struct array) — N union branches over the same
+    // agg would plan N scans and lean on runtime exchange reuse to
+    // collapse them; this shape is one scan IN THE PLAN
+    val rowFrames = if (rowLevel.isEmpty) Seq.empty[DataFrame] else {
+      val reportStructs = rowLevel.map { case (c, i) =>
+        val v = coalesce(col(s"_v$i"), lit(0L))
+        val passed = c match {
+          case Completeness(_, f) =>
+            (col("_n") - v).cast("double") >= lit(f) * col("_n")
+          case _ => v === 0L
+        }
+        struct(lit(i).as("_ord"), lit(c.label).as("cname"),
+          lit(c.kind).as("kind"), lit(c.columnLabel).as("col_name"),
+          col("_n").as("n_rows"), v.as("n_violations"),
+          passed.as("passed"))
       }
-      one.select(lit(i).as("_ord"), lit(c.label).as("cname"),
-        lit(c.kind).as("kind"), lit(c.columnLabel).as("col_name"),
-        col("_n").as("n_rows"), coalesce(col(s"_v$i"), lit(0L))
-          .as("n_violations"), passed.as("passed"))
+      Seq(one.select(explode(array(reportStructs: _*)).as("_r"))
+        .select(col("_r.*")))
     }
 
     // ---- uniqueness: groupBy(key) → single partial-agg reduction;

@@ -79,7 +79,14 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
         Matches("o_orderpriority", "^[1-5]-"),
         Completeness("o_orderkey", 1.0)))
       .queryExecution.executedPlan
-    val scans = plan.collect { case s: FileSourceScanExec => s }
+    // AQE wraps the plan in AdaptiveSparkPlanExec, a leaf to collect():
+    // unwrap to the current physical plan before counting scans.
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = unwrapped.collect { case s: FileSourceScanExec => s }
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
   }
 

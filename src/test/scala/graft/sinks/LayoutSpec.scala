@@ -72,9 +72,16 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       .createTempDirectory("graft_zorder").toString
     val sDir = java.nio.file.Files
       .createTempDirectory("graft_sorted").toString
+    // 64 files: z-stripe granularity is 3 bits per column, so a
+    // mid-range window straddling the major stripe boundary still
+    // touches only ~2/8 of each column's stripes (16 files = 2 bits
+    // per column leaves the straddled midpoint touching half the
+    // files — the skipping power grows with file count, as it does on
+    // a real multi-thousand-file table)
     Layout.writeZOrdered(orders, Seq("o_custkey", "o_totalprice"),
-      zDir, bits = 8, numFiles = 16)
-    orders.repartitionByRange(16, orders("o_custkey"))
+      zDir, bits = 8, numFiles = 64)
+    val o = orders
+    o.repartitionByRange(64, o("o_custkey"))
       .sortWithinPartitions("o_custkey")
       .write.mode("overwrite").parquet(sDir)
 
