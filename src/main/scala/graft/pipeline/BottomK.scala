@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *    corpus can never move a bottom-k estimate at all (BottomKSpec
   *    pins equality, not an envelope).
   *
-  * Scale design: the sketch is `orderBy(h).limit(k)` — Spark plans a
-  * per-partition top-k heap feeding a k-row driver merge
-  * (TakeOrderedAndProject): no count pass, no full sort, no shuffle of
-  * data rows. Quantile extraction reduces the k-row sketch through one
+  * Scale design: the sketch is `dropDuplicates(h,v).orderBy(h).limit(k)`
+  * — a partial-agg dedup (map side collapses repeats, the exchange
+  * carries distinct pairs only) feeding Spark's per-partition top-k
+  * heap + k-row driver merge (TakeOrderedAndProject): no count pass,
+  * no full sort. Quantile extraction reduces the k-row sketch through one
   * bounded `collect_list` aggregate (state ≤ k values BY CONSTRUCTION)
   * — no unpartitioned window, no driver loop. The persisted sidecar is
   * k rows of (hash, value) + params; a daily batch folds in at batch
@@ -29,15 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object BottomK {
 
-  /** The k `(h, v)` rows with the smallest `md5(key)` hashes (ties —
-    * only possible through NULL keys sharing the empty-string hash —
-    * break on the value, keeping the draw deterministic).
+  /** The k DISTINCT `(h, v)` pairs with the smallest `md5(key)` hashes
+    * (ties — only possible through NULL keys sharing the empty-string
+    * hash — break on the value, keeping the draw deterministic).
+    *
+    * SET semantics: rows sharing both hash and value collapse BEFORE
+    * the trim, so `sketch(corpus)` and `updateSketch`-folding the same
+    * corpus in batches store the identical sidecar — duplicate
+    * (key, value) rows can never displace genuine bottom-k entries
+    * through multiplicity on either path. Plan note: the dedup is a
+    * hash aggregate whose map side collapses intra-partition repeats,
+    * so the exchange carries each partition's DISTINCT pairs (not its
+    * rows) before the top-k; corpora whose sketch key is unique per
+    * row pay a pair-shuffle where the pre-r13 multiset sketch paid
+    * none — the price of an exactly-mergeable set sketch.
     */
   def sketch(df: DataFrame, keyCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"sketch size $k must be >= 1")
     df.select(Sampling.hashOrderKey(col(keyCol)).as("h"),
         col(valueCol).as("v"))
+      .dropDuplicates("h", "v")
       .orderBy(col("h"), col("v"))
       .limit(k)
   }

@@ -54,15 +54,45 @@ object Layout {
     terms.reduce(_ + _)
   }
 
-  /** Per-column quantile boundaries from one bottom-k sample of the
-    * source (2^bits - 1 cuts per column; duplicate cuts are fine — they
-    * merely merge adjacent buckets).
+  /** ALL columns' quantile boundaries from ONE bottom-k row sample of
+    * the source (2^bits - 1 cuts per column; duplicate cuts are fine —
+    * they merely merge adjacent buckets). One deterministic hash
+    * sample keyed on the z-TUPLE serves every column — the pre-r13
+    * shape ran one [[BottomK]] TakeOrderedAndProject scan PER column,
+    * so a 3-column rewrite paid 3 boundary scans + the write scan; a
+    * 100 TB layout rewrite notices. The sample is the [[BottomK]]
+    * discipline (md5 order key, set-dedup, top-k heap + k-row driver
+    * merge — never a full sort, never ingestion-biased); per-column
+    * cut extraction is the same `floor(p * (n-1))` index rule as
+    * [[BottomK.quantiles]], applied driver-side to the one collected
+    * k-row sample (bounded by construction). NULL cells drop out of
+    * their column's boundary estimate only ([[bucketOf]] routes NULLs
+    * to bucket 0 regardless).
     */
-  private def boundariesFor(df: DataFrame, zCol: String, bits: Int,
-      sampleK: Int): Seq[Double] = {
+  private[sinks] def boundariesForAll(df: DataFrame, zCols: Seq[String],
+      bits: Int, sampleK: Int): Map[String, Seq[Double]] = {
     val cuts = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
-    BottomK.quantiles(BottomK.sketch(df, zCol, zCol, sampleK), cuts)
-      .collect().map(_.getDouble(1)).toSeq
+    // \u0001-separated so adjacent cells cannot re-segment into the
+    // same key ("1","23" vs "12","3"): rows sharing h then share the
+    // exact z-tuple, so the dedup's surviving row is value-identical
+    val key = concat_ws("\u0001",
+      zCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val sample = df
+      .select((md5(key).as("h") +:
+        zCols.map(c => col(c).cast("double").as(c))): _*)
+      .dropDuplicates("h")
+      .orderBy(col("h"))
+      .limit(sampleK)
+      .collect()
+    zCols.zipWithIndex.map { case (c, i) =>
+      val vs = sample.collect {
+        case r if !r.isNullAt(i + 1) => r.getDouble(i + 1)
+      }.sorted.toIndexedSeq
+      val bounds =
+        if (vs.isEmpty) Seq.empty[Double]
+        else cuts.map(p => vs(math.floor(p * (vs.length - 1)).toInt))
+      c -> (bounds: Seq[Double])
+    }.toMap
   }
 
   /** Z-order `df` on `zCols` (numeric/castable-to-double columns) and
@@ -80,8 +110,7 @@ object Layout {
       s"bits=$bits x ${zCols.size} cols overflows the long Z-value")
     require(numFiles >= 0, s"numFiles $numFiles < 0")
     val spark = df.sparkSession
-    val bounds = zCols.map(c => c -> boundariesFor(df, c, bits, sampleK))
-      .toMap
+    val bounds = boundariesForAll(df, zCols, bits, sampleK)
     val z = zValue(zCols.map(c => bucketOf(col(c), bounds(c))), bits)
     val parts = if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions

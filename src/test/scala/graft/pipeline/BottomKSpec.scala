@@ -60,12 +60,26 @@ class BottomKSpec extends AnyFunSuite with SparkTestBase {
     assert(q(0.5) == 30.0 && q(0.49) == 20.0)
   }
 
-  test("plan is a top-k (TakeOrderedAndProject), not a full sort") {
+  test("plan is a top-k over a partial-agg dedup, not a full sort") {
     val plan = BottomK.sketch(docs, "doc_id", "n_chars", 100)
       .queryExecution.executedPlan
-    assert(plan.exists(
+    // the dedup's exchange makes AQE wrap the plan; unwrap to count
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(unwrapped.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
-      s"expected TakeOrderedAndProject in:\n$plan")
+      s"expected TakeOrderedAndProject in:\n$unwrapped")
+    // the (h,v) dedup must partial-aggregate BELOW its exchange (the
+    // map side collapses repeats before any pair crosses the wire)
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val aggs = unwrapped.collect { case h: HashAggregateExec => h }
+    assert(aggs.size == 2, s"expected partial+final dedup aggs in:\n$unwrapped")
+    assert(aggs.exists(_.exists(_.isInstanceOf[ShuffleExchangeLike])),
+      "final dedup agg should sit above the exchange")
   }
 
   test("persisted sidecar: update path equals the whole-corpus sketch; " +
@@ -83,6 +97,36 @@ class BottomKSpec extends AnyFunSuite with SparkTestBase {
     assert(stored.toSeq == whole.toSeq)
     BottomK.updateSketch(spark, dir, batch) // idempotent re-fold
     assert(stored.toSeq == whole.toSeq)
+  }
+
+  test("duplicate (key,value) rows: one-shot sketch equals the " +
+      "update-folded sidecar (set semantics on both paths)") {
+    // 3 copies of every row: under multiset semantics the one-shot
+    // bottom-k would keep triplicates (crowding out genuine entries)
+    // while updateSketch's (h,v) dedup would not — the r12 divergence.
+    val base = docs.select($"doc_id", $"n_chars").limit(30)
+    val tripled = base.unionAll(base).unionAll(base)
+    val whole = BottomK.sketch(tripled, "doc_id", "n_chars", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    // no pair appears twice: the sketch is a SET
+    assert(whole.distinct.length == whole.length)
+    // and it equals the sketch of the deduplicated corpus
+    val ofDistinct = BottomK.sketch(base, "doc_id", "n_chars", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    assert(whole.toSeq == ofDistinct.toSeq)
+    // persisted parity: writeSketch(tripled) == fold tripled batches
+    // into an empty-start sidecar
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft_bk_dup1").toString
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft_bk_dup2").toString
+    BottomK.writeSketch(tripled, "doc_id", "n_chars", 20, oneShot)
+    BottomK.writeSketch(base.limit(0), "doc_id", "n_chars", 20, folded)
+    BottomK.updateSketch(spark, folded, tripled)
+    def rows(p: String) = BottomK.readSketch(spark, p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    assert(rows(oneShot).toSeq == rows(folded).toSeq)
+    assert(rows(oneShot).toSeq == whole.toSeq)
   }
 
   test("null keys hash as empty string and tie-break on value") {
