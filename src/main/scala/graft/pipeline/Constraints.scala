@@ -131,6 +131,12 @@ object Constraints {
   /** Verify `constraints` against `df` — one report row per constraint:
     * `(cname, kind, col_name, n_rows, n_violations, passed)`, in
     * declaration order.
+    *
+    * Empty input passes VACUOUSLY: zero rows means zero violations, so
+    * every constraint reports `(n_rows=0, n_violations=0, passed=true)`
+    * — the ingest-gate semantics (an empty partition landing is not a
+    * data-quality defect; pair with a row-count floor upstream if
+    * emptiness itself should fail the gate).
     */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints to check")

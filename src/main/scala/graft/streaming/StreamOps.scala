@@ -38,6 +38,20 @@ object StreamOps {
     stream.select(AvroBinary.fromAvroBinary(col(binCol), writer, reader)
       .as("r")).select("r.*")
 
+  /** Token-window document chunking on a stream
+    * ([[graft.pipeline.Chunking.chunkDocuments]] — the RAG-ingestion
+    * prep step running continuously): the operator is stateless per row
+    * (map-only split → sequence → posexplode, no shuffle, no state), so
+    * the IDENTICAL Column tree applies to a micro-batch stream and the
+    * accumulated output is independent of micro-batch placement BY
+    * CONSTRUCTION — each document's chunks depend on that document
+    * alone.
+    */
+  def chunkStream(stream: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int = 0): DataFrame =
+    graft.pipeline.Chunking.chunkDocuments(stream, idCol, textCol,
+      size, overlap)
+
   /** Windowed per-key event counts + value sums with a watermark — the
     * canonical streaming aggregation (late data beyond `delay` dropped).
     */

@@ -62,6 +62,21 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
     assert(ok.getLong(4) == 0L && ok.getBoolean(5))
   }
 
+  test("empty input passes vacuously: 0 rows, 0 violations, passed") {
+    val empty = df.limit(0)
+    val r = Constraints.check(empty, Seq(
+        NotNull("tag"), InRange("score", 0.0, 100.0),
+        Completeness("score", 0.8), Unique(Seq("id")),
+        SubsetOf("tag", df.select($"tag".as("v")), "v", "ref")))
+      .collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getLong(3) == 0L, s"n_rows for ${row.getString(0)}")
+      assert(row.getLong(4) == 0L, s"n_violations for ${row.getString(0)}")
+      assert(row.getBoolean(5), s"passed for ${row.getString(0)}")
+    }
+  }
+
   test("declaration order is preserved in the report") {
     val names = Constraints.check(df, Seq(Unique(Seq("id")),
         NotNull("tag"), InRange("score", 0, 1000), Unique(Seq("tag"))))

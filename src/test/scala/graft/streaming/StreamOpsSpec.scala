@@ -275,6 +275,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       List(List("click", 1L, "s"), List("view", 2L, "s")))
   }
 
+  test("micro-batch chunking = batch chunking (stateless parity)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val batch = graft.pipeline.Chunking
+      .chunkDocuments(docs, "doc_id", "text", size = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_id").collect().map(_.toSeq.toList).toList
+    // split the corpus into two waves: stateless per-row operator →
+    // accumulated stream output must equal the one-shot batch result
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(rows.filter(_._1 % 2 == 0))
+    input.addData(rows.filter(_._1 % 2 != 0))
+    val out = processAll(
+      StreamOps.chunkStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", size = 16, overlap = 4), "chunk_stream")
+    assert(out.orderBy("doc_id", "chunk_id").collect()
+      .map(_.toSeq.toList).toList == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("windowed stats with watermark aggregate per window+key") {
     val input = MemoryStream[(Timestamp, Long, Double)](spark)
     val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
