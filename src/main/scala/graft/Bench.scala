@@ -25,14 +25,21 @@ import java.nio.file.{Files, Paths}
   * whose evaluation threw (reported as -1 and excluded from `value`), so
   * a partially-failed bench is distinguishable from a fast one.
   *
-  * JVM isolation: by default every query's warmup+runs executes in its
-  * OWN forked JVM (`--single <name>` child mode) — the round-8 marathon
-  * bench proved a single JVM contaminates late queries with the heap/JIT
+  * JVM isolation: multi-second entries (and entries with no committed
+  * prior) execute in their OWN forked JVM — the round-8 marathon bench
+  * proved a single JVM contaminates late queries with the heap/JIT
   * residue of the ~250 evaluations before them (dedup_ngram med 4.19 s
-  * in the marathon vs 1.15–1.59 s isolated), so per-query medians from a
-  * shared JVM overstate several queries ~3×. The child inherits this
-  * JVM's classpath and --add-opens/-X flags; its one-line sample report
-  * rides a marker prefix so Spark log noise cannot corrupt it. Set
+  * in the marathon vs 1.15–1.59 s isolated), so multi-second medians
+  * from a shared JVM overstate ~3×. Sub-second entries PACK into small
+  * shared-JVM bins (`--multi` child mode, bounded eval seconds + entry
+  * count): at r12 the one-JVM-per-query protocol's 121 × (JVM + Spark
+  * startup + warmups) fixed cost outgrew the driver's gate timeout and
+  * — because nothing was reported until the very end — produced zero
+  * output two rounds running. The parent now also REWRITES the
+  * cumulative BENCH_RESULT.json after every child, so any abort still
+  * leaves a parseable artifact. Children inherit this JVM's classpath
+  * and --add-opens/-X flags; marker-prefixed per-entry report lines
+  * keep Spark log noise out of the protocol. Set
   * SPARK_GRAFT_BENCH_FORK=0 for the legacy single-JVM marathon (and the
   * parent falls back to it automatically if the first child cannot even
   * report — e.g. a broken classpath).
@@ -93,10 +100,98 @@ object Bench {
 
   /** Every benchmark name, in report order: declared queries then the
     * Person protocol — known WITHOUT a SparkSession so the forking
-    * parent never starts Spark itself.
+    * parent never starts Spark itself. SPARK_GRAFT_BENCH_ONLY is a
+    * dev-only comma-separated subset filter (the driver never sets it,
+    * so the gate always times the full inventory).
     */
-  private def benchNames: Vector[String] =
-    SparkEntry.queries.keys.toVector.sorted ++ personNames
+  private def benchNames: Vector[String] = {
+    val all = SparkEntry.queries.keys.toVector.sorted ++ personNames
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(only => all.filter(only)).getOrElse(all)
+  }
+
+  // ------------------------------------------------- priors + bin plan
+
+  /** Per-benchmark (min, med, max) timings from the COMMITTED
+    * BENCH_RESULT.json of the previous run, parsed with a regex so the
+    * parent stays dependency-free (the spread entries are the only
+    * objects with exactly these three keys). Priors drive the bin plan
+    * and per-entry run counts only — never any reported number — so a
+    * stale or absent prior can cost time, not correctness.
+    */
+  private def priorSpreads: Map[String, (Double, Double, Double)] = {
+    val p = Paths.get("BENCH_RESULT.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = Files.readString(p)
+      val re = ("\"([A-Za-z0-9_]+)\":\\{\"min\":(-?[0-9.]+)," +
+        "\"med\":(-?[0-9.]+),\"max\":(-?[0-9.]+)\\}").r
+      re.findAllMatchIn(txt).map(m => m.group(1) ->
+        ((m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble)))
+        .toMap
+    }
+  }
+
+  /** Timed runs for one benchmark: the env override wins globally;
+    * otherwise 3 runs when the previous run's spread was tight
+    * (max/min <= 1.2 — the sample count buys nothing there) and the
+    * default 5 when it was noisy or the entry has no prior.
+    */
+  private def runsFor(name: String,
+      priors: Map[String, (Double, Double, Double)]): Int =
+    sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case Some(_) => envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
+      case None => priors.get(name) match {
+        case Some((mn, _, mx)) if mn > 0 && mx / mn <= 1.2 => 3
+        case _ => 5
+      }
+    }
+
+  /** The forked execution plan: one child JVM per BIN of benchmarks.
+    * Multi-second entries (prior med >= heavyCut) and entries with no
+    * prior keep a JVM to themselves — isolation matters exactly where
+    * heap/JIT residue can move a multi-second median (the r8 marathon
+    * lesson). Cheap entries pack greedily (longest-first) into bins
+    * bounded by estimated eval seconds AND entry count, so the ~12-18 s
+    * JVM+Spark startup amortizes over a dozen sub-second queries
+    * instead of being paid 124 times — the r12 gate timeout was 121
+    * children x fixed cost with zero partial output.
+    */
+  private def binPlan(priors: Map[String, (Double, Double, Double)],
+      heavyCut: Double = 2.5, binEvalBudgetSec: Double = 75.0,
+      maxBinSize: Int = 12): Vector[Vector[(String, Int)]] = {
+    val warmEst = 3 // typical adaptive warmups per entry in a warm JVM
+    val names = benchNames
+    val (solo, packable) = names.partition { n =>
+      priors.get(n).forall { case (_, med, _) => med >= heavyCut }
+    }
+    val packed = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Int)], Double)]
+    // longest-first greedy: sort by prior med descending, drop each
+    // entry into the first bin with room
+    val byCost = packable
+      .map(n => (n, priors(n)._2, runsFor(n, priors)))
+      .sortBy { case (_, med, _) => -med }
+    byCost.foreach { case (n, med, runs) =>
+      val cost = (warmEst + runs) * med
+      packed.find { case (b, c) =>
+        b.size < maxBinSize && c + cost <= binEvalBudgetSec
+      } match {
+        case Some(bin @ (b, c)) =>
+          b += ((n, runs))
+          packed.update(packed.indexOf(bin), (b, c + cost))
+        case None =>
+          packed += ((scala.collection.mutable.ArrayBuffer((n, runs)),
+            cost))
+      }
+    }
+    val soloBins = solo.map(n => Vector((n, runsFor(n, priors))))
+    // run the solo (heavy/unknown) bins first: they carry the most
+    // timing risk, so a worst-case gate timeout loses cheap entries,
+    // not expensive evidence
+    (soloBins ++ packed.map(_._1.toVector)).toVector
+  }
 
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -192,8 +287,10 @@ object Bench {
     * evaluation and leave the timed med ~1.7× above steady state).
     */
   private def timeSamples(spark: SparkSession, name: String,
-      defaultWarmups: Int = 1)(body: => Unit): BenchSample = {
-    val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
+      defaultWarmups: Int = 1, runsOverride: Option[Int] = None,
+      subSecondWarmFloor: Int = 5)(body: => Unit): BenchSample = {
+    val runs = runsOverride.getOrElse(
+      envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1))
     val floor = envInt("SPARK_GRAFT_BENCH_WARMUPS", defaultWarmups,
       floor = 0)
     val maxWarmups = 8
@@ -214,7 +311,8 @@ object Bench {
       def more: Boolean =
         warm.length < floor ||
           (cum < warmBudgetSec && warm.length < maxWarmups &&
-            (!stable || (warm.headOption.exists(_ < 1.0) && warm.length < 5)))
+            (!stable || (warm.headOption.exists(_ < 1.0) &&
+              warm.length < subSecondWarmFloor)))
       while (more) {
         val t = time(body); release(); cum += t; warm ::= t
       }
@@ -245,8 +343,17 @@ object Bench {
   private def fmt(d: Double): String = // locale-pinned '.' separator
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
 
-  private def report(
-      results: Seq[(String, BenchSample)], forked: Boolean): Unit = {
+  /** Render + persist the report. Called INCREMENTALLY after every
+    * child completes (`partial = true`: BENCH_RESULT.json only, so a
+    * gate timeout leaves a parseable prefix instead of nothing — the
+    * r11/r12 lesson, two rounds of rc=124 with zero captured output)
+    * and once at the end (`partial = false`: the one stdout/stderr
+    * line the driver parses, unchanged contract). Every write is a
+    * complete well-formed JSON object covering the entries finished so
+    * far; `planned` vs `completed` says how far the run got.
+    */
+  private def report(results: Seq[(String, BenchSample)], forked: Boolean,
+      planned: Int, partial: Boolean): Unit = {
     val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
     val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS",
       if (forked) 2 else 1, floor = 0)
@@ -258,11 +365,13 @@ object Bench {
     val spread = results.collect { case (k, b) if b.samples.nonEmpty =>
       s""""$k":{"min":${fmt(b.samples.head)},"med":${fmt(median(b.samples))},"max":${fmt(b.samples.last)}}"""
     }.mkString("{", ",", "}")
-    // per-query protocol telemetry: adaptive warmups actually run, GC
-    // seconds over the timed runs, worst single run's GC seconds — what
-    // distinguishes a heap-mode outlier from a plan regression
+    // per-query protocol telemetry: timed runs, adaptive warmups
+    // actually run, GC seconds over the timed runs, worst single run's
+    // GC seconds — what distinguishes a heap-mode outlier from a plan
+    // regression
     val meta = results.collect { case (k, b) if b.samples.nonEmpty =>
-      s""""$k":{"warmups":${b.warmups},"gc_total_sec":${fmt(b.gcTotalSec)},""" +
+      s""""$k":{"runs":${b.samples.length},"warmups":${b.warmups},""" +
+        s""""gc_total_sec":${fmt(b.gcTotalSec)},""" +
         s""""gc_max_run_sec":${fmt(b.gcMaxRunSec)}}"""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
@@ -270,9 +379,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spread,"meta":$meta,"runs":$runs,""" +
         s""""warmups":$warmups,"failures":$failures,"forked":$forked,""" +
-        s""""sf":"$sfDir"}"""
-    println(json)
-    System.err.println(json)
+        s""""planned":$planned,"completed":${results.size},""" +
+        s""""partial":$partial,"sf":"$sfDir"}"""
+    if (!partial) { println(json); System.err.println(json) }
     Files.writeString(Paths.get("BENCH_RESULT.json"), json + "\n")
   }
 
@@ -311,6 +420,36 @@ object Bench {
     spark.stop()
   }
 
+  /** Child mode for a BIN: time several benchmarks sequentially in this
+    * one JVM ("name=runs" specs), emitting NAMED marker lines
+    * (`GRAFT_BENCH_SAMPLES:<name>:[…]`) immediately after EACH entry —
+    * a child killed mid-bin still yields its completed prefix. The
+    * first entry pays the fresh JVM's codegen/JIT staging (warm floor
+    * 2); later entries run in a warm JVM, so their floor drops to 1 and
+    * the sub-second adaptive rule stops at 3 warmups instead of 5 —
+    * the cold-JIT tax the 5-warmup rule existed for is already paid.
+    */
+  private def runMulti(specs: Seq[(String, Int)]): Unit = {
+    val spark = buildSession()
+    specs.zipWithIndex.foreach { case ((name, runs), i) =>
+      val body = benchBody(spark, name)
+      val b = timeSamples(spark, name,
+        defaultWarmups = if (i == 0) 2 else 1,
+        runsOverride = Some(runs),
+        subSecondWarmFloor = if (i == 0) 5 else 3)(body())
+      val line = ChildMarker + name + ":" +
+        b.samples.map(fmt).mkString("[", ",", "]")
+      val metaLine = ChildMetaMarker + name + ":" +
+        s"""{"warmups":${b.warmups},""" +
+        s""""gc_total_sec":${fmt(b.gcTotalSec)},""" +
+        s""""gc_max_run_sec":${fmt(b.gcMaxRunSec)}}"""
+      println(line); println(metaLine)
+      System.err.println(line); System.err.println(metaLine)
+    }
+    Queries.releaseFixtures(spark)
+    spark.stop()
+  }
+
   /** JVM flags the child needs: module opens (Spark on JDK 17+) and
     * memory sizing, from this JVM's own arguments.
     */
@@ -321,13 +460,15 @@ object Bench {
         a.startsWith("--add-exports") || a.startsWith("-Xm") ||
         a.startsWith("-XX:") || a.startsWith("-Dfile.encoding"))
 
-  /** Parse the child's meta marker back into the parts of a BenchSample
-    * the samples marker doesn't carry (tiny fixed-shape JSON — a regex
-    * field grab keeps the parent dependency-free).
+  /** Parse a meta marker (identified by its full `prefix`, which for
+    * bin children includes the benchmark name) back into the parts of a
+    * BenchSample the samples marker doesn't carry (tiny fixed-shape
+    * JSON — a regex field grab keeps the parent dependency-free).
     */
-  private def parseMeta(out: String, samples: Seq[Double]): BenchSample = {
-    val metaPart = out.linesIterator.find(_.contains(ChildMetaMarker))
-      .map(l => l.substring(l.indexOf(ChildMetaMarker))).getOrElse("")
+  private def parseMeta(out: String, prefix: String,
+      samples: Seq[Double]): BenchSample = {
+    val metaPart = out.linesIterator.find(_.contains(prefix))
+      .map(l => l.substring(l.indexOf(prefix))).getOrElse("")
     def num(name: String): Option[Double] =
       (name + "\":\\s*(-?[0-9.]+)").r.findFirstMatchIn(metaPart)
         .flatMap(_.group(1).toDoubleOption)
@@ -337,91 +478,148 @@ object Bench {
       gcMaxRunSec = num("gc_max_run_sec").getOrElse(0.0))
   }
 
-  /** Spawn `--single name` in its own JVM; None = the child failed to
-    * report (crash, timeout, no marker) — distinguished from a reported
-    * empty sample list only in stderr noise, both count as failures.
+  /** Spawn one child JVM over a BIN of benchmarks (`--multi n=r,...`)
+    * and parse its named markers. None = the child produced NO marker
+    * at all (crash before the first entry, broken classpath);
+    * otherwise every bin entry maps to its sample (missing names →
+    * empty samples = failure, but completed siblings survive a
+    * mid-bin death).
     */
-  private def forkOne(name: String): Option[BenchSample] = {
+  private def forkBin(specs: Seq[(String, Int)])
+      : Option[Map[String, BenchSample]] = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val arg = specs.map { case (n, r) => s"$n=$r" }.mkString(",")
     val cmd = (Seq(javaBin) ++ childJvmFlags ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench",
-        "--single", name)).toArray
+        "--multi", arg)).toArray
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
     // drain on a SEPARATE daemon thread: draining on this thread would
-    // make the 20-minute timeout unreachable (a hung child never closes
-    // stdout, so a blocking read never returns and waitFor is never
-    // reached — the exact failure class per-query forking exists to
-    // contain); draining after waitFor would deadlock on a full pipe
-    // buffer under Spark's log volume. The thread owns the only read.
+    // make the timeout unreachable (a hung child never closes stdout,
+    // so a blocking read never returns and waitFor is never reached —
+    // the exact failure class forking exists to contain); draining
+    // after waitFor would deadlock on a full pipe buffer under Spark's
+    // log volume. The thread owns the only read.
     val buf = new java.io.ByteArrayOutputStream()
     val drain = new Thread(() => {
       try { proc.getInputStream.transferTo(buf); () }
       catch { case _: java.io.IOException => () }
-    }, s"bench-drain-$name")
+    }, s"bench-drain-${specs.head._1}")
     drain.setDaemon(true)
     drain.start()
-    val exited = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+    // budget scales with bin size: heavies sit alone (20 min, the old
+    // per-query budget); a packed bin gets 20 min + 2/entry
+    val budgetMin = 20L + 2L * (specs.size - 1)
+    val exited = proc.waitFor(budgetMin,
+      java.util.concurrent.TimeUnit.MINUTES)
     if (!exited) proc.destroyForcibly()
     drain.join(10000)
     // ByteArrayOutputStream is internally synchronized; join covers the
     // normal-exit case, toByteArray snapshots safely if the drain is
     // somehow still alive after a force-kill
     val out = new String(buf.toByteArray, "UTF-8")
-    val marker = out.linesIterator
-      .find(_.contains(ChildMarker))
-      .map(l => l.substring(
-        l.indexOf(ChildMarker) + ChildMarker.length).trim)
-    marker match {
-      case Some(s) if s.startsWith("[") && s.endsWith("]") =>
-        val body = s.drop(1).dropRight(1).trim
-        val samples = if (body.isEmpty) Seq.empty[Double]
-          else body.split(',').toSeq.map(_.trim.toDouble)
-        Some(parseMeta(out, samples))
-      case _ =>
-        System.err.println(s"[bench] child for $name reported nothing " +
+    val parsed = specs.flatMap { case (name, _) =>
+      val prefix = ChildMarker + name + ":"
+      out.linesIterator.find(_.contains(prefix))
+        .map(l => l.substring(l.indexOf(prefix) + prefix.length).trim)
+        .collect { case s if s.startsWith("[") && s.endsWith("]") =>
+          val body = s.drop(1).dropRight(1).trim
+          val samples = if (body.isEmpty) Seq.empty[Double]
+            else body.split(',').toSeq.map(_.trim.toDouble)
+          name -> parseMeta(out, ChildMetaMarker + name + ":", samples)
+        }
+    }.toMap
+    if (parsed.isEmpty) {
+      System.err.println(s"[bench] child for [${specs.map(_._1)
+        .mkString(",")}] reported nothing " +
+        s"(exit=${if (exited) proc.exitValue() else "timeout"})")
+      None
+    } else {
+      specs.collect { case (n, _) if !parsed.contains(n) =>
+        System.err.println(s"[bench] $n missing from its bin child " +
           s"(exit=${if (exited) proc.exitValue() else "timeout"})")
-        None
+      }
+      Some(parsed)
     }
   }
 
-  /** Parent mode: one child JVM per benchmark, sequential (children get
-    * the whole machine — parallel children would contend for the same
-    * local[32] cores and re-import the noise isolation removes).
+  /** Parent mode: one child JVM per PLAN BIN (heavy/unknown entries
+    * alone, cheap entries packed — see [[binPlan]]), sequential
+    * (children get the whole machine — parallel children would contend
+    * for the same local[32] cores and re-import the noise isolation
+    * removes). After EVERY child the cumulative report is rewritten to
+    * BENCH_RESULT.json, so however the run ends there is a parseable
+    * artifact covering everything finished so far.
     */
   private def runForked(): Unit = {
-    val names = benchNames
-    val first = forkOne(names.head)
-    if (first.isEmpty) {
-      // a child that cannot even report means forking itself is broken
-      // in this environment — fall back to the single-JVM marathon
-      // rather than reporting 100% failures
-      System.err.println("[bench] first child failed; falling back " +
-        "to in-process mode")
-      runAll()
-      return
+    val priors = priorSpreads
+    val bins = binPlan(priors)
+    val planned = benchNames.size
+    System.err.println(s"[bench] plan: $planned benchmarks in " +
+      s"${bins.size} child JVMs (${bins.count(_.size == 1)} solo + " +
+      s"${bins.count(_.size > 1)} packed; priors for ${priors.size})")
+    val done = scala.collection.mutable.LinkedHashMap
+      .empty[String, BenchSample]
+    def ordered: Seq[(String, BenchSample)] =
+      benchNames.flatMap(n => done.get(n).map(n -> _))
+    bins.zipWithIndex.foreach { case (bin, i) =>
+      forkBin(bin) match {
+        case None if i == 0 =>
+          // a first child that cannot even report means forking itself
+          // is broken in this environment — fall back to the
+          // single-JVM marathon rather than reporting 100% failures
+          System.err.println("[bench] first child failed; falling " +
+            "back to in-process mode")
+          runAll()
+          return
+        case got =>
+          val m = got.getOrElse(Map.empty)
+          bin.foreach { case (n, _) =>
+            done(n) = m.getOrElse(n, BenchSample(Seq.empty, 0, 0.0, 0.0))
+          }
+          report(ordered, forked = true, planned, partial = true)
+          System.err.println(s"[bench] bin ${i + 1}/${bins.size} done " +
+            s"(${done.size}/$planned benchmarks): " +
+            bin.map { case (n, _) =>
+              s"$n=${fmt(median(m.get(n).map(_.samples)
+                .getOrElse(Seq.empty)))}" }.mkString(" "))
+      }
     }
-    val results = ((names.head, first.get) +: names.tail.map { n =>
-      n -> forkOne(n).getOrElse(BenchSample(Seq.empty, 0, 0.0, 0.0))
-    }).toSeq
-    report(results, forked = true)
+    report(ordered, forked = true, planned, partial = false)
   }
 
   /** Legacy single-JVM marathon (SPARK_GRAFT_BENCH_FORK=0 or fallback). */
   private def runAll(): Unit = {
     val spark = buildSession()
-    val results = benchNames.map { n =>
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, BenchSample)]
+    benchNames.foreach { n =>
       val body = benchBody(spark, n) // bind once; see runSingle
-      n -> timeSamples(spark, n)(body())
+      results += (n -> timeSamples(spark, n)(body()))
+      report(results.toSeq, forked = false, benchNames.size,
+        partial = true)
     }
-    report(results, forked = false)
+    report(results.toSeq, forked = false, benchNames.size,
+      partial = false)
     Queries.releaseFixtures(spark)
     spark.stop()
   }
 
+  /** Parse "--multi name=runs,..." specs. */
+  private def parseSpecs(arg: String): Seq[(String, Int)] =
+    arg.split(',').toSeq.filter(_.nonEmpty).map { s =>
+      s.split('=') match {
+        case Array(n, r) => (n, r.toIntOption.filter(_ >= 1).getOrElse(
+          sys.error(s"bad runs in spec '$s'")))
+        case Array(n) => (n, 5)
+        case _ => sys.error(s"bad spec '$s'")
+      }
+    }
+
   def main(args: Array[String]): Unit = args match {
     case Array("--single", name) => runSingle(name)
+    case Array("--multi", specs) => runMulti(parseSpecs(specs))
     case _ =>
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") == "0") runAll()
       else runForked()
