@@ -212,6 +212,79 @@ object Queries {
       path
     })
 
+  /** Persisted BM25 inverted-index sidecar over documents
+    * ([[graft.pipeline.Search.writeIndex]]), same once-per-(session,
+    * dir) offline-build pattern as [[minhashIndexFor]] —
+    * `bm25_index_documents` then measures the read + probe path only.
+    */
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def bm25IndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(bm25IndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("bm25", d)
+      graft.pipeline.Search.writeIndex(
+        rd(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      path
+    })
+
+  /** Deterministic keyword-query workload for the BM25 rows: every
+    * 29th document contributes its first three tokens as a query (the
+    * oracle replays the same slice in DuckDB — `list_filter` drops the
+    * empties Spark's `\\s+` split never produces, keeping the two
+    * tokenizations aligned even around irregular whitespace).
+    */
+  def bm25QueriesFor(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 29 === 1)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0), 1, 3), " ").as("qtext"))
+
+  /** DuckDB replay of the BM25 top-5 rows: identical tokenization
+    * (lower/trim/split, empties dropped), identical collection-stats
+    * contract (N over docs with >= 1 token, avgdl = sumdl/n), and the
+    * identical parenthesized IEEE op sequence per component, quantized
+    * to floor(c * 1e6) longs before the exact integer sum.
+    */
+  private val bm25TopkSql = """
+    WITH toks0 AS (SELECT doc_id,
+                     unnest(string_split(lower(trim(text)), ' ')) AS tok
+                   FROM documents),
+    toks AS (SELECT doc_id, tok FROM toks0 WHERE length(tok) > 0),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY tok),
+    q0 AS (SELECT doc_id AS query_id,
+             list_filter(string_split(lower(trim(text)), ' '),
+               x -> length(x) > 0)[1:3] AS qts
+           FROM documents WHERE doc_id % 29 = 1),
+    qt AS (SELECT DISTINCT query_id, unnest(qts) AS tok FROM q0),
+    comp AS (SELECT qt.query_id, tf.doc_id,
+        CAST(floor((
+          ((((CAST(s.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE)) + 0.5)
+            / (CAST(dfreq.df AS DOUBLE) + 0.5)) + 1.0)
+          * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+              * (CAST(dl.dl AS DOUBLE)
+                / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+        ) * 1000000.0) AS BIGINT) AS qc
+      FROM qt JOIN tf ON qt.tok = tf.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dfreq ON qt.tok = dfreq.tok
+      CROSS JOIN stats s),
+    scored AS (SELECT query_id, doc_id,
+                 CAST(sum(qc) AS BIGINT) AS score_q
+               FROM comp GROUP BY query_id, doc_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_q DESC, doc_id) AS rank FROM scored)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_q
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Compacted copy of the orders table: the fixture fragments orders
     * into 64 small parquet files and runs [[graft.sinks.Compaction
     * .compact]] over them ONCE per (session, dir) — the query then
@@ -4638,7 +4711,35 @@ object Queries {
     }): Q, Some(s"""
       WITH $lmCtesSql
       SELECT w1, w2, cb FROM bc
-      ORDER BY cb DESC, w1, w2 LIMIT 50""")))
+      ORDER BY cb DESC, w1, w2 LIMIT 50""")),
+
+    // ---- BM25 keyword search (the sparse-retrieval complement of the
+    // ANN rows): inverted index over documents, every 29th doc's first
+    // three tokens as the query workload, top-5 per query. The
+    // quantized-long per-term components make the score an exact
+    // integer sum (LanguageModel discipline); the oracle replays the
+    // identical IEEE op sequence — constants spelled as the SAME
+    // arithmetic ((1.2 + 1.0), (1.0 - 0.75)) so both engines add the
+    // same doubles rather than parse different decimal literals. ----
+    ("bm25_search_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Search
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      Search.search(Search.buildIndex(docs, "doc_id", "text"),
+          bm25QueriesFor(docs), "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }): Q, Some(bm25TopkSql)),
+
+    // ---- the same workload through the PERSISTED index sidecar (the
+    // serving shape: build offline, probe per query batch) — the
+    // sidecar build is the cached fixture stage, the query measures
+    // read + probe only. ----
+    ("bm25_index_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Search
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      Search.searchFromIndex(s, bm25IndexFor(s, dir),
+          bm25QueriesFor(docs), "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }): Q, Some(bm25TopkSql)))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** BM25 full-text retrieval — the lexical-search member of the
+  * retrieval stack (the sparse complement of [[Similarity]]'s dense
+  * ANN): build an inverted index over a document corpus once, then
+  * serve batched keyword queries as top-k ranked doc lists.
+  *
+  * Scoring rule (Okapi BM25): for query q and document d,
+  * `score(q,d) = Σ_{t∈q} idf(t) · tf_norm(t,d)` with
+  * `tf_norm = (tf·(k1+1)) / (tf + k1·((1−b) + b·(dl/avgdl)))`.
+  * The oracle-gated idf is the LOG-FREE Robertson ratio
+  * `((N − df) + 0.5)/(df + 0.5) + 1` — same ranking intent as the
+  * classical `ln` form but every step a plain IEEE divide/add,
+  * bit-reproducible across engines (`ln` is not guaranteed
+  * correctly-rounded the same way across libm implementations — the
+  * [[TextAnalysis.tfidfKeywords]] discipline; the `ln` variant is the
+  * opt-in `logIdf = true` path, excluded from the oracle gate). Each
+  * per-term component is quantized to `floor(c · 1e6)` as a LONG
+  * BEFORE summation, so the reduction is exact integer math — the
+  * score is identical on any partitioning, any cluster size, and in
+  * the DuckDB oracle (the [[LanguageModel]] quantized-sum discipline).
+  *
+  * Scale design: the index build is two hash aggregates over one
+  * token explode (tf on `(doc_id, tok)`, then dl and df both derived
+  * from the one-row-per-(doc,tok) tf frame — the explode, the
+  * dominant cost, runs ONCE). Search joins the postings against a
+  * BROADCAST of the query-term set (queries are human-sized; postings
+  * are corpus-sized — the big side streams map-only, no shuffle), the
+  * per-term doc frequencies arrive through a second broadcast (df
+  * restricted to query terms first, so the broadcast is bounded by
+  * the query vocabulary, never the corpus vocabulary), and the only
+  * exchange in the whole search is the `(query_id, doc_id)` score
+  * aggregation — partial map-side combine, keyed, never a hotspot.
+  * Top-k is a `query_id`-partitioned window, never a global sort. The
+  * persisted index is range-partitioned and sorted on `tok`, so a
+  * selective term probe skips non-matching files on parquet footer
+  * min/max alone.
+  *
+  * Collection stats contract: `N` counts documents with ≥ 1 token
+  * (blank/NULL docs can never match, carry no length signal, and
+  * would skew `avgdl`); `avgdl = Σdl / N` computed as one exact
+  * long-sum divide.
+  */
+object Search {
+
+  /** The inverted index: `postings` has one row per `(tok, doc_id)`
+    * with the term frequency and that document's token length;
+    * `docFreq` one row per token with its document frequency; `nDocs`
+    * and `avgDl` are the collection stats (see contract above).
+    */
+  final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
+      nDocs: Long, avgDl: Double)
+
+  /** Suite-wide search tokenization (the tf-idf rule): lowercase,
+    * trim, split on whitespace, drop empties.
+    */
+  private def explodedTokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Build the inverted index over a corpus. One explode, then `tf`
+    * is the only corpus-sized aggregate; `dl`/`df`/stats all reduce
+    * the one-row-per-(doc,tok) tf frame, which is persisted (scoped,
+    * releasable) because three aggregates and a join read it.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      scope: CacheScope = CacheScope.session): Bm25Index = {
+    val sc = CacheScope.resolve(scope, docs.sparkSession)
+    val tf = sc.persist(explodedTokens(docs, idCol, textCol)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast(LongType).as("tf")))
+    val dl = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast(LongType).as("dl"))
+    val docFreq = tf.groupBy("tok")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val stats = dl.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("dl")).cast(LongType).as("sumdl")).head()
+    val n = stats.getAs[Long]("n")
+    require(n > 0, "cannot index an empty (or all-blank) corpus")
+    val postings = tf.join(dl, "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    Bm25Index(postings, docFreq, n, stats.getAs[Long]("sumdl").toDouble / n)
+  }
+
+  /** Per-term quantized BM25 component over a frame carrying
+    * `tf, dl, df` — parenthesization is part of the oracle contract
+    * (each step must be the identical IEEE op sequence in DuckDB).
+    */
+  private def component(nDocs: Long, avgDl: Double, k1: Double,
+      b: Double, logIdf: Boolean): Column = {
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val idfRatio = ((lit(nDocs.toDouble) - dfD) + lit(0.5)) /
+      (dfD + lit(0.5)) + lit(1.0)
+    val idf = if (logIdf) log(idfRatio) else idfRatio
+    val norm = (lit(1.0) - lit(b)) +
+      lit(b) * (col("dl").cast("double") / lit(avgDl))
+    val tfNorm = (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * norm)
+    floor((idf * tfNorm) * lit(1e6)).cast(LongType)
+  }
+
+  /** Top-`k` documents per query: `(query_id, rank, doc_id, score_q)`
+    * with `score_q` the exact quantized-long BM25 sum and `rank`
+    * 1-based dense per query (ties break on `doc_id` ascending —
+    * deterministic on any partitioning). Queries with no indexed term
+    * yield no rows. Query term multiplicity is ignored (set
+    * semantics — the standard short-query convention).
+    */
+  def search(index: Bm25Index, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, logIdf: Boolean = false): DataFrame = {
+    require(k >= 1, s"top-k size $k must be >= 1")
+    val qt = explodedTokens(queries, queryIdCol, queryTextCol)
+      .select(col("doc_id").as("query_id"), col("tok"))
+      .distinct()
+    // df restricted to query terms BEFORE broadcasting: bounded by the
+    // query vocabulary, not the corpus vocabulary
+    val qdf = index.docFreq.join(broadcast(qt), "tok")
+      .select(col("tok"), col("query_id"), col("df"))
+    val cand = index.postings.join(broadcast(qdf), "tok")
+    val scored = cand
+      .select(col("query_id"), col("doc_id"),
+        component(index.nDocs, index.avgDl, k1, b, logIdf).as("qc"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qc")).cast(LongType).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_q"))
+  }
+
+  /** Persist the index sidecar: postings range-partitioned AND sorted
+    * on `tok` (parquet footer min/max then prunes whole files for
+    * selective term probes), df as its own table, collection stats +
+    * operating point in params.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    CacheScope.withScope { scope =>
+      val ix = buildIndex(docs, idCol, textCol, scope = scope)
+      ix.postings
+        .repartitionByRange(numFiles, col("tok"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      ix.docFreq.coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/df")
+      Seq((ix.nDocs, ix.avgDl))
+        .toDF("n_docs", "avgdl").coalesce(1)
+        .write.mode("overwrite").json(s"$path/params")
+    }
+  }
+
+  /** The stored index, ready for [[search]]. */
+  def readIndex(spark: SparkSession, path: String): Bm25Index = {
+    val p = spark.read.json(s"$path/params").head()
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"),
+      p.getAs[Long]("n_docs"), p.getAs[Double]("avgdl"))
+  }
+
+  /** Daily-driver search against the persisted sidecar: read + probe,
+    * nothing corpus-sized recomputed.
+    */
+  def searchFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    search(readIndex(spark, path), queries, queryIdCol, queryTextCol,
+      k, k1, b)
+}
