@@ -149,29 +149,43 @@ object Bench {
     }
 
   /** The forked execution plan: one child JVM per BIN of benchmarks.
-    * Multi-second entries (prior med >= heavyCut) and entries with no
-    * prior keep a JVM to themselves — isolation matters exactly where
-    * heap/JIT residue can move a multi-second median (the r8 marathon
-    * lesson). Cheap entries pack greedily (longest-first) into bins
-    * bounded by estimated eval seconds AND entry count, so the ~12-18 s
-    * JVM+Spark startup amortizes over a dozen sub-second queries
-    * instead of being paid 124 times — the r12 gate timeout was 121
-    * children x fixed cost with zero partial output.
+    * Multi-second entries (prior med >= heavyCut) keep a JVM to
+    * themselves — isolation matters exactly where heap/JIT residue can
+    * move a multi-second median (the r8 marathon lesson). Everything
+    * else — including entries with NO prior — packs greedily
+    * (longest-first) into bins bounded by estimated eval seconds AND
+    * entry count, so the ~12-18 s JVM+Spark startup amortizes over a
+    * dozen sub-second queries instead of being paid 124 times (the r12
+    * gate timeout was 121 children x fixed cost with zero partial
+    * output). No-prior entries cost-estimate at a conservative 1.25 s:
+    * new oracle rows are almost always sub-second, and a surprise
+    * heavy inflates one bin's RUNTIME, never its data — each bin entry
+    * reports on its own marker line, so completed siblings survive.
+    * The r13 solo-everything-unknown plan ran 35 solo children before
+    * the first packed bin and extrapolated past the gate timeout with
+    * only ~1/3 of the entries timed.
+    *
+    * Order: packed bins FIRST (they carry ~3/4 of the entry count for
+    * ~1/4 of the wall clock, so a worst-case gate timeout still yields
+    * a broad artifact), then solos heaviest-first (a late cut loses
+    * the smallest heavies, not the flagship evidence).
     */
   private def binPlan(priors: Map[String, (Double, Double, Double)],
       heavyCut: Double = 2.5, binEvalBudgetSec: Double = 75.0,
       maxBinSize: Int = 12): Vector[Vector[(String, Int)]] = {
     val warmEst = 3 // typical adaptive warmups per entry in a warm JVM
+    val noPriorEstSec = 1.25
     val names = benchNames
     val (solo, packable) = names.partition { n =>
-      priors.get(n).forall { case (_, med, _) => med >= heavyCut }
+      priors.get(n).exists { case (_, med, _) => med >= heavyCut }
     }
     val packed = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[(String, Int)], Double)]
-    // longest-first greedy: sort by prior med descending, drop each
-    // entry into the first bin with room
+    // longest-first greedy: sort by (estimated) med descending, drop
+    // each entry into the first bin with room
     val byCost = packable
-      .map(n => (n, priors(n)._2, runsFor(n, priors)))
+      .map(n => (n, priors.get(n).map(_._2).getOrElse(noPriorEstSec),
+        runsFor(n, priors)))
       .sortBy { case (_, med, _) => -med }
     byCost.foreach { case (n, med, runs) =>
       val cost = (warmEst + runs) * med
@@ -186,11 +200,9 @@ object Bench {
             cost))
       }
     }
-    val soloBins = solo.map(n => Vector((n, runsFor(n, priors))))
-    // run the solo (heavy/unknown) bins first: they carry the most
-    // timing risk, so a worst-case gate timeout loses cheap entries,
-    // not expensive evidence
-    (soloBins ++ packed.map(_._1.toVector)).toVector
+    val soloBins = solo.sortBy(n => -priors(n)._2)
+      .map(n => Vector((n, runsFor(n, priors))))
+    (packed.map(_._1.toVector) ++ soloBins).toVector
   }
 
   private def buildSession(): SparkSession = {

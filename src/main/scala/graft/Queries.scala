@@ -245,11 +245,18 @@ object Queries {
     * contract (N over docs with >= 1 token, avgdl = sumdl/n), and the
     * identical parenthesized IEEE op sequence per component, quantized
     * to floor(c * 1e6) longs before the exact integer sum.
+    * Parameterized over the CORPUS (extra CTEs + table/column names)
+    * so the chunk-retrieval composition replays chunking + search in
+    * one statement; the query workload is always every 29th document's
+    * first three tokens.
     */
-  private val bm25TopkSql = """
-    WITH toks0 AS (SELECT doc_id,
-                     unnest(string_split(lower(trim(text)), ' ')) AS tok
-                   FROM documents),
+  private def bm25TopkSqlOver(corpusCtes: String, corpus: String,
+      corpusId: String, corpusText: String): String = s"""
+    WITH $corpusCtes
+    toks0 AS (SELECT $corpusId AS doc_id,
+                unnest(string_split(lower(trim($corpusText)), ' '))
+                  AS tok
+              FROM $corpus),
     toks AS (SELECT doc_id, tok FROM toks0 WHERE length(tok) > 0),
     tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
            FROM toks GROUP BY doc_id, tok),
@@ -284,6 +291,50 @@ object Queries {
                  ORDER BY score_q DESC, doc_id) AS rank FROM scored)
     SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_q
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val bm25TopkSql =
+    bm25TopkSqlOver("", "documents", "doc_id", "text")
+
+  /** Hex digit `i` (1-based) of the md5 column `h`, scaled — the
+    * DuckDB replay of Spark's `conv(substring(md5, 1, 4), 16, 10)`
+    * CMS bucket slice, built from `strpos` so it needs no hex-parsing
+    * builtin.
+    */
+  private def cmsHv(i: Int, mult: Int): String =
+    s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
+  private def cmsBucket(width: Int): String =
+    s"(${cmsHv(1, 4096)} + ${cmsHv(2, 256)} + ${cmsHv(3, 16)} + " +
+      s"${cmsHv(4, 1)}) % $width"
+
+  /** DuckDB replay of the Count-Min estimate row: rebuild every cell
+    * of the depth-4 × width-1024 grid from the identical md5 bucket
+    * rule, then the per-key min over the probed cells.
+    */
+  private val cmsEstimateSql = s"""
+    WITH toks0 AS (SELECT unnest(string_split(lower(trim(text)), ' '))
+                     AS tok
+                   FROM documents),
+    toks AS (SELECT tok FROM toks0 WHERE length(tok) > 0),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY tok),
+    top AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 20),
+    rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    hashed AS (SELECT tok, r,
+                 md5(CAST(r AS VARCHAR) || ':' || tok) AS h
+               FROM toks CROSS JOIN rows4),
+    cells AS (SELECT r, ${cmsBucket(1024)} AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM hashed GROUP BY 1, 2),
+    probeh AS (SELECT top.tok, top.n, r,
+                 md5(CAST(r AS VARCHAR) || ':' || top.tok) AS h
+               FROM top CROSS JOIN rows4),
+    probec AS (SELECT tok, n, r, ${cmsBucket(1024)} AS c FROM probeh),
+    est AS (SELECT p.tok, p.n,
+              CAST(min(COALESCE(cl.cnt, 0)) AS BIGINT) AS est
+            FROM probec p LEFT JOIN cells cl
+              ON p.r = cl.r AND p.c = cl.c
+            GROUP BY p.tok, p.n)
+    SELECT tok, n, est FROM est ORDER BY n DESC, tok"""
 
   /** Compacted copy of the orders table: the fixture fragments orders
     * into 64 small parquet files and runs [[graft.sinks.Compaction
@@ -4739,7 +4790,127 @@ object Queries {
       Search.searchFromIndex(s, bm25IndexFor(s, dir),
           bm25QueriesFor(docs), "qid", "qtext", k = 5)
         .orderBy("query_id", "rank")
-    }): Q, Some(bm25TopkSql)))
+    }): Q, Some(bm25TopkSql)),
+
+    // ---- STREAMING BM25 serving: the same query workload arrives as
+    // THREE micro-batches, each probing the persisted sidecar
+    // (StreamOps.bm25SearchStream). Each query's top-k depends on that
+    // query + the fixed index alone, so the accumulated sink equals
+    // the one-shot batch search — the whole-workload oracle is exact
+    // under any micro-batch split. ----
+    ("bm25_stream_queries", ((s: SparkSession, dir: String) => {
+      val idxPath = bm25IndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "bm25q", 3) {
+        bm25QueriesFor(
+          rd(s, dir, "documents").select(col("doc_id"), col("text")))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.bm25SearchStream(stream, idxPath,
+          "qid", "qtext", k = 5) { (res, _) =>
+            res.write.mode("append").parquet(outDir)
+          }
+      }.orderBy("query_id", "rank")
+    }): Q, Some(bm25TopkSql)),
+
+    // ---- BM25 reached ENTIRELY through spark.sql (graft_bm25_search
+    // table function — the fully-declarative one-plan variant, stats
+    // as a broadcast one-row cross join): same oracle as the
+    // DataFrame rows — SQL reach for the retrieval family. ----
+    ("sql_bm25_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "bm25") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("graft_sql_docs_bm25")
+        bm25QueriesFor(
+          rd(s, dir, "documents").select(col("doc_id"), col("text")))
+          .createOrReplaceTempView("graft_sql_queries_bm25")
+      }
+      s.sql("""
+        SELECT query_id, rank, doc_id, score_q
+        FROM graft_bm25_search('graft_sql_docs_bm25',
+                               'graft_sql_queries_bm25',
+                               'doc_id', 'text', 'qid', 'qtext', 5)
+        ORDER BY query_id, rank""")
+    }): Q, Some(bm25TopkSql)),
+
+    // ---- BLOOM-PRUNED exact join (persistable membership sidecar):
+    // orders pruned map-only by a bloom built from the BUILDING-segment
+    // customer keys, then the exact equi-join — bit-identical to the
+    // unpruned join (no false negatives; false positives die in the
+    // join), so the oracle is the plain join. The bloom is the perf
+    // path: only might-match rows reach the shuffle. ----
+    ("bloom_join_orders", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Bloom
+      val dim = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      Bloom.prunedJoin(rd(s, dir, "orders"), dim,
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")),
+
+    // ---- COUNT-MIN frequency estimates for the exact top-20 tokens:
+    // the additive-counts sketch member (never underestimates; the
+    // oracle rebuilds every grid cell from the identical md5 bucket
+    // rule — the sketch arithmetic is exact integer math end to end,
+    // so the estimates replay bit-for-bit). ----
+    ("cms_estimate_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.CountMin
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = graft.pipeline.TextAnalysis
+        .vocabulary(docs, "doc_id", "text", 20)
+        .select(col("tok"), col("n"))
+      CountMin.estimate(CountMin.sketch(toks, "tok", 4, 1024),
+          vocab, "tok", 4, 1024)
+        .join(vocab, col("key") === col("tok"))
+        .select(col("tok"), col("n"), col("est"))
+        .orderBy(desc("n"), col("tok"))
+    }): Q, Some(cmsEstimateSql)),
+
+    // ---- RAG chunk retrieval (the composed ingestion+serving path):
+    // token-window chunk the corpus (32/8 — the chunk_documents
+    // operating point), BM25-index the CHUNKS, serve the standard
+    // query workload top-5. Chunk keys are doc_id*1000+chunk_id (chunk
+    // counts are bounded far below 1000 by the corpus's token lengths;
+    // the oracle replays the same arithmetic). One statement replays
+    // chunking AND retrieval — the two operators compose exactly. ----
+    ("rag_chunk_search_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.{Chunking, Search}
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val chunks = Chunking.chunkDocuments(docs, "doc_id", "text",
+          size = 32, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk"))
+      Search.search(Search.buildIndex(chunks, "chunk_key", "chunk"),
+          bm25QueriesFor(docs), "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }): Q, Some(bm25TopkSqlOver(s"""
+      ct AS (SELECT doc_id, string_split(trim(text), ' ') AS tk,
+               ${tokenCountSql("text")} AS n
+             FROM documents),
+      cc AS (SELECT doc_id, tk, n,
+               CASE WHEN n <= 32 THEN 1
+                    ELSE CAST((n - 32 + 23) // 24 AS INTEGER) + 1
+               END AS nc
+             FROM ct WHERE n > 0),
+      chunks AS (SELECT doc_id * 1000 + i AS chunk_key,
+                   array_to_string(
+                     tk[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)],
+                     ' ') AS chunk
+                 FROM cc, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)),""",
+      "chunks", "chunk_key", "chunk"))))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

@@ -266,8 +266,31 @@ object GraftTableFunctions {
         if (es.length > 4) intLit(es(4), "maxDocFreq") else 1000))
   }
 
+  /** `graft_bm25_search(corpusView, queriesView, corpusId, corpusText,
+    * queryId, queryText, k)` — BM25 top-k retrieval
+    * ([[graft.pipeline.Search.searchCorpus]], the fully-declarative
+    * one-plan variant: collection stats ride in as a broadcast one-row
+    * cross join, so plan construction runs no job), as
+    * `(query_id, rank, doc_id, score_q)`.
+    */
+  private def bm25SearchBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 7,
+      "usage: graft_bm25_search(corpusView, queriesView, corpusId, " +
+        "corpusText, queryId, queryText, k)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Search.searchCorpus(
+      spark.table(strLit(es(0), "corpus view")),
+      strLit(es(2), "corpus id column"),
+      strLit(es(3), "corpus text column"),
+      spark.table(strLit(es(1), "queries view")),
+      strLit(es(4), "query id column"),
+      strLit(es(5), "query text column"),
+      intLit(es(6), "k")))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_bm25_search" -> (bm25SearchBuilder _),
     "graft_curate" -> (curateBuilder _),
     "graft_dedup_exact" -> (dedupExactBuilder _),
     "graft_contamination" -> (contaminationBuilder _),

@@ -91,18 +91,41 @@ object Search {
   /** Per-term quantized BM25 component over a frame carrying
     * `tf, dl, df` — parenthesization is part of the oracle contract
     * (each step must be the identical IEEE op sequence in DuckDB).
+    * `nD`/`avgDl` arrive as Columns so the same tree serves both the
+    * literal-stats sidecar path and the fully-declarative one-plan
+    * path (identical inputs → identical doubles either way).
     */
-  private def component(nDocs: Long, avgDl: Double, k1: Double,
+  private def component(nD: Column, avgDl: Column, k1: Double,
       b: Double, logIdf: Boolean): Column = {
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
-    val idfRatio = ((lit(nDocs.toDouble) - dfD) + lit(0.5)) /
-      (dfD + lit(0.5)) + lit(1.0)
+    val idfRatio = ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
     val idf = if (logIdf) log(idfRatio) else idfRatio
     val norm = (lit(1.0) - lit(b)) +
-      lit(b) * (col("dl").cast("double") / lit(avgDl))
+      lit(b) * (col("dl").cast("double") / avgDl)
     val tfNorm = (tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * norm)
     floor((idf * tfNorm) * lit(1e6)).cast(LongType)
+  }
+
+  /** Shared scoring tail: quantized components → exact integer sum →
+    * per-query top-k window. `cand` carries
+    * `query_id, doc_id, tf, dl, df` (+ whatever stats columns the
+    * `nD`/`avgDl` expressions read).
+    */
+  private def scoreAndRank(cand: DataFrame, nD: Column, avgDl: Column,
+      k: Int, k1: Double, b: Double, logIdf: Boolean): DataFrame = {
+    val scored = cand
+      .select(col("query_id"), col("doc_id"),
+        component(nD, avgDl, k1, b, logIdf).as("qc"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qc")).cast(LongType).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_q"))
   }
 
   /** Top-`k` documents per query: `(query_id, rank, doc_id, score_q)`
@@ -124,18 +147,42 @@ object Search {
     val qdf = index.docFreq.join(broadcast(qt), "tok")
       .select(col("tok"), col("query_id"), col("df"))
     val cand = index.postings.join(broadcast(qdf), "tok")
-    val scored = cand
-      .select(col("query_id"), col("doc_id"),
-        component(index.nDocs, index.avgDl, k1, b, logIdf).as("qc"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("qc")).cast(LongType).as("score_q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(desc("score_q"), col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score_q"))
+    scoreAndRank(cand, lit(index.nDocs.toDouble), lit(index.avgDl),
+      k, k1, b, logIdf)
+  }
+
+  /** Fully-DECLARATIVE one-plan search — no driver-side job anywhere
+    * in plan construction: collection stats ride in as a broadcast
+    * one-row cross join (`n`, `sumdl`; `avgdl = sumdl/n` is the same
+    * IEEE divide the sidecar path performs on the driver, so both
+    * paths score bit-identically). This is the variant the
+    * `graft_bm25_search` SQL table function splices (TVF plans are
+    * built during analysis and must not run jobs); use the index paths
+    * when the corpus is indexed once and probed repeatedly.
+    */
+  def searchCorpus(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"top-k size $k must be >= 1")
+    val tf = explodedTokens(corpus, idCol, textCol)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dl = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast(LongType).as("dl"))
+    val docFreq = tf.groupBy("tok")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val stats = dl.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("dl")).cast(LongType).as("sumdl"))
+    val qt = explodedTokens(queries, queryIdCol, queryTextCol)
+      .select(col("doc_id").as("query_id"), col("tok"))
+      .distinct()
+    val qdf = docFreq.join(broadcast(qt), "tok")
+      .select(col("tok"), col("query_id"), col("df"))
+    val cand = tf.join(dl, "doc_id").join(broadcast(qdf), "tok")
+      .crossJoin(broadcast(stats))
+    scoreAndRank(cand, col("n").cast("double"),
+      col("sumdl").cast("double") / col("n").cast("double"),
+      k, k1, b, logIdf = false)
   }
 
   /** Persist the index sidecar: postings range-partitioned AND sorted

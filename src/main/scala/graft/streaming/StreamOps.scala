@@ -52,6 +52,25 @@ object StreamOps {
     graft.pipeline.Chunking.chunkDocuments(stream, idCol, textCol,
       size, overlap)
 
+  /** [[probeIndexPerBatch]] against a persisted BM25 index
+    * ([[graft.pipeline.Search.writeIndex]]) — the serving loop of the
+    * sparse-retrieval family: every micro-batch of QUERIES probes the
+    * sidecar and `sink` receives that batch's top-k rows. Each query's
+    * result depends on that query and the fixed index alone, so the
+    * accumulated output equals the one-shot batch search over the same
+    * query set regardless of micro-batch placement (StreamOpsSpec and
+    * `bm25_stream_queries` pin it).
+    */
+  def bm25SearchStream(stream: DataFrame, indexPath: String,
+      queryIdCol: String, queryTextCol: String, k: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      graft.pipeline.Search.searchFromIndex(batch.sparkSession,
+        indexPath, batch, queryIdCol, queryTextCol, k)
+    }
+
   /** Windowed per-key event counts + value sums with a watermark — the
     * canonical streaming aggregation (late data beyond `delay` dropped).
     */

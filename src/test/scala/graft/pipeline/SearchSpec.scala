@@ -111,6 +111,28 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
       s"postings must not shuffle for a query probe:\n$plan")
   }
 
+  test("one-plan searchCorpus == sidecar search; TVF splices it") {
+    val queries = Seq((1L, "rare common"), (2L, "zeta delta"))
+      .toDF("qid", "qtext")
+    val key = (df: DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaIndex = Search.search(
+      Search.buildIndex(docs, "doc_id", "text"),
+      queries, "qid", "qtext", k = 4)
+    val onePlan = Search.searchCorpus(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 4)
+    assert(key(viaIndex) == key(onePlan))
+    graft.functions.GraftTableFunctions.register(spark)
+    docs.createOrReplaceTempView("bm25_docs_v")
+    queries.createOrReplaceTempView("bm25_q_v")
+    val viaSql = spark.sql(
+      """SELECT query_id, rank, doc_id, score_q
+         FROM graft_bm25_search('bm25_docs_v', 'bm25_q_v',
+                                'doc_id', 'text', 'qid', 'qtext', 4)""")
+    assert(key(viaIndex) == key(viaSql))
+  }
+
   test("blank docs excluded from N and avgdl") {
     val withBlank = docs.unionAll(
       Seq((9L, "   "), (10L, null.asInstanceOf[String]))

@@ -296,6 +296,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("micro-batch BM25 search = batch search (fixed-index parity)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25stream").toString
+    graft.pipeline.Search.writeIndex(docs, "doc_id", "text", path)
+    val queries = docs.filter($"doc_id" % 17 === 0)
+      .select($"doc_id".as("qid"),
+        substring($"text", 1, 40).as("qtext"))
+      .as[(Long, String)].collect().toSeq
+    assert(queries.size >= 4)
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long)]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.bm25SearchStream(
+      input.toDF().toDF("qid", "qtext"), path, "qid", "qtext",
+      k = 3) { (res, _) =>
+        found ++= res.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        ()
+      }.start()
+    input.addData(queries.filter(_._1 % 2 == 0))
+    q.processAllAvailable()
+    input.addData(queries.filter(_._1 % 2 != 0))
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.pipeline.Search.searchFromIndex(spark, path,
+        queries.toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(oneShot.nonEmpty)
+    assert(found.toSet == oneShot)
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("windowed stats with watermark aggregate per window+key") {
     val input = MemoryStream[(Timestamp, Long, Double)](spark)
     val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
