@@ -336,6 +336,47 @@ object Queries {
             GROUP BY p.tok, p.n)
     SELECT tok, n, est FROM est ORDER BY n DESC, tok"""
 
+  /** DuckDB replay of the video-fingerprint oracle — identical CTE
+    * shape to the audio queries: planted md5 frame envelopes → scaled
+    * amps → relative-energy bits → full Hamming per pair; `select`
+    * supplies the per-query final projection (`incremental` switches
+    * the ham pair columns to x/y for the new-vs-corpus split).
+    */
+  private def videoDedupSql(select: String,
+      incremental: Boolean = false): String = {
+    val (ca, cb) = if (incremental) ("x", "y") else ("id_a", "id_b")
+    s"""
+      WITH clips AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert, 1 AS scale
+        FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0, 2 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(((CAST(('0x' || left(md5(CAST(src AS VARCHAR)
+                        || ':' || CAST(c AS VARCHAR)), 4)) AS INTEGER)
+                      % 1024) * 2 +
+                     CASE WHEN pert = 1 AND c < 4 THEN 60 ELSE 0 END)
+                    // scale AS BIGINT) AS amp
+        FROM (SELECT doc_id, src, pert, scale, unnest(range(0, 64)) AS c
+              FROM clips)),
+      tot AS (SELECT doc_id, SUM(amp) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.amp * 64 > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS $ca, b.doc_id AS $cb,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      $select"""
+  }
+
   /** Compacted copy of the orders table: the fixture fragments orders
     * into 64 small parquet files and runs [[graft.sinks.Compaction
     * .compact]] over them ONCE per (session, dir) — the query then
@@ -742,6 +783,67 @@ object Queries {
       path
     })
 
+  /** Planted video-DEDUP fixture — the MP4 analog of
+    * [[dedupWavBlobsFor]]: per doc a 64-frame clip whose frame
+    * byte-sums are `(md5("src:f")[0:2 BE] % 1024) * 2`; every 10th doc
+    * re-arrives REMUXED (+50000: frame count DOUBLED, per-frame energy
+    * HALVED — the relative envelope rule cancels both, Hamming 0 by
+    * arithmetic); every 15th doc NEAR-DUPLICATED (+60000: first four
+    * frames +60). All energies are md5 arithmetic, so the oracle
+    * replays every fingerprint bit exactly.
+    */
+  private val dedupVideoBlobCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def dedupVideoBlobsFor(s: SparkSession, dir: String): DataFrame =
+    sweepStopped(dedupVideoBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      def ampsFor(src: Long, pert: Boolean, halved: Boolean): Array[Int] =
+        Array.tabulate(64) { f =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$src:$f".getBytes("UTF-8"))
+          val v = ((dg(0) & 0xff) << 8) | (dg(1) & 0xff)
+          val a = (v % 1024) * 2 + (if (pert && f < 4) 60 else 0)
+          if (halved) a / 2 else a
+        }
+      def mp4(nFrames: Int, amps: Array[Int]): Array[Byte] =
+        Multimodal.encodeMp4(timescale = 600,
+          durationTicks = 600L * nFrames, width = 320, height = 240,
+          nFrames = nFrames,
+          mdatPayload = Multimodal.encodeFramePayload(amps, segLen = 12))
+      val ids = rdPar(s, d, "documents").select(col("doc_id").cast("long"))
+      val base = ids.as[Long].map { id =>
+        (id, mp4(64, ampsFor(id, pert = false, halved = false)))
+      }
+      val remux = ids.filter(col("doc_id") % 10 === 0).as[Long].map { id =>
+        (id + 50000, mp4(128, ampsFor(id, pert = false, halved = true)
+          .flatMap(a => Array(a, a))))
+      }
+      val near = ids.filter(col("doc_id") % 15 === 0).as[Long].map { id =>
+        (id + 60000, mp4(64, ampsFor(id, pert = true, halved = false)))
+      }
+      val all = base.union(remux).union(near).toDF("doc_id", "vid")
+        .select(col("doc_id"),
+          Multimodal.asVideoBlob(col("vid"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      all
+    })
+
+  /** Persisted video-fingerprint index over the BASE planted clips
+    * (doc_id < 50000 of [[dedupVideoBlobsFor]]).
+    */
+  private val videoIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def videoIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(videoIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("videofp", d)
+      graft.pipeline.Multimodal.writeVideoIndex(
+        dedupVideoBlobsFor(s, d).filter(col("doc_id") < 50000),
+        "doc_id", "blob", path)
+      path
+    })
+
   /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
     * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
     * doc_id-derived timescale/duration/dims/frame-count the oracle knows
@@ -837,6 +939,31 @@ object Queries {
     * re-evaluates query bodies, and a streaming query resuming a prior
     * run's checkpoint would skip every batch and time an empty stream.
     */
+  /** A FRESH sidecar path per call: maintenance queries fold batches
+    * into persisted state, and additive sidecars (count-min) would
+    * double-count if a re-evaluated bench body reused the previous
+    * evaluation's folds — so every evaluation builds from empty.
+    */
+  def freshSidecarPath(kind: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${kind}_p" +
+      java.lang.ProcessHandle.current().pid() + "_" +
+      java.util.UUID.randomUUID().toString
+
+  /** Start a maintenance stream (foreachBatch writer with NO read-back
+    * output — the side effect IS the product), drain all available
+    * input, stop. Fresh checkpoint per call for the same reason as
+    * [[collectStream]].
+    */
+  def drainStream(s: SparkSession)(
+      writer: => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val ckpt = sys.props("java.io.tmpdir") + "/graft_drain_p" +
+      java.lang.ProcessHandle.current().pid() + "_" +
+      java.util.UUID.randomUUID().toString
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def collectStream(s: SparkSession)(
       mk: String => org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row]): DataFrame = {
@@ -856,7 +983,8 @@ object Queries {
     */
   def releaseFixtures(s: SparkSession): Unit =
     Seq(imageBlobCache, audioBlobCache, gridBlobCache,
-        dedupGridBlobCache, videoBlobCache).foreach { cache =>
+        dedupGridBlobCache, dedupWavBlobCache, videoBlobCache,
+        dedupVideoBlobCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -4910,7 +5038,137 @@ object Queries {
                      tk[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)],
                      ' ') AS chunk
                  FROM cc, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)),""",
-      "chunks", "chunk_key", "chunk"))))
+      "chunks", "chunk_key", "chunk"))),
+
+    // ---- Bloom-pruned exact ANTI-join (the incremental-ingest skip
+    // pattern: drop rows whose key is already in the processed set):
+    // filter-rejected rows pass through map-only; only the might-match
+    // slice pays the exact left_anti that kills false positives — so
+    // the oracle is the plain NOT EXISTS. ----
+    ("bloom_antijoin_orders", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Bloom
+      val dim = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      Bloom.prunedAntiJoin(rd(s, dir, "orders"), dim,
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer
+                        WHERE c_custkey = o.o_custkey
+                          AND c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey""")),
+
+    // ---- STREAM-MAINTAINED bloom sidecar serving a pruned join: the
+    // BUILDING customer keys arrive as three micro-batches folding into
+    // a persisted filter (bitwise-OR merge — idempotent), which then
+    // prunes the orders join. Bloom probes only reduce what reaches
+    // the shuffle, so the stream-built filter serves the identical
+    // exact join — same oracle as the batch-built bloom_join_orders. ----
+    ("bloom_stream_join_orders", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Bloom
+      val dimKeys = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val inDir = streamInputFor(s, dir, "bloomdim", 3)(dimKeys)
+      val path = freshSidecarPath("bloomstream")
+      Bloom.writeFilter(dimKeys.limit(0), "c_custkey",
+        numBits = 1 << 16, numHashes = 7, path)
+      drainStream(s) {
+        graft.streaming.StreamOps.bloomUpdateStream(
+          s.readStream.schema(s.read.parquet(inDir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir),
+          path, "c_custkey")
+      }
+      Bloom.prunedJoinWith(Bloom.readFilter(s, path),
+          rd(s, dir, "orders"), dimKeys, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")),
+
+    // ---- STREAM-MAINTAINED count-min sidecar: the token stream folds
+    // into the persisted grid in three micro-batches (cellwise-ADDITIVE
+    // merge — exact integer counts, so the folded grid is bit-identical
+    // to the build-at-once sketch and the estimates replay on the SAME
+    // oracle as cms_estimate_documents). ----
+    ("cms_stream_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.CountMin
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val toks = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+"))
+          .as("tok"))
+        .filter(length(col("tok")) > 0)
+      val inDir = streamInputFor(s, dir, "cmstoks", 3)(toks)
+      val path = freshSidecarPath("cmsstream")
+      CountMin.writeSketch(toks.limit(0), "tok", depth = 4,
+        width = 1024, path)
+      drainStream(s) {
+        graft.streaming.StreamOps.cmsUpdateStream(
+          s.readStream.schema(s.read.parquet(inDir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir),
+          path)
+      }
+      val (cells, d, w) = CountMin.readSketch(s, path)
+      val vocab = graft.pipeline.TextAnalysis
+        .vocabulary(docs, "doc_id", "text", 20)
+        .select(col("tok"), col("n"))
+      CountMin.estimate(cells, vocab, "tok", d, w)
+        .join(vocab, col("key") === col("tok"))
+        .select(col("tok"), col("n"), col("est"))
+        .orderBy(desc("n"), col("tok"))
+    }): Q, Some(cmsEstimateSql)),
+
+    // ---- VIDEO near-duplicate pairs (completes the multimodal
+    // triple): planted MP4 clips with md5-derived frame envelopes,
+    // remuxed copies (double frames / half energy — Hamming 0 by the
+    // relative envelope rule) and perturbed near-dups. The oracle
+    // replays every fingerprint bit from the planted arithmetic, the
+    // audio-family discipline. ----
+    ("video_dedup_pairs", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.videoDedupPairs(dedupVideoBlobsFor(s, dir),
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(videoDedupSql(
+      """SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b"""))),
+
+    // ---- incremental video near-dup against the PERSISTED
+    // fingerprint index (writeVideoIndex): the remuxed and perturbed
+    // clips arrive as the batch, probing the base-corpus index. ----
+    ("video_dedup_index_pairs", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      val path = videoIndexFor(s, dir)
+      val batch = dedupVideoBlobsFor(s, dir)
+        .filter(col("doc_id") >= 50000)
+      Multimodal.videoDedupPairsFromIndex(s, path, batch,
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(videoDedupSql(
+      """SELECT CAST(CASE WHEN x >= 50000 THEN x ELSE y END AS BIGINT)
+               AS id_a,
+             CAST(CASE WHEN x >= 50000 THEN y ELSE x END AS BIGINT)
+               AS id_b,
+             CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 AND y >= 50000
+      ORDER BY id_a, id_b""", incremental = true))))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

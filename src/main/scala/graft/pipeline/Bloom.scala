@@ -170,12 +170,55 @@ object Bloom {
     * the fact table and shuffling its matching slice.
     */
   def prunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, fpp: Double = 0.01): DataFrame =
+    prunedJoinWith(sizedFor(dim, dimKey, fpp), fact, dim, factKey, dimKey)
+
+  /** [[prunedJoin]] against an ALREADY-BUILT filter handle (read from a
+    * persisted sidecar, or maintained by a stream) — the serving form:
+    * the dim scan that `prunedJoin` pays to size+build is skipped.
+    */
+  def prunedJoinWith(bf: BloomFilter, fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame =
+    fact.filter(bf.mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+
+  /** Bloom-pruned exact ANTI-join — the incremental-ingest skip
+    * pattern ("drop documents whose id is already in the processed
+    * corpus"): rows whose key the filter REJECTS are definitely new
+    * (no false negatives) and pass through MAP-ONLY, never reaching a
+    * shuffle; only the might-match slice pays the exact `left_anti`
+    * join that removes true members and revives false positives.
+    * Result is bit-identical to `fact.join(dim, …, "left_anti")`
+    * (NULL fact keys never match, so both keep them).
+    *
+    * Cost shape: two map-only passes over the fact scan (definite-new
+    * + candidate slices) instead of one pass + a FULL anti-join
+    * shuffle — at 100 TB the scan is the cheap part and the shuffle
+    * the expensive one, and with a ~1% fpp the candidate slice that
+    * shuffles is roughly the true-member mass. Use when `dim` is past
+    * broadcast size; under it, Spark's broadcast anti-join already
+    * wins.
+    */
+  def prunedAntiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.01): DataFrame =
+    prunedAntiJoinWith(sizedFor(dim, dimKey, fpp), fact, dim, factKey,
+      dimKey)
+
+  /** [[prunedAntiJoin]] against an already-built filter handle. */
+  def prunedAntiJoinWith(bf: BloomFilter, fact: DataFrame,
+      dim: DataFrame, factKey: String, dimKey: String): DataFrame = {
+    val might = bf.mightContain(col(factKey))
+    fact.filter(!might).unionAll(
+      fact.filter(might)
+        .join(dim, col(factKey) === col(dimKey), "left_anti"))
+  }
+
+  /** Size from the dim's distinct-key count and build in one pass. */
+  private def sizedFor(dim: DataFrame, dimKey: String,
+      fpp: Double): BloomFilter = {
     val nKeys = math.max(1L,
       dim.agg(countDistinct(col(dimKey))).head().getLong(0))
     val (m, k) = sizeFor(nKeys, fpp)
-    val bf = build(dim, dimKey, m, k)
-    fact.filter(bf.mightContain(col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    build(dim, dimKey, m, k)
   }
 }

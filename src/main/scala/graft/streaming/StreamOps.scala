@@ -215,6 +215,22 @@ object StreamOps {
         maxHamming, scope = scope)
     }
 
+  /** [[probeIndexPerBatch]] against a persisted VIDEO-fingerprint
+    * index ([[graft.pipeline.Multimodal.writeVideoIndex]]) — the video
+    * member of the multimodal near-dup triple, same contract as the
+    * image/audio members.
+    */
+  def videoDedupStreamAgainstIndex(stream: DataFrame, indexPath: String,
+      idCol: String, blobCol: String, maxHamming: Int = 8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Multimodal.videoDedupPairsFromIndex(
+        batch.sparkSession, indexPath, batch, idCol, blobCol,
+        maxHamming, scope = scope)
+    }
+
   /** Per-micro-batch corpus CURATION — the composed daily-driver on a
     * stream: each arriving batch runs the full `Curation.curate` audit
     * (language → quality → exact dedup → near-dup → split) WITHIN the
@@ -302,6 +318,44 @@ object StreamOps {
     probeIndexPerBatch(stream)(sink) { (batch, _) =>
       graft.pipeline.Curation.contamination(batch, benchmark,
         idCol, textCol, benchTextCol, shingleSize)
+    }
+
+  /** Sidecar MAINTENANCE from a stream — the ingest side of the
+    * [[graft.pipeline.Bloom]] membership family: each micro-batch of
+    * keys folds into the persisted filter at `path` (which must
+    * already exist — [[graft.pipeline.Bloom.writeFilter]], possibly
+    * over zero rows). Bloom merge is bitwise OR — IDEMPOTENT — so a
+    * checkpoint-replayed batch is exactly a no-op and the maintained
+    * sidecar equals the build-at-once filter over the whole stream
+    * bit-for-bit, regardless of micro-batch placement (StreamOpsSpec
+    * pins word-array equality).
+    */
+  def bloomUpdateStream(stream: DataFrame, path: String,
+      keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.pipeline.Bloom.updateFilter(batch.sparkSession, path,
+          batch, keyCol)
+    }
+
+  /** Sidecar maintenance for the [[graft.pipeline.CountMin]] frequency
+    * grid: each micro-batch folds in by cellwise ADDITION, so the
+    * maintained grid equals the build-at-once sketch over the whole
+    * stream bit-for-bit (counts-additivity) — but unlike the bloom's
+    * idempotent OR, additive folds must apply EXACTLY ONCE: a replayed
+    * batch double-counts. Run with a checkpoint and a sink that
+    * tolerates at-least-once only if upstream delivers batch-id
+    * dedup; the parity spec drives it with exactly-once local input.
+    */
+  def cmsUpdateStream(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.pipeline.CountMin.updateSketch(batch.sparkSession, path,
+          batch)
     }
 
   /** Per micro-batch AS-OF join against a STATIC right side (the

@@ -69,4 +69,25 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(m % 64 == 0 && m > 10000)
     assert(k >= 4 && k <= 10)
   }
+
+  test("pruned anti-join == exact left_anti; null fact keys kept") {
+    // f_key runs 0..4998 plus one NULL-keyed row; dim holds every
+    // 50th key — the anti-join keeps non-members AND the null row
+    val fact = spark.range(0, 5000)
+      .select(when(col("id") === 4999, lit(null))
+        .otherwise(col("id")).cast("long").as("f_key"),
+        (col("id") * 7).as("payload"))
+    val dim = spark.range(0, 5000).filter(col("id") % 50 === 0)
+      .select(col("id").as("d_key"), lit("x").as("tag"))
+    val pruned = Bloom.prunedAntiJoin(fact, dim, "f_key", "d_key")
+    val exact = fact.join(dim, col("f_key") === col("d_key"),
+      "left_anti")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(key(pruned) == key(exact))
+    // 4900 rows survive: 5000 minus the 100 dim-member keys, the
+    // NULL-keyed row among the keepers
+    assert(pruned.count() == 4900 && exact.count() == 4900)
+    assert(pruned.filter(col("f_key").isNull).count() == 1)
+  }
 }

@@ -595,4 +595,57 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(closed == Set((1L, 2L), (2L, 1L)), closed.toString)
   }
+
+  test("stream-maintained bloom sidecar == build-at-once filter") {
+    import graft.pipeline.Bloom
+    val path = java.nio.file.Files
+      .createTempDirectory("bloomstream").toString
+    val all = (0L until 600L).map(i => "k" + i)
+    Bloom.writeFilter(Seq.empty[String].toDF("key"), "key",
+      numBits = 4096, numHashes = 5, path)
+    val input = MemoryStream[String](spark)
+    val q = StreamOps.bloomUpdateStream(
+      input.toDF().toDF("key"), path, "key").start()
+    input.addData(all.take(200)); q.processAllAvailable()
+    input.addData(all.slice(200, 400)); q.processAllAvailable()
+    input.addData(all.drop(400)); q.processAllAvailable()
+    q.stop()
+    val folded = Bloom.readFilter(spark, path)
+    val once = Bloom.build(all.toDF("key"), "key", 4096, 5)
+    // OR-mergeable: word arrays bit-identical to the one-shot build
+    assert(folded.words.toSeq == once.words.toSeq)
+    assert(all.toDF("key")
+      .filter(!folded.mightContain(col("key"))).count() == 0)
+  }
+
+  test("stream-maintained count-min grid == build-at-once sketch") {
+    import graft.pipeline.CountMin
+    val path = java.nio.file.Files
+      .createTempDirectory("cmsstream").toString
+    CountMin.writeSketch(Seq.empty[String].toDF("tok"), "tok",
+      depth = 4, width = 256, path)
+    val toks = for { i <- 1 to 40; _ <- 1 to i } yield "t" + i
+    val input = MemoryStream[String](spark)
+    val q = StreamOps.cmsUpdateStream(
+      input.toDF().toDF("tok"), path).start()
+    input.addData(toks.take(300)); q.processAllAvailable()
+    input.addData(toks.drop(300)); q.processAllAvailable()
+    q.stop()
+    val (cells, d, w) = CountMin.readSketch(spark, path)
+    assert(d == 4 && w == 256)
+    val grid = (df: org.apache.spark.sql.DataFrame) => df
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sorted.toList
+    // counts-additive: cell grid bit-identical to the one-shot sketch
+    assert(grid(cells.select("r", "c", "cnt")) ==
+      grid(CountMin.sketch(toks.toDF("tok"), "tok", 4, 256)
+        .select("r", "c", "cnt")))
+    // and estimates over the folded grid never underestimate
+    val est = CountMin.estimate(cells,
+        (1 to 40).map(i => "t" + i).toDF("tok"), "tok", 4, 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    (1 to 40).foreach { i =>
+      assert(est("t" + i) >= i.toLong, s"t$i underestimated")
+    }
+  }
 }
