@@ -175,14 +175,14 @@ object Bench {
     *
     * Order: light packed bins FIRST (they carry ~3/4 of the entry
     * count for ~1/4 of the wall clock, so a worst-case cut still
-    * yields a broad artifact), then heavy bins, then solos
-    * heaviest-first (a late cut loses the smallest heavies, not the
-    * flagship evidence).
+    * yields a broad artifact), then solos heaviest-first (the
+    * flagship evidence), heavy bins last — a late cut loses mid-tier
+    * entries whose cheap family twins are already timed.
     */
   private def binPlan(priors: Map[String, (Double, Double, Double)],
-      heavyCut: Double = 2.5, soloCut: Double = 4.5,
+      heavyCut: Double = 2.5, soloCut: Double = 4.0,
       binEvalBudgetSec: Double = 75.0, maxBinSize: Int = 12,
-      heavyBinBudgetSec: Double = 120.0, maxHeavyBinSize: Int = 3)
+      heavyBinBudgetSec: Double = 120.0, maxHeavyBinSize: Int = 2)
       : Vector[Vector[(String, Int)]] = {
     val warmEst = 3 // typical adaptive warmups per entry in a warm JVM
     val noPriorEstSec = 1.25
@@ -228,9 +228,12 @@ object Bench {
     }
     val soloBins = solo.sortBy(n => -med(n))
       .map(n => Vector((n, runsFor(n, priors))))
-    (pack(light, binEvalBudgetSec, maxBinSize) ++
-      pack(heavy, heavyBinBudgetSec, maxHeavyBinSize) ++
-      soloBins).toVector
+    // light bins first (breadth under any cut), then the SOLO
+    // flagships, heavy bins last — a deadline cut drops mid-tier
+    // entries whose cheap family twins are already timed, never the
+    // multi-second stream/curation evidence
+    (pack(light, binEvalBudgetSec, maxBinSize) ++ soloBins ++
+      pack(heavy, heavyBinBudgetSec, maxHeavyBinSize)).toVector
   }
 
   private def buildSession(): SparkSession = {
@@ -472,6 +475,12 @@ object Bench {
   private def runMulti(specs: Seq[(String, Int)]): Unit = {
     val spark = buildSession()
     specs.zipWithIndex.foreach { case ((name, runs), i) =>
+      // settle the heap between entries: the r13 first packed run
+      // showed prior-entry residue turning one timed run GC-bound
+      // (repetition_documents 0.83 min / 2.17 med in a shared JVM vs
+      // 0.43 solo) — an explicit full GC between entries charges the
+      // cleanup to the gap, not to a sibling's timed run
+      if (i > 0) { System.gc(); Thread.sleep(200) }
       val body = benchBody(spark, name)
       val b = timeSamples(spark, name,
         defaultWarmups = if (i == 0) 2 else 1,

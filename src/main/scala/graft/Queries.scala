@@ -5168,7 +5168,48 @@ object Queries {
                AS id_b,
              CAST(hamming AS INTEGER) AS hamming
       FROM ham WHERE hamming <= 8 AND y >= 50000
-      ORDER BY id_a, id_b""", incremental = true))))
+      ORDER BY id_a, id_b""", incremental = true))),
+
+    // ---- MARKUP-STRIPPED text extraction (the web-scrape ingest
+    // stage): each document wrapped in a realistic HTML shell —
+    // script/style blocks, comments, attributes, entities — then
+    // stripped back to prose. The oracle replays the identical regex +
+    // literal-replace pipeline (no backreferences/lookarounds, so Java
+    // regex and RE2 agree). Map-only, no shuffle. ----
+    ("extract_text_documents", ((s: SparkSession, dir: String) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"t\">var i = 0;</script></head>" +
+          "<body><h1>Title</h1><!-- note --><p class=\"b\">"),
+        col("text"),
+        lit("</p><p>&amp;co &lt;raw&gt; &#39;q&#39;&nbsp;end</p>" +
+          "</body></html>"))
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH h AS (SELECT doc_id,
+        '<html><head><style>p{color:red}</style>' ||
+        '<script type="t">var i = 0;</script></head>' ||
+        '<body><h1>Title</h1><!-- note --><p class="b">' || text ||
+        '</p><p>&amp;co &lt;raw&gt; &#39;q&#39;&nbsp;end</p>' ||
+        '</body></html>' AS html FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html,
+                    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+      FROM h ORDER BY doc_id""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

@@ -55,6 +55,7 @@ object GraftFunctions {
     "graft_quality_score" -> unary(TextAnalysis.qualityScore),
     "graft_lang_id" -> unary(TextAnalysis.langId),
     "graft_fingerprint" -> unary(TextAnalysis.fingerprint),
+    "graft_strip_markup" -> unary(TextAnalysis.stripMarkup),
     // PII pre-filter signals + typed-marker redaction
     "graft_email_count" -> unary(TextAnalysis.emailCount),
     "graft_ipv4_count" -> unary(TextAnalysis.ipv4Count),

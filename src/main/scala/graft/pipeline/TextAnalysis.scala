@@ -173,6 +173,31 @@ object TextAnalysis {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  /** Markup stripping — the web-scrape EXTRACTION stage that feeds
+    * every text operator downstream: drop `<script>`/`<style>` blocks
+    * whole (their content is code, not prose), HTML comments, then all
+    * remaining tags; decode the six entities that survive into prose
+    * (`&nbsp; &lt; &gt; &quot; &#39; &amp;` — amp LAST, the standard
+    * order, so `&amp;lt;` decodes to the literal `&lt;` and not `<`);
+    * collapse whitespace and trim. Pure codegen'd expressions (regex +
+    * literal replaces, all replayable in the oracle — no backreferences
+    * or lookarounds, so the patterns mean the same thing to Java regex
+    * and RE2); at 100 TB this is a map-only pass with no shuffle.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) =>
+        call_function("replace", c, lit(k), lit(v))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-row PII stat columns appended to `df`. */
   def withPiiStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_email", emailCount(col(textCol)))

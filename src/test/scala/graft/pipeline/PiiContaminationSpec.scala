@@ -83,4 +83,23 @@ class PiiContaminationSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark side must broadcast; got:\n$plan")
   }
+
+  test("stripMarkup: blocks whole, tags out, entities decoded, " +
+      "whitespace collapsed") {
+    def strip(s: String): String =
+      one(s).select(TextAnalysis.stripMarkup($"text").as("c"))
+        .head().getString(0)
+    assert(strip("<html><head><STYLE>p {color:red}</STYLE>" +
+      "<script type=\"t\">var i = \"<p>not prose</p>\";</script></head>" +
+      "<body><h1>Title</h1><!-- note -->\n<p class=\"b\">hello\t " +
+      "world</p></body></html>") == "Title hello world")
+    // entities: amp decodes LAST, so &amp;lt; is the literal &lt;
+    assert(strip("a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; " +
+      "x&amp;y &amp;lt;") == "a b <tag> \"q\" 's' x&y &lt;")
+    // decoded angle brackets are prose, not tags
+    assert(strip("keep &lt;script&gt;me&lt;/script&gt;") ==
+      "keep <script>me</script>")
+    // unclosed/script-free input passes through collapsed
+    assert(strip("  plain   text  ") == "plain text")
+  }
 }
