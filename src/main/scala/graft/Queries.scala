@@ -5209,7 +5209,39 @@ object Queries {
             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
           '\s+', ' ', 'g')) AS clean
-      FROM h ORDER BY doc_id""")))
+      FROM h ORDER BY doc_id""")),
+
+    // ---- LM-QUALITY-GATED sampling (the perplexity-filter +
+    // downsample composition every pretraining pipeline runs): docs at
+    // or above the 0.125 score threshold (≈ the corpus median at both
+    // SFs) pass whole; the low tier keeps a deterministic 50%
+    // content-hash sample. Cross-engine safe BY CONSTRUCTION: lm_score
+    // doubles are bit-identical in both engines (quantized-long sums,
+    // one IEEE divide — the lm_score_documents contract), so the
+    // threshold compare and the md5 sample rule replay exactly. ----
+    ("lm_filter_sample_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.{LanguageModel, Sampling}
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = LanguageModel.train(docs, "doc_id", "text", vocabSize = 20)
+      LanguageModel.score(docs, "doc_id", "text", m)
+        .join(docs, "doc_id")
+        .withColumn("tier",
+          when(col("lm_score") >= 0.125, "high").otherwise("low"))
+        .filter(col("tier") === "high" ||
+          Sampling.hashSampleColumn(col("text"), 0.5))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+          col("tier"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH sc AS ($lmScoreSql),
+      j AS (SELECT s.doc_id, s.n_bigrams, s.lm_score,
+              CASE WHEN s.lm_score >= 0.125 THEN 'high'
+                   ELSE 'low' END AS tier,
+              d.text
+            FROM sc s JOIN documents d ON s.doc_id = d.doc_id)
+      SELECT doc_id, n_bigrams, lm_score, tier FROM j
+      WHERE tier = 'high' OR substr(md5(text), 1, 4) < '8000'
+      ORDER BY doc_id""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap
