@@ -59,10 +59,26 @@ object TextAnalysis {
     langProbes(lang).map(p => occ(lower(text), p))
       .reduce(_ + _)
 
-  /** N-gram/stopword heuristic language ID with a deterministic tie order.
-    * Unknown ("und") when no probe fires.
+  /** N-gram/stopword heuristic language ID with a deterministic tie
+    * order; unknown ("und") when no probe fires. Dispatches to the
+    * native codegen'd kernel ([[graft.functions.TextExpressions
+    * .langIdC]]) — one lowercase pass + greedy byte-scans instead of
+    * the 25 per-probe `replace` allocations of the Column tree below;
+    * same scores, tie order, and oracle contract bit-for-bit
+    * (TextExpressionsSpec pins corpus-wide parity). NULL text is "und"
+    * — the Column tree's null-comparison fallthrough lands on the
+    * otherwise("und") arm and the SQL oracle's CASE does the same, so
+    * the native kernel's null is coalesced to match.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    coalesce(graft.functions.TextExpressions.langIdC(text), lit("und"))
+
+  /** The portable Column-tree spelling of [[langId]] — `occ()`
+    * arithmetic that mirrors the DuckDB oracle symbol for symbol; kept
+    * as the executable specification the native kernel is tested
+    * against.
+    */
+  private[graft] def langIdColumnTree(text: Column): Column = {
     val order = Seq("en", "de", "fr", "es", "it")
     val scores = order.map(l => l -> langScore(text, l))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
@@ -73,31 +89,15 @@ object TextAnalysis {
     winner
   }
 
-  /** DataFrame-staged language ID: per-language scores are computed ONCE
-    * in their own projection and the winner CASE runs over the score
-    * attributes. The single-Column [[langId]] inlines every score into
-    * both the `greatest` and each WHEN arm — ~3× the replace() calls per
-    * row; at corpus scale that triples the hottest string work. Same
-    * result, same tie order.
+  /** `df` plus a language column. Historically this staged per-language
+    * scores into their own projection to keep the Column-tree spelling
+    * from inlining every score ~3×; the native kernel computes all
+    * scores in one pass, so the staging is gone and this is now just
+    * the one-column form of [[langId]].
     */
   def withLangId(df: DataFrame, textCol: String,
-      as: String = "lang"): DataFrame = {
-    val order = Seq("en", "de", "fr", "es", "it")
-    val lowName = s"__langid_lower_$as"
-    val scoreName = order.map(l => l -> s"__langid_${l}_$as").toMap
-    val lowered = df.withColumn(lowName, lower(col(textCol)))
-    val scored = order.foldLeft(lowered) { (d, l) =>
-      d.withColumn(scoreName(l),
-        langProbes(l).map(p => occ(col(lowName), p)).reduce(_ + _))
-    }
-    val best = order.map(l => col(scoreName(l))).reduce(greatest(_, _))
-    val winner = order.foldRight(lit("und")) { case (l, acc) =>
-      when(col(scoreName(l)) === best && col(scoreName(l)) > 0, lit(l))
-        .otherwise(acc)
-    }
-    scored.withColumn(as, winner)
-      .drop(lowName +: order.map(scoreName): _*)
-  }
+      as: String = "lang"): DataFrame =
+    df.withColumn(as, langId(col(textCol)))
 
   /** Integer quality score 0..100 from length, alpha ratio and token stats:
     *   40 * clamp(tokens/20) + 30 * alphaRatio + 30 * avgWordLen in [3,12].
