@@ -336,6 +336,27 @@ object Queries {
             GROUP BY p.tok, p.n)
     SELECT tok, n, est FROM est ORDER BY n DESC, tok"""
 
+  /** DuckDB replay of the token-window chunker (32/8 operating point)
+    * — shared by the DataFrame row and the `graft_chunk` TVF row.
+    */
+  private lazy val chunkSql: String = s"""
+      WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks,
+               ${tokenCountSql("text")} AS n
+        FROM documents),
+      c AS (SELECT doc_id, toks, n,
+              CASE WHEN n <= 32 THEN 1
+                   ELSE CAST((n - 32 + 23) // 24 AS INTEGER) + 1 END AS nc
+            FROM t WHERE n > 0)
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+             CAST(i * 24 AS INTEGER) AS start_tok,
+             CAST(LEAST(32, n - i * 24) AS INTEGER) AS n_tok,
+             array_to_string(
+               toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)],
+               ' ') AS chunk
+      FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
+      ORDER BY doc_id, chunk_id"""
+
   /** DuckDB replay of the video-fingerprint oracle — identical CTE
     * shape to the audio queries: planted md5 frame envelopes → scaled
     * amps → relative-energy bits → full Hamming per pair; `select`
@@ -4751,23 +4772,23 @@ object Queries {
           rd(s, dir, "documents"), "doc_id", "text",
           size = 32, overlap = 8)
         .orderBy("doc_id", "chunk_id")
-    }): Q, Some(s"""
-      WITH t AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks,
-               ${tokenCountSql("text")} AS n
-        FROM documents),
-      c AS (SELECT doc_id, toks, n,
-              CASE WHEN n <= 32 THEN 1
-                   ELSE CAST((n - 32 + 23) // 24 AS INTEGER) + 1 END AS nc
-            FROM t WHERE n > 0)
-      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
-             CAST(i * 24 AS INTEGER) AS start_tok,
-             CAST(LEAST(32, n - i * 24) AS INTEGER) AS n_tok,
-             array_to_string(
-               toks[CAST(i*24+1 AS INTEGER):CAST(i*24+32 AS INTEGER)],
-               ' ') AS chunk
-      FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
-      ORDER BY doc_id, chunk_id""")),
+    }): Q, Some(chunkSql)),
+
+    // ---- the chunker reached ENTIRELY through spark.sql (graft_chunk
+    // TVF splices the identical Column trees): same oracle as the
+    // DataFrame row — SQL reach for the RAG-prep family. ----
+    ("sql_chunk_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "chunk") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("graft_sql_docs_chunk")
+      }
+      s.sql("""
+        SELECT doc_id, chunk_id, start_tok, n_tok, chunk
+        FROM graft_chunk('graft_sql_docs_chunk', 'doc_id', 'text',
+                         32, 8)
+        ORDER BY doc_id, chunk_id""")
+    }): Q, Some(chunkSql)),
 
     // ---- bottom-k hash-sample quantiles: the mergeable QUANTILES
     // sketch replayed exactly by the oracle (md5 order keys, (h,v) set

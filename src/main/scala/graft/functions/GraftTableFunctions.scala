@@ -288,9 +288,24 @@ object GraftTableFunctions {
       intLit(es(6), "k")))
   }
 
+  /** `graft_chunk(view, idCol, textCol, size, overlap)` — token-window
+    * chunking ([[graft.pipeline.Chunking.chunkDocuments]]) as
+    * `(doc_id, chunk_id, start_tok, n_tok, chunk)` rows.
+    */
+  private def chunkBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 5,
+      "usage: graft_chunk(view, idCol, textCol, size, overlap)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Chunking.chunkDocuments(
+      spark.table(strLit(es(0), "view")),
+      strLit(es(1), "id column"), strLit(es(2), "text column"),
+      intLit(es(3), "size"), intLit(es(4), "overlap")))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_bm25_search" -> (bm25SearchBuilder _),
+    "graft_chunk" -> (chunkBuilder _),
     "graft_curate" -> (curateBuilder _),
     "graft_dedup_exact" -> (dedupExactBuilder _),
     "graft_contamination" -> (contaminationBuilder _),
