@@ -35,7 +35,14 @@ object PlanAudit {
       "multimodal_features", "enum_encode_orders",
       "line_stats_documents", "line_dedup_documents",
       "mixture_plan_documents", "mixture_sample_documents",
-      "semantic_dedup_pairs").foreach(audit)
+      "semantic_dedup_pairs",
+      // r13 families
+      "bm25_search_documents", "sql_bm25_documents",
+      "rag_chunk_search_documents", "chunk_documents",
+      "sql_chunk_documents", "bloom_join_orders",
+      "bloom_antijoin_orders", "cms_estimate_documents",
+      "video_dedup_pairs", "extract_text_documents",
+      "lm_filter_sample_documents", "langid_documents").foreach(audit)
     spark.stop()
   }
 }
