@@ -358,6 +358,40 @@ object StreamOps {
           batch)
     }
 
+  /** Sidecar maintenance for the [[graft.pipeline.Sketches]] HLL
+    * distinct-count columns: per-register MAX union — SET-stable, so a
+    * checkpoint-replayed batch introduces no new items. Estimates are
+    * tolerance-stable, not bit-stable: sparse-mode promotion depends
+    * on batch partitioning and on extra unions, so any two fold
+    * histories over the same item set can differ by a few counts
+    * within the sketch's error bound. StreamOpsSpec pins stream-vs-
+    * direct-fold agreement and replay drift under 2%, and both within
+    * 5% of exact distinct counts.
+    */
+  def hllUpdateStream(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.pipeline.Sketches.updateSketches(batch.sparkSession,
+          path, batch)
+    }
+
+  /** Sidecar maintenance for the [[graft.pipeline.BottomK]] quantile
+    * sample: set-union on `(h, v)` then re-trim to k — IDEMPOTENT
+    * (re-folding any batch is a no-op), so the maintained sidecar
+    * equals the build-at-once sketch row-for-row regardless of
+    * micro-batch placement.
+    */
+  def bottomKUpdateStream(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.pipeline.BottomK.updateSketch(batch.sparkSession, path,
+          batch)
+    }
+
   /** Per micro-batch AS-OF join against a STATIC right side (the
     * reference series — quotes, sensor calibrations, exchange rates —
     * loaded once): each batch's left rows take the latest at-or-before

@@ -596,6 +596,89 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(closed == Set((1L, 2L), (2L, 1L)), closed.toString)
   }
 
+  test("stream-maintained bottom-k sidecar == build-at-once sketch") {
+    import graft.pipeline.BottomK
+    val path = java.nio.file.Files
+      .createTempDirectory("bkstream").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    BottomK.writeSketch(docs.limit(0), "doc_id", "n_chars", k = 50,
+      path)
+    val rows = docs.as[(Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = StreamOps.bottomKUpdateStream(
+      input.toDF().toDF("doc_id", "n_chars"), path).start()
+    Seq(rows.take(30), rows.slice(30, 60), rows.drop(60)).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    // idempotent: re-fold an already-folded wave
+    input.addData(rows.take(30)); q.processAllAvailable()
+    q.stop()
+    val grid = (df: org.apache.spark.sql.DataFrame) => df
+      .select("h", "v").collect().map(_.toSeq.toList).sortBy(_.toString)
+      .toList
+    assert(grid(BottomK.readSketch(spark, path)) ==
+      grid(BottomK.sketch(docs, "doc_id", "n_chars", k = 50)))
+  }
+
+  test("stream-maintained hll sidecar == direct fold; replay no-op; " +
+      "estimates near truth") {
+    import graft.pipeline.Sketches
+    val base = java.nio.file.Files
+      .createTempDirectory("hllstream").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val waves = Seq(rows.take(40), rows.drop(40))
+    def toDf(w: Seq[(Long, String)]) = w.toDF("doc_id", "text")
+    val est = (p: String) => Sketches.estimates(spark, p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    Sketches.writeSketches(docs.limit(0), Seq("doc_id", "text"),
+      s"$base/stream")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.hllUpdateStream(
+      input.toDF().toDF("doc_id", "text"), s"$base/stream").start()
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+
+    // the stream fold agrees with the SAME waves folded directly to
+    // within HLL tolerance — exact equality is NOT the contract: even
+    // identical fold sequences can differ by a few counts because
+    // sparse-mode promotion depends on the batch's PARTITIONING
+    // (multi-partition aggregates partial-merge and promote earlier)
+    Sketches.writeSketches(docs.limit(0), Seq("doc_id", "text"),
+      s"$base/direct")
+    waves.foreach(w =>
+      Sketches.updateSketches(spark, s"$base/direct", toDf(w)))
+    val direct = est(s"$base/direct")
+    est(s"$base/stream").foreach { case (c, e) =>
+      assert(math.abs(e - direct(c)).toDouble / direct(c) < 0.02,
+        s"$c: stream $e vs direct ${direct(c)}")
+    }
+
+    // a replayed wave introduces no NEW items: estimates stay within
+    // HLL tolerance (promotion on the extra union can move them a few
+    // counts — register max is set-stable, the estimator mode is not)
+    val beforeReplay = est(s"$base/stream")
+    input.addData(waves.head); q.processAllAvailable()
+    q.stop()
+    est(s"$base/stream").foreach { case (c, e) =>
+      assert(math.abs(e - beforeReplay(c)).toDouble /
+        beforeReplay(c) < 0.02, s"$c: replay moved $e from " +
+        s"${beforeReplay(c)}")
+    }
+
+    // and estimates land within HLL tolerance of exact distinct counts
+    val exact = Map("doc_id" -> rows.map(_._1).distinct.size,
+      "text" -> rows.map(_._2).distinct.size)
+    est(s"$base/stream").foreach { case (c, e) =>
+      assert(math.abs(e - exact(c)).toDouble / exact(c) < 0.05,
+        s"$c: est $e vs exact ${exact(c)}")
+    }
+  }
+
   test("stream-maintained bloom sidecar == build-at-once filter") {
     import graft.pipeline.Bloom
     val path = java.nio.file.Files
