@@ -25,8 +25,11 @@ import java.nio.file.{Files, Paths}
   * whose evaluation threw (reported as -1 and excluded from `value`), so
   * a partially-failed bench is distinguishable from a fast one.
   *
-  * JVM isolation: multi-second entries (and entries with no committed
-  * prior) execute in their OWN forked JVM — the round-8 marathon bench
+  * JVM isolation: multi-second entries execute in their OWN forked JVM
+  * (entries with NO committed prior pack into shared light bins at a
+  * conservative 1.25 s estimate — a surprise heavy inflates its bin's
+  * wall clock, never its data, and earns a solo slot next round once
+  * its prior lands) — the round-8 marathon bench
   * proved a single JVM contaminates late queries with the heap/JIT
   * residue of the ~250 evaluations before them (dedup_ngram med 4.19 s
   * in the marathon vs 1.15–1.59 s isolated), so multi-second medians
@@ -175,15 +178,27 @@ object Bench {
     *
     * Order: light packed bins FIRST (they carry ~3/4 of the entry
     * count for ~1/4 of the wall clock, so a worst-case cut still
-    * yields a broad artifact), then solos heaviest-first (the
-    * flagship evidence), heavy bins last — a late cut loses mid-tier
-    * entries whose cheap family twins are already timed.
+    * yields a broad artifact), then the ENTIRE multi-second tier
+    * (solos and heavy bins interleaved) in strictly DECREASING prior
+    * cost — a deadline cut therefore drops the cheapest multi-second
+    * entries (the ~2.5 s tier, whose sub-second family twins are
+    * already timed) and never the heaviest, most regression-prone
+    * evidence (the r13 cut lost exactly that tier because heavy bins
+    * ran dead last).
+    *
+    * Each planned entry also carries its warm-up CEILING: entries with
+    * a prior median >= heavyCut warm at most 3 times (their first
+    * evaluation already runs the full plan through codegen; 8 adaptive
+    * warmups on a 5 s entry was ~40 s of warm-up for a stability the
+    * 3rd warmup already demonstrates — the single largest avoidable
+    * cost in the r13 over-deadline run), everything else keeps the
+    * adaptive ceiling of 8.
     */
   private def binPlan(priors: Map[String, (Double, Double, Double)],
       heavyCut: Double = 2.5, soloCut: Double = 4.0,
       binEvalBudgetSec: Double = 75.0, maxBinSize: Int = 12,
       heavyBinBudgetSec: Double = 120.0, maxHeavyBinSize: Int = 2)
-      : Vector[Vector[(String, Int)]] = {
+      : Vector[Vector[(String, Int, Int)]] = {
     val warmEst = 3 // typical adaptive warmups per entry in a warm JVM
     val noPriorEstSec = 1.25
     def med(n: String): Double =
@@ -191,6 +206,7 @@ object Bench {
     val names = benchNames
     val (solo, rest) = names.partition(n => med(n) >= soloCut)
     val (heavy, light) = rest.partition(n => med(n) >= heavyCut)
+    def warmCap(n: String): Int = if (med(n) >= heavyCut) 3 else 8
     // family-affinity first-fit: entries sort by (operator family,
     // cost desc) and fill bins in that order, so queries sharing a
     // per-session fixture (the minhash/simhash/image/… index builds,
@@ -200,9 +216,9 @@ object Bench {
     def family(n: String): String =
       n.stripPrefix("sql_").split('_').head
     def pack(entries: Vector[String], budgetSec: Double,
-        maxSize: Int): Vector[Vector[(String, Int)]] = {
+        maxSize: Int): Vector[Vector[(String, Int, Int)]] = {
       val bins = scala.collection.mutable.ArrayBuffer
-        .empty[(scala.collection.mutable.ArrayBuffer[(String, Int)],
+        .empty[(scala.collection.mutable.ArrayBuffer[(String, Int, Int)],
           Double)]
       entries.map(n => (n, med(n), runsFor(n, priors)))
         .sortBy { case (n, m, _) => (family(n), -m) }
@@ -217,23 +233,23 @@ object Bench {
           })
           open match {
             case Some(bin @ (b, c)) =>
-              b += ((n, runs))
+              b += ((n, runs, warmCap(n)))
               bins.update(bins.indexOf(bin), (b, c + cost))
             case None =>
               bins += ((scala.collection.mutable
-                .ArrayBuffer((n, runs)), cost))
+                .ArrayBuffer((n, runs, warmCap(n))), cost))
           }
         }
       bins.map(_._1.toVector).toVector
     }
     val soloBins = solo.sortBy(n => -med(n))
-      .map(n => Vector((n, runsFor(n, priors))))
-    // light bins first (breadth under any cut), then the SOLO
-    // flagships, heavy bins last — a deadline cut drops mid-tier
-    // entries whose cheap family twins are already timed, never the
-    // multi-second stream/curation evidence
-    (pack(light, binEvalBudgetSec, maxBinSize) ++ soloBins ++
-      pack(heavy, heavyBinBudgetSec, maxHeavyBinSize)).toVector
+      .map(n => Vector((n, runsFor(n, priors), warmCap(n))))
+    // light bins first (breadth under any cut), then the whole
+    // multi-second tier in decreasing prior cost — heaviest evidence
+    // earliest, so a deadline cut drops the cheapest mid-tier entries
+    val multiSecond = (soloBins ++ pack(heavy, heavyBinBudgetSec,
+      maxHeavyBinSize)).sortBy(b => -b.map(e => med(e._1)).max)
+    (pack(light, binEvalBudgetSec, maxBinSize) ++ multiSecond).toVector
   }
 
   private def buildSession(): SparkSession = {
@@ -331,12 +347,13 @@ object Bench {
     */
   private def timeSamples(spark: SparkSession, name: String,
       defaultWarmups: Int = 1, runsOverride: Option[Int] = None,
-      subSecondWarmFloor: Int = 5)(body: => Unit): BenchSample = {
+      subSecondWarmFloor: Int = 5, maxWarmupsCap: Int = 8)
+      (body: => Unit): BenchSample = {
     val runs = runsOverride.getOrElse(
       envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1))
     val floor = envInt("SPARK_GRAFT_BENCH_WARMUPS", defaultWarmups,
       floor = 0)
-    val maxWarmups = 8
+    val maxWarmups = maxWarmupsCap
     val warmBudgetSec = 45.0
     def release(): Unit = graft.pipeline.CacheScope.releaseSession(spark)
     try {
@@ -396,7 +413,7 @@ object Bench {
     * far; `planned` vs `completed` says how far the run got.
     */
   private def report(results: Seq[(String, BenchSample)], forked: Boolean,
-      planned: Int, partial: Boolean): Unit = {
+      planned: Int, partial: Boolean, emit: Boolean = false): Unit = {
     val runs = envInt("SPARK_GRAFT_BENCH_RUNS", 5, floor = 1)
     val warmups = envInt("SPARK_GRAFT_BENCH_WARMUPS",
       if (forked) 2 else 1, floor = 0)
@@ -424,7 +441,12 @@ object Bench {
         s""""warmups":$warmups,"failures":$failures,"forked":$forked,""" +
         s""""planned":$planned,"completed":${results.size},""" +
         s""""partial":$partial,"sf":"$sfDir"}"""
-    if (!partial) { println(json); System.err.println(json) }
+    // `emit` (final call) prints the one driver-contract line; `partial`
+    // is the HONESTY flag — true whenever completed < planned, even on
+    // the final report (the r13 deadline cut dropped 23 entries yet
+    // stamped partial:false, so a consumer had no signal the heavy tier
+    // was absent)
+    if (emit) { println(json); System.err.println(json) }
     Files.writeString(Paths.get("BENCH_RESULT.json"), json + "\n")
   }
 
@@ -472,9 +494,9 @@ object Bench {
     * the sub-second adaptive rule stops at 3 warmups instead of 5 —
     * the cold-JIT tax the 5-warmup rule existed for is already paid.
     */
-  private def runMulti(specs: Seq[(String, Int)]): Unit = {
+  private def runMulti(specs: Seq[(String, Int, Int)]): Unit = {
     val spark = buildSession()
-    specs.zipWithIndex.foreach { case ((name, runs), i) =>
+    specs.zipWithIndex.foreach { case ((name, runs, maxWarm), i) =>
       // settle the heap between entries: the r13 first packed run
       // showed prior-entry residue turning one timed run GC-bound
       // (repetition_documents 0.83 min / 2.17 med in a shared JVM vs
@@ -485,7 +507,8 @@ object Bench {
       val b = timeSamples(spark, name,
         defaultWarmups = if (i == 0) 2 else 1,
         runsOverride = Some(runs),
-        subSecondWarmFloor = if (i == 0) 5 else 3)(body())
+        subSecondWarmFloor = if (i == 0) 5 else 3,
+        maxWarmupsCap = maxWarm)(body())
       val line = ChildMarker + name + ":" +
         b.samples.map(fmt).mkString("[", ",", "]")
       val metaLine = ChildMetaMarker + name + ":" +
@@ -534,10 +557,10 @@ object Bench {
     * empty samples = failure, but completed siblings survive a
     * mid-bin death).
     */
-  private def forkBin(specs: Seq[(String, Int)])
+  private def forkBin(specs: Seq[(String, Int, Int)])
       : Option[Map[String, BenchSample]] = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val arg = specs.map { case (n, r) => s"$n=$r" }.mkString(",")
+    val arg = specs.map { case (n, r, w) => s"$n=$r:$w" }.mkString(",")
     val cmd = (Seq(javaBin) ++ childJvmFlags ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench",
         "--multi", arg)).toArray
@@ -568,7 +591,7 @@ object Bench {
     // normal-exit case, toByteArray snapshots safely if the drain is
     // somehow still alive after a force-kill
     val out = new String(buf.toByteArray, "UTF-8")
-    val parsed = specs.flatMap { case (name, _) =>
+    val parsed = specs.flatMap { case (name, _, _) =>
       val prefix = ChildMarker + name + ":"
       out.linesIterator.find(_.contains(prefix))
         .map(l => l.substring(l.indexOf(prefix) + prefix.length).trim)
@@ -585,7 +608,7 @@ object Bench {
         s"(exit=${if (exited) proc.exitValue() else "timeout"})")
       None
     } else {
-      specs.collect { case (n, _) if !parsed.contains(n) =>
+      specs.collect { case (n, _, _) if !parsed.contains(n) =>
         System.err.println(s"[bench] $n missing from its bin child " +
           s"(exit=${if (exited) proc.exitValue() else "timeout"})")
       }
@@ -641,18 +664,19 @@ object Bench {
           return
         case got =>
           val m = got.getOrElse(Map.empty)
-          bin.foreach { case (n, _) =>
+          bin.foreach { case (n, _, _) =>
             done(n) = m.getOrElse(n, BenchSample(Seq.empty, 0, 0.0, 0.0))
           }
           report(ordered, forked = true, planned, partial = true)
           System.err.println(s"[bench] bin ${i + 1}/${bins.size} done " +
             s"(${done.size}/$planned benchmarks): " +
-            bin.map { case (n, _) =>
+            bin.map { case (n, _, _) =>
               s"$n=${fmt(median(m.get(n).map(_.samples)
                 .getOrElse(Seq.empty)))}" }.mkString(" "))
       }
     }
-    report(ordered, forked = true, planned, partial = false)
+    report(ordered, forked = true, planned,
+      partial = cut || done.size < planned, emit = true)
   }
 
   /** Legacy single-JVM marathon (SPARK_GRAFT_BENCH_FORK=0 or fallback). */
@@ -667,18 +691,28 @@ object Bench {
         partial = true)
     }
     report(results.toSeq, forked = false, benchNames.size,
-      partial = false)
+      partial = results.size < benchNames.size, emit = true)
     Queries.releaseFixtures(spark)
     spark.stop()
   }
 
-  /** Parse "--multi name=runs,..." specs. */
-  private def parseSpecs(arg: String): Seq[(String, Int)] =
+  /** Parse "--multi name=runs:maxwarm,..." specs (":maxwarm" optional —
+    * defaults to the adaptive ceiling of 8).
+    */
+  private def parseSpecs(arg: String): Seq[(String, Int, Int)] =
     arg.split(',').toSeq.filter(_.nonEmpty).map { s =>
       s.split('=') match {
-        case Array(n, r) => (n, r.toIntOption.filter(_ >= 1).getOrElse(
-          sys.error(s"bad runs in spec '$s'")))
-        case Array(n) => (n, 5)
+        case Array(n, rw) =>
+          val (r, w) = rw.split(':') match {
+            case Array(r0, w0) => (r0, w0)
+            case Array(r0) => (r0, "8")
+            case _ => sys.error(s"bad spec '$s'")
+          }
+          (n, r.toIntOption.filter(_ >= 1).getOrElse(
+            sys.error(s"bad runs in spec '$s'")),
+            w.toIntOption.filter(_ >= 1).getOrElse(
+              sys.error(s"bad maxwarm in spec '$s'")))
+        case Array(n) => (n, 5, 8)
         case _ => sys.error(s"bad spec '$s'")
       }
     }
