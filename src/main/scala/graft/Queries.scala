@@ -357,6 +357,85 @@ object Queries {
       FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
       ORDER BY doc_id, chunk_id"""
 
+  // ------------------------------------------------------ BPE fixture
+
+  /** Planted merge table for the BPE oracle queries: exercises
+    * multi-step merges (_·t·h·e → _the), marker merges, chained
+    * partial merges and a never-firing pair (q,z). The DuckDB oracle
+    * replays the rank-min loop as a recursive CTE over the SAME list
+    * (generated below — one source of truth, the tokenCountSql
+    * discipline).
+    */
+  val bpeFixtureMerges: Vector[(String, String)] = Vector(
+    "_" -> "t", "_t" -> "h", "_th" -> "e", "_" -> "s", "t" -> "a",
+    "_s" -> "c", "a" -> "n", "c" -> "an", "_" -> "p", "a" -> "r",
+    "_p" -> "ar", "_par" -> "t", "r" -> "o", "_" -> "ro", "_ro" -> "w",
+    "l" -> "u", "v" -> "a", "_" -> "va", "_va" -> "lu", "_valu" -> "e",
+    "e" -> "r", "_" -> "ta", "_ta" -> "b", "l" -> "e", "b" -> "le",
+    "_tab" -> "le", "s" -> "t", "a" -> "st", "_" -> "f", "_f" -> "ast",
+    "o" -> "r", "_s" -> "or", "_sor" -> "t", "q" -> "z")
+
+  /** The fixture model: '_' marker (whitespace-free AND absent from the
+    * corpus alphabet, so the oracle's separator arithmetic stays exact),
+    * vocab derived base-then-merges like [[graft.pipeline.Bpe.train]].
+    */
+  lazy val bpeFixtureModel: graft.pipeline.BpeModel =
+    graft.pipeline.BpeModel(bpeFixtureMerges,
+      graft.pipeline.Bpe.deriveVocab("_",
+        ('a' to 'z').map(_.toString), bpeFixtureMerges),
+      marker = "_")
+
+  /** Shared recursive-CTE skeleton replaying the BPE encode in DuckDB:
+    * per DISTINCT word (the kernel's cache, as SQL), symbols are kept
+    * '~~'-separated ('~' never occurs in corpus or symbols; all
+    * literals single-token so the oracle-dump whitespace collapse
+    * can't corrupt them), each recursion step applies the LOWEST-rank
+    * applicable merge to all non-overlapping occurrences left-to-right
+    * — `replace`'s exact rule, which the JVM kernel mirrors. `btoks`
+    * ends one row per (doc, token) with a dense global token index.
+    */
+  private lazy val bpeCteSql: String = {
+    val mvals = bpeFixtureMerges.zipWithIndex
+      .map { case ((l, r), k) => s"($k,'$l','$r')" }.mkString(",")
+    val vvals = bpeFixtureModel.vocab.toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('$t',$i)" }.mkString(",")
+    s"""
+    bmerges(rank, l, r) AS (VALUES $mvals),
+    bvocab(token, tid) AS (VALUES $vvals),
+    bw0 AS (SELECT doc_id, string_split(trim(COALESCE(text,'')), ' ')
+                     AS toks
+            FROM documents
+            WHERE length(trim(COALESCE(text,''))) > 0),
+    bexp AS (SELECT doc_id, i AS widx, toks[i] AS word
+             FROM bw0, LATERAL unnest(range(1, len(toks)+1)) AS g(i)
+             WHERE length(toks[i]) > 0),
+    bdist AS (SELECT DISTINCT word FROM bexp),
+    bsteps AS (
+      SELECT word,
+             '_~~' || trim(regexp_replace(word, '(.)', '\\1~~', 'g'),
+                           '~') AS seq
+      FROM bdist
+      UNION ALL
+      SELECT e.word,
+        trim(replace('~'||e.seq||'~', '~'||m.l||'~~'||m.r||'~',
+                     '~'||m.l||m.r||'~'), '~') AS seq
+      FROM bsteps e JOIN bmerges m
+        ON contains('~'||e.seq||'~', '~'||m.l||'~~'||m.r||'~')
+       AND m.rank = (SELECT min(m2.rank) FROM bmerges m2
+                     WHERE contains('~'||e.seq||'~',
+                                    '~'||m2.l||'~~'||m2.r||'~'))),
+    bfinal AS (
+      SELECT word, string_split(replace(seq, '~~', ' '), ' ') AS ps
+      FROM bsteps e
+      WHERE NOT EXISTS (SELECT 1 FROM bmerges m
+        WHERE contains('~'||e.seq||'~', '~'||m.l||'~~'||m.r||'~'))),
+    btoks AS (SELECT e.doc_id, e.widx, t.i AS tidx, f.ps[t.i] AS piece,
+                     row_number() OVER (PARTITION BY e.doc_id
+                       ORDER BY e.widx, t.i) - 1 AS gidx
+              FROM bexp e JOIN bfinal f ON e.word = f.word,
+                   LATERAL unnest(range(1, len(f.ps)+1)) AS t(i))"""
+  }
+
   /** DuckDB replay of the video-fingerprint oracle — identical CTE
     * shape to the audio queries: planted md5 frame envelopes → scaled
     * amps → relative-energy bits → full Hamming per pair; `select`
@@ -4789,6 +4868,121 @@ object Queries {
                          32, 8)
         ORDER BY doc_id, chunk_id""")
     }): Q, Some(chunkSql)),
+
+    // ---- REAL BPE tokenizer (merges/vocab-driven rank-min encode,
+    // native codegen'd kernel): per document the exact token count,
+    // final pieces and vocab ids under the planted fixture model. The
+    // oracle replays the merge loop as a recursive CTE over the same
+    // merges table — both sides implement the identical left-to-right
+    // non-overlapping fuse rule. ----
+    ("bpe_encode_documents", ((s: SparkSession, dir: String) => {
+      import graft.functions.BpeExpressions._
+      val m = bpeFixtureModel
+      val t = coalesce(col("text"), lit(""))
+      rd(s, dir, "documents").select(col("doc_id"),
+          bpeCountC(t, m).as("n_tokens"),
+          concat_ws(" ", bpePiecesC(t, m)).as("pieces"),
+          array_join(transform(bpeEncodeC(t, m),
+            e => e.cast("string")), " ").as("ids"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH RECURSIVE $bpeCteSql
+      SELECT d.doc_id,
+             CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens,
+             COALESCE(t.pieces, '') AS pieces,
+             COALESCE(t.ids, '') AS ids
+      FROM documents d LEFT JOIN (
+        SELECT b.doc_id, count(*) AS n,
+               string_agg(b.piece, ' ' ORDER BY b.gidx) AS pieces,
+               string_agg(CAST(v.tid AS VARCHAR), ' '
+                 ORDER BY b.gidx) AS ids
+        FROM btoks b JOIN bvocab v ON v.token = b.piece
+        GROUP BY b.doc_id) t ON d.doc_id = t.doc_id
+      ORDER BY d.doc_id""")),
+
+    // ---- token-budget sharding over REAL BPE counts (the opt-in
+    // token source for Sharding — budgets now mean model tokens): the
+    // two-level prefix sum unchanged, the count column swapped for the
+    // codegen'd kernel. Oracle = encode counts + window cumsum. ----
+    ("bpe_shard_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sharding.shardDocumentsByBpeBudget(
+          rd(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", bpeFixtureModel, budget = 2000L)
+        .select(col("doc_id"), col("_tokens").as("n_tokens"),
+          col("shard"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH RECURSIVE $bpeCteSql,
+      cnts AS (SELECT d.doc_id, CAST(COALESCE(t.n,0) AS BIGINT) AS n
+               FROM documents d LEFT JOIN (
+                 SELECT doc_id, count(*) AS n FROM btoks
+                 GROUP BY doc_id) t ON d.doc_id = t.doc_id),
+      cum AS (SELECT doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+                  AS BIGINT) AS c
+              FROM cnts)
+      SELECT doc_id, n AS n_tokens, CAST(c // 2000 AS BIGINT) AS shard
+      FROM cum ORDER BY doc_id""")),
+
+    // ---- token-window chunking over REAL BPE tokens (16/4 operating
+    // point): the window slides over the model's token stream and the
+    // chunk text is the DECODED window — what a retrieval index should
+    // embed. Oracle rebuilds the token stream and replays the window
+    // rule. ----
+    ("bpe_chunk_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Chunking.chunkDocumentsBpe(
+          rd(s, dir, "documents"), "doc_id", "text", bpeFixtureModel,
+          size = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")
+    }): Q, Some(s"""
+      WITH RECURSIVE $bpeCteSql,
+      nd AS (SELECT doc_id, count(*) AS n FROM btoks GROUP BY doc_id),
+      nch AS (SELECT doc_id, n,
+                CASE WHEN n <= 16 THEN 1
+                     ELSE CAST((n - 16 + 11) // 12 AS BIGINT) + 1
+                END AS nc
+              FROM nd),
+      ch AS (SELECT doc_id, CAST(g.c AS INTEGER) AS chunk_id,
+                    CAST(g.c * 12 AS INTEGER) AS start_tok
+             FROM nch, LATERAL unnest(range(0, nc)) AS g(c))
+      SELECT c.doc_id, c.chunk_id, c.start_tok,
+             CAST(count(*) AS INTEGER) AS n_tok,
+             trim(replace(string_agg(b.piece, '' ORDER BY b.gidx),
+                          '_', ' ')) AS chunk
+      FROM ch c JOIN btoks b ON b.doc_id = c.doc_id
+        AND b.gidx >= c.start_tok AND b.gidx < c.start_tok + 16
+      GROUP BY c.doc_id, c.chunk_id, c.start_tok
+      ORDER BY c.doc_id, c.chunk_id""")),
+
+    // ---- the tokenizer reached ENTIRELY through spark.sql
+    // (graft_bpe_count / graft_bpe_pieces resolve the registered model
+    // at analysis time): same oracle skeleton — SQL reach for the
+    // token-accounting family. ----
+    ("sql_bpe_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "bpe") {
+        graft.pipeline.Bpe.registerModel("fixture", bpeFixtureModel)
+        graft.functions.GraftFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("graft_sql_docs_bpe")
+      }
+      s.sql("""
+        SELECT doc_id,
+               graft_bpe_count(coalesce(text, ''), 'fixture')
+                 AS n_tokens,
+               array_join(graft_bpe_pieces(coalesce(text, ''),
+                 'fixture'), ' ') AS pieces
+        FROM graft_sql_docs_bpe ORDER BY doc_id""")
+    }): Q, Some(s"""
+      WITH RECURSIVE $bpeCteSql
+      SELECT d.doc_id,
+             CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens,
+             COALESCE(t.pieces, '') AS pieces
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, count(*) AS n,
+               string_agg(piece, ' ' ORDER BY gidx) AS pieces
+        FROM btoks GROUP BY doc_id) t ON d.doc_id = t.doc_id
+      ORDER BY d.doc_id""")),
 
     // ---- bottom-k hash-sample quantiles: the mergeable QUANTILES
     // sketch replayed exactly by the oracle (md5 order keys, (h,v) set

@@ -94,6 +94,25 @@ object GraftFunctions {
       require(es.length == 2, s"expected 2 arguments, got ${es.length}")
       graftshim.resolvedExpression(Sampling.permutationColumn(
         graftshim.column(es.head), strLit(es(1), "permutation seed")))
+    },
+    // real BPE tokenizer: graft_bpe_*(text, 'model_name') — the model
+    // name must be a literal (resolved at analysis time against
+    // Bpe.registerModel, driver-side; the model object then rides the
+    // plan reference like any other)
+    "graft_bpe_count" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      BpeCountExpr(es(0), graft.pipeline.Bpe.model(
+        strLit(es(1), "bpe model name")))
+    },
+    "graft_bpe_pieces" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      BpePiecesExpr(es(0), graft.pipeline.Bpe.model(
+        strLit(es(1), "bpe model name")))
+    },
+    "graft_bpe_encode" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      BpeEncodeExpr(es(0), graft.pipeline.Bpe.model(
+        strLit(es(1), "bpe model name")))
     })
 
   /** Register every function on an existing session. Idempotent. */

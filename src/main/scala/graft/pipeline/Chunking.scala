@@ -66,4 +66,44 @@ object Chunking {
         org.apache.spark.sql.functions.size(col("_win")).as("n_tok"),
         array_join(col("_win"), " ").as("chunk"))
   }
+
+  /** [[chunkDocuments]] over REAL BPE tokens: the window slides over the
+    * model's token stream (so `size`/`overlap` mean what an embedding
+    * model's context limit means), and `chunk` is the DECODED window
+    * (pieces concatenated, marker → space) — the exact text a retrieval
+    * index should embed. Same map-only shape: the encode is one
+    * codegen'd kernel call per row, the window arithmetic identical.
+    */
+  def chunkDocumentsBpe(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel, size: Int, overlap: Int = 0): DataFrame = {
+    require(size >= 1, s"chunk size $size must be >= 1")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size)")
+    // decoded chunk text below is pure Column arithmetic (join+replace);
+    // a byte-level model's pieces need the kernel's byte unmapping too
+    require(!model.byteLevel,
+      "chunkDocumentsBpe decodes chunk text with Column ops; use a " +
+        "char-level model (byte-level windows need BpeKernel.decodePieces)")
+    val stride = size - overlap
+    val t = graft.functions.BpeExpressions.bpePiecesC(
+      coalesce(col(textCol), lit("")), model)
+    val n = org.apache.spark.sql.functions.size(t)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(floor((n - size + stride - 1) / lit(stride))
+        .cast("int") + 1)
+    docs
+      .filter(n > 0)
+      .select(col(idCol).as("doc_id"), t.as("_t"), nChunks.as("_nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          i => struct(
+            (i * stride).as("start_tok"),
+            slice(col("_t"), i * stride + 1, lit(size)).as("_win")))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col._win").as("_win"), col("col.start_tok").as("start_tok"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("_win")).as("n_tok"),
+        trim(replace(array_join(col("_win"), ""),
+          lit(model.marker), lit(" "))).as("chunk"))
+  }
 }

@@ -137,6 +137,28 @@ object Sharding {
     packSequences(docs, idCol,
       TextAnalysis.tokenEstimate(col(textCol)), maxLen, numPartitions)
 
+  /** [[shardByTokenBudget]] counting REAL tokens under a BPE model —
+    * shard budgets then mean exactly what the training job's tokenizer
+    * will see. The encode is a map-only codegen'd kernel call folded
+    * into the prefix-sum's first pass; nothing else changes.
+    */
+  def shardDocumentsByBpeBudget(docs: DataFrame, idCol: String,
+      textCol: String, model: BpeModel, budget: Long,
+      numPartitions: Int = 0): DataFrame =
+    shardByTokenBudget(docs, idCol,
+      graft.functions.BpeExpressions.bpeCountC(
+        coalesce(col(textCol), lit("")), model),
+      budget, numPartitions)
+
+  /** [[packSequences]] counting REAL tokens under a BPE model. */
+  def packDocumentSequencesBpe(docs: DataFrame, idCol: String,
+      textCol: String, model: BpeModel, maxLen: Long,
+      numPartitions: Int = 0): DataFrame =
+    packSequences(docs, idCol,
+      graft.functions.BpeExpressions.bpeCountC(
+        coalesce(col(textCol), lit("")), model),
+      maxLen, numPartitions)
+
   /** Per-shard packing summary (shard, n_docs, shard_tokens) — the
     * manifest a training job reads; cheap aggregate over the assignment.
     */
