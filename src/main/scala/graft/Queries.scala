@@ -457,7 +457,7 @@ object Queries {
         SELECT doc_id, c,
                CAST(((CAST(('0x' || left(md5(CAST(src AS VARCHAR)
                         || ':' || CAST(c AS VARCHAR)), 4)) AS INTEGER)
-                      % 1024) * 2 +
+                      % 96) * 2 +
                      CASE WHEN pert = 1 AND c < 4 THEN 60 ELSE 0 END)
                     // scale AS BIGINT) AS amp
         FROM (SELECT doc_id, src, pert, scale, unnest(range(0, 64)) AS c
@@ -883,14 +883,17 @@ object Queries {
       path
     })
 
-  /** Planted video-DEDUP fixture — the MP4 analog of
-    * [[dedupWavBlobsFor]]: per doc a 64-frame clip whose frame
-    * byte-sums are `(md5("src:f")[0:2 BE] % 1024) * 2`; every 10th doc
-    * re-arrives REMUXED (+50000: frame count DOUBLED, per-frame energy
-    * HALVED — the relative envelope rule cancels both, Hamming 0 by
+  /** Planted video-DEDUP fixture — now REAL MJPEG-in-MP4: per doc a
+    * 64-frame clip of uniform-gray 8×8 JPEG frames (gray
+    * `(md5("src:f")[0:2 BE] % 96) * 2` — DC-only frames decode back to
+    * EXACTLY their gray, so the oracle stays pure md5 arithmetic), with
+    * a real `stsz` size table so the fingerprint takes the DECODED-luma
+    * path. Every 10th doc re-arrives RE-ENCODED + REMUXED (+50000:
+    * frame count DOUBLED, gray HALVED, JPEG quality 0.9 — every byte of
+    * every frame differs, the case the old byte-sum stub could never
+    * match; the relative envelope cancels both scalings, Hamming 0 by
     * arithmetic); every 15th doc NEAR-DUPLICATED (+60000: first four
-    * frames +60). All energies are md5 arithmetic, so the oracle
-    * replays every fingerprint bit exactly.
+    * frames +60 gray).
     */
   private val dedupVideoBlobCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -898,29 +901,32 @@ object Queries {
     sweepStopped(dedupVideoBlobCache).computeIfAbsent((s, dir), { case (_, d) =>
       import s.implicits._
       import graft.pipeline.Multimodal
-      def ampsFor(src: Long, pert: Boolean, halved: Boolean): Array[Int] =
+      def graysFor(src: Long, pert: Boolean, halved: Boolean): Array[Int] =
         Array.tabulate(64) { f =>
           val dg = java.security.MessageDigest.getInstance("MD5")
             .digest(s"$src:$f".getBytes("UTF-8"))
           val v = ((dg(0) & 0xff) << 8) | (dg(1) & 0xff)
-          val a = (v % 1024) * 2 + (if (pert && f < 4) 60 else 0)
-          if (halved) a / 2 else a
+          val g = (v % 96) * 2 + (if (pert && f < 4) 60 else 0)
+          if (halved) g / 2 else g
         }
-      def mp4(nFrames: Int, amps: Array[Int]): Array[Byte] =
+      def mp4(grays: Array[Int], quality: Float): Array[Byte] = {
+        val frames = grays.map(Multimodal.grayFrameJpeg(_, quality))
         Multimodal.encodeMp4(timescale = 600,
-          durationTicks = 600L * nFrames, width = 320, height = 240,
-          nFrames = nFrames,
-          mdatPayload = Multimodal.encodeFramePayload(amps, segLen = 12))
+          durationTicks = 600L * grays.length, width = 8, height = 8,
+          nFrames = grays.length,
+          mdatPayload = frames.reduce(_ ++ _),
+          sampleSizes = frames.map(_.length))
+      }
       val ids = rdPar(s, d, "documents").select(col("doc_id").cast("long"))
       val base = ids.as[Long].map { id =>
-        (id, mp4(64, ampsFor(id, pert = false, halved = false)))
+        (id, mp4(graysFor(id, pert = false, halved = false), 1.0f))
       }
       val remux = ids.filter(col("doc_id") % 10 === 0).as[Long].map { id =>
-        (id + 50000, mp4(128, ampsFor(id, pert = false, halved = true)
-          .flatMap(a => Array(a, a))))
+        (id + 50000, mp4(graysFor(id, pert = false, halved = true)
+          .flatMap(g => Array(g, g)), 0.9f))
       }
       val near = ids.filter(col("doc_id") % 15 === 0).as[Long].map { id =>
-        (id + 60000, mp4(64, ampsFor(id, pert = true, halved = false)))
+        (id + 60000, mp4(graysFor(id, pert = true, halved = false), 1.0f))
       }
       val all = base.union(remux).union(near).toDF("doc_id", "vid")
         .select(col("doc_id"),

@@ -927,18 +927,25 @@ object Multimodal {
     */
   def encodeMp4(timescale: Int, durationTicks: Long, width: Int,
       height: Int, nFrames: Int, brand: String = "isom",
-      mdatPayload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      mdatPayload: Array[Byte] = Array.emptyByteArray,
+      sampleSizes: Array[Int] = Array.empty): Array[Byte] = {
     require(brand.length == 4, "brand is a 4cc")
+    require(sampleSizes.isEmpty || sampleSizes.length == nFrames,
+      "sampleSizes must be empty or one entry per frame")
+    // a real per-sample size table (stsz sample_size=0 + table) makes
+    // the mdat sliceable into frames — the MJPEG-in-MP4 layout the
+    // decoded-fingerprint path reads
+    val ex = 4 * sampleSizes.length
     val mdatLen = if (mdatPayload.isEmpty) 16 else 8 + mdatPayload.length
     val out = java.nio.ByteBuffer
-      .allocate(16 + 8 + 292 + mdatLen) // BE default
+      .allocate(16 + 8 + 292 + ex + mdatLen) // BE default
     def box(size: Int, id: String): Unit =
       { out.putInt(size); out.put(id.getBytes("US-ASCII")); () }
     def full(size: Int, id: String, version: Int): Unit =
       { box(size, id); out.putInt(version << 24); () }
     box(16, "ftyp"); out.put(brand.getBytes("US-ASCII")).putInt(0)
     box(8, "free")
-    box(292, "moov")
+    box(292 + ex, "moov")
     full(108, "mvhd", 0)
     out.putInt(0).putInt(0) // ctime, mtime
       .putInt(timescale).putInt(durationTicks.toInt)
@@ -948,7 +955,7 @@ object Multimodal {
       .foreach(out.putInt) // identity matrix
     (1 to 6).foreach(_ => out.putInt(0)) // pre_defined
     out.putInt(2) // next_track_ID
-    box(176, "trak")
+    box(176 + ex, "trak")
     full(92, "tkhd", 0)
     out.putInt(0).putInt(0).putInt(1).putInt(0) // times, track_ID, rsvd
       .putInt(durationTicks.toInt).putLong(0) // duration, reserved
@@ -956,14 +963,15 @@ object Multimodal {
     Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
       .foreach(out.putInt)
     out.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
-    box(76, "mdia")
+    box(76 + ex, "mdia")
     full(32, "mdhd", 0)
     out.putInt(0).putInt(0).putInt(timescale).putInt(durationTicks.toInt)
       .putShort(0x55c4.toShort).putShort(0) // 'und' language, pre_defined
-    box(36, "minf")
-    box(28, "stbl")
-    full(20, "stsz", 0)
+    box(36 + ex, "minf")
+    box(28 + ex, "stbl")
+    full(20 + ex, "stsz", 0)
     out.putInt(0).putInt(nFrames) // sample_size=0 (varied), sample_count
+    sampleSizes.foreach(out.putInt) // per-sample sizes (MJPEG slicing)
     if (mdatPayload.isEmpty) { box(16, "mdat"); out.putLong(0L) }
     else { box(8 + mdatPayload.length, "mdat"); out.put(mdatPayload) }
     out.array()
@@ -999,19 +1007,186 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** The `stsz` per-sample size table of the first trak that carries
+    * one — the frame slicing a REAL MJPEG-in-MP4 decode needs. Uniform
+    * `sample_size != 0` expands to a constant table; a header-only
+    * `stsz` (count but no table, `sample_size == 0`) yields None — the
+    * mdat is then NOT sliceable and the fingerprint falls back to
+    * segment byte-sums. Same strict-progress walk as
+    * [[decodeVideoMeta]].
+    */
+  def readStszSizes(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u16(o: Long): Int =
+      ((bytes(o.toInt) & 0xff) << 8) | (bytes(o.toInt + 1) & 0xff)
+    def u32(o: Long): Long = (u16(o).toLong << 16) | u16(o + 2)
+    def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Long): String = new String(bytes, o.toInt, 4, "US-ASCII")
+    var found: Option[Array[Int]] = None
+    try {
+      def walk(start: Long, limit: Long, depth: Int): Unit = {
+        if (depth > 6 || found.isDefined) return
+        var off = start
+        while (off + 8 <= limit && found.isEmpty) {
+          var size = u32(off)
+          var hdr = 8L
+          if (size == 1L) {
+            if (off + 16 > limit) return
+            size = u64(off + 8); hdr = 16L
+          } else if (size == 0L) size = limit - off
+          if (size < hdr || size > limit - off) return
+          val body = off + hdr
+          tag(off + 4) match {
+            case "stsz" if size >= hdr + 12 =>
+              val sampleSize = u32(body + 4)
+              val count = u32(body + 8)
+              if (count > 0 && count <= Int.MaxValue) {
+                if (sampleSize > 0 && sampleSize <= Int.MaxValue &&
+                    count <= (1L << 24))
+                  found = Some(Array.fill(count.toInt)(sampleSize.toInt))
+                else if (sampleSize == 0 && size >= hdr + 12 + 4 * count)
+                  found = Some(Array.tabulate(count.toInt)(i =>
+                    u32(body + 12 + 4L * i).toInt))
+              }
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(body, off + size, depth + 1)
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      walk(0L, bytes.length.toLong, 0)
+      found.filter(_.forall(_ >= 0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Total integer luma over every pixel of a decodable image — the
+    * per-frame energy of the decoded video fingerprint. A single-band
+    * (grayscale) decode reads the RASTER directly: its sample IS the
+    * JPEG Y channel, so a uniform-gray w×h frame sums to EXACTLY
+    * `g·w·h` (the property the video oracle replays arithmetically) and
+    * energy stays LINEAR in the planted gray — `getRGB` would bend it
+    * through the nonlinear gray→sRGB colorspace map, breaking the
+    * envelope's halved-amplitude invariance. Color decodes take the
+    * BT.601 integer rule over `getRGB` ([[imageLumaGrid]]'s).
+    */
+  def imageLumaSum(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val buf = new Array[Int](w)
+      var sum = 0L
+      var y = 0
+      val raster = img.getRaster
+      val gray = raster.getNumBands == 1
+      while (y < h) {
+        if (gray) {
+          raster.getSamples(0, y, w, 1, 0, buf)
+          var x = 0
+          while (x < w) { sum += buf(x) & 0xff; x += 1 }
+        } else {
+          img.getRGB(0, y, w, 1, buf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = buf(x)
+            sum += (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+        }
+        y += 1
+      }
+      Some(sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Uniform-gray JPEG frame at an explicit quality — the MJPEG test
+    * pattern (a uniform block is DC-only, so ImageIO decodes it back to
+    * EXACTLY `g` at any quality — probed across all 256 grays). Cached
+    * per (g, quality, dims): fixtures concatenate cached byte arrays
+    * instead of re-encoding per frame.
+    */
+  private val grayFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Float, Int, Int),
+      Array[Byte]]()
+  def grayFrameJpeg(g: Int, quality: Float = 1.0f, w: Int = 8,
+      h: Int = 8): Array[Byte] = {
+    require(g >= 0 && g <= 255, s"gray $g out of [0,255]")
+    grayFrameCache.computeIfAbsent((g, quality, w, h), { _ =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios =
+        new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        wr.setOutput(ios)
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); wr.dispose() }
+      baos.toByteArray
+    })
+  }
+
+  /** Per-frame DECODED luma energies when the container is sliceable
+    * and every frame is a decodable image: the `stsz` table must cover
+    * the frame count and tile the `mdat` exactly. Any failure → None
+    * (the byte-sum fallback takes over), never a partial mix of real
+    * and fallback energies.
+    */
+  private def decodedFrameEnergies(bytes: Array[Byte], nFrames: Int,
+      mOff: Int, mLen: Int): Option[Array[Long]] =
+    readStszSizes(bytes)
+      .filter(s => s.length == nFrames && s.map(_.toLong).sum == mLen)
+      .flatMap { sizes =>
+        val out = new Array[Long](nFrames)
+        var off = mOff
+        var f = 0
+        var ok = true
+        while (ok && f < nFrames) {
+          val frame = java.util.Arrays.copyOfRange(bytes, off,
+            off + sizes(f))
+          imageLumaSum(frame) match {
+            case Some(e) => out(f) = e
+            case None => ok = false
+          }
+          off += sizes(f)
+          f += 1
+        }
+        if (ok) Some(out) else None
+      }
+
   /** 64-bit video fingerprint — [[audioFingerprint64]]'s relative
-    * energy-envelope rule over FRAME segments. The plumbing is real:
-    * `mdat` located by the BMFF box walk, the frame count taken from
-    * the `stsz` header [[decodeVideoMeta]] recovers, frame `f`'s bytes
-    * at `[f·len/n, (f+1)·len/n)`. The per-frame FEATURE is the stubbed
-    * part (no video codec in this environment): the segment's unsigned
-    * byte-sum stands in for a decoded frame's luma energy — swap that
-    * one line for a real decode and nothing else changes. 64 cells
-    * over the frame sequence; bit `c` set where the cell's energy
-    * exceeds its frame-count share of the total, so the fingerprint is
-    * invariant to remuxing that doubles frames and halves amplitude
-    * (the audio re-encode analog). Needs >= 64 frames and a payload of
-    * >= 1 byte/frame; anything undecodable yields None (quarantine
+    * energy-envelope rule over FRAME energies. The container plumbing
+    * is real (`mdat` via the BMFF box walk, frame count from `stsz`),
+    * and the per-frame FEATURE is now REAL where the container permits:
+    * when `stsz` carries a per-sample size table that tiles the `mdat`
+    * and every sample decodes as an image (MJPEG-in-MP4 — the one
+    * codec the JDK can decode), frame energy is the DECODED integer
+    * luma sum, so a re-encode (same frames, different bytes — e.g. a
+    * different JPEG quality) fingerprints identically. For opaque
+    * codecs the documented fallback remains the segment byte-sum over
+    * `[f·len/n, (f+1)·len/n)` — remux/exact-copy detection only.
+    * 64 cells over the frame sequence; bit `c` set where the cell's
+    * energy exceeds its frame-count share of the total, so the
+    * fingerprint is invariant to remuxing that doubles frames and
+    * halves amplitude. Needs >= 64 frames and a payload of >= 1
+    * byte/frame; anything undecodable yields None (quarantine
     * downstream, never fail the batch).
     */
   def videoFingerprint64(bytes: Array[Byte]): Option[Long] = {
@@ -1023,19 +1198,23 @@ object Multimodal {
     findMdat(bytes).flatMap { case (mOff, mLen) =>
       if (mLen < nFrames) None
       else {
-        val frameE = new Array[Long](nFrames)
-        var f = 0
-        while (f < nFrames) {
-          val s = mOff + (f.toLong * mLen / nFrames).toInt
-          val e = mOff + ((f + 1).toLong * mLen / nFrames).toInt
-          var i = s
-          var acc = 0L
-          while (i < e) { acc += (bytes(i) & 0xff); i += 1 }
-          frameE(f) = acc
-          f += 1
-        }
+        val frameE = decodedFrameEnergies(bytes, nFrames, mOff, mLen)
+          .getOrElse {
+            val e = new Array[Long](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              val s = mOff + (f.toLong * mLen / nFrames).toInt
+              val en = mOff + ((f + 1).toLong * mLen / nFrames).toInt
+              var i = s
+              var acc = 0L
+              while (i < en) { acc += (bytes(i) & 0xff); i += 1 }
+              e(f) = acc
+              f += 1
+            }
+            e
+          }
         var total = 0L
-        f = 0
+        var f = 0
         while (f < nFrames) { total += frameE(f); f += 1 }
         var fp = 0L
         var c = 0

@@ -51,6 +51,80 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(h > 0 && h <= 8, s"hamming $h")
   }
 
+  // ---- the DECODED path: MJPEG-in-MP4 with a real stsz size table
+
+  private def grays(seed: Long, pert: Boolean = false): Array[Int] =
+    Array.tabulate(64) { f =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$f".getBytes("UTF-8"))
+      ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 96) * 2 +
+        (if (pert && f < 4) 60 else 0)
+    }
+
+  private def mjpeg(gs: Array[Int], q: Float): Array[Byte] = {
+    val frames = gs.map(Multimodal.grayFrameJpeg(_, q))
+    Multimodal.encodeMp4(timescale = 600,
+      durationTicks = 600L * gs.length, width = 8, height = 8,
+      nFrames = gs.length, mdatPayload = frames.reduce(_ ++ _),
+      sampleSizes = frames.map(_.length))
+  }
+
+  test("MJPEG decode path: a RE-ENCODED copy (same frames, different " +
+      "bytes) fingerprints identically — the case byte-sums cannot pass") {
+    val g = grays(7L)
+    val a = mjpeg(g, 1.0f)
+    val b = mjpeg(g, 0.9f) // different quant tables: every frame's
+                           // bytes (and usually sizes) differ
+    assert(!java.util.Arrays.equals(a, b))
+    assert(fp(a) == fp(b))
+    // byte-sums genuinely diverge between the encodings, so the old
+    // stub feature could not have matched them bit-for-bit
+    def frameByteSums(bytes: Array[Byte]): Seq[Long] = {
+      val sizes = Multimodal.readStszSizes(bytes).get
+      assert(sizes.length == 64)
+      // slice frames off the mdat and sum bytes per frame
+      val mdatIdx = {
+        // frames start right after the mdat header; find by matching
+        // total size from the end
+        bytes.length - sizes.map(_.toLong).sum.toInt
+      }
+      var off = mdatIdx
+      sizes.toSeq.map { sz =>
+        val s = (off until off + sz).map(i => (bytes(i) & 0xff).toLong).sum
+        off += sz; s
+      }
+    }
+    assert(frameByteSums(a) != frameByteSums(b))
+    // re-encode + remux together: doubled frames, halved gray, new
+    // quality — envelope and decode cancel everything
+    assert(fp(mjpeg(g.map(_ / 2).flatMap(x => Array(x, x)), 0.9f)) ==
+      fp(a))
+    // a locally-edited copy still moves only a few bits
+    val h = java.lang.Long.bitCount(fp(a) ^
+      fp(mjpeg(grays(7L, pert = true), 1.0f)))
+    assert(h > 0 && h <= 8, s"hamming $h")
+    // the decoded energy is exact: uniform-gray JPEG lumas to g per
+    // pixel at either quality
+    assert(Multimodal.imageLumaSum(
+      Multimodal.grayFrameJpeg(137, 0.9f)) === Some(137L * 64))
+    assert(Multimodal.imageLumaSum(
+      Multimodal.grayFrameJpeg(137, 1.0f)) === Some(137L * 64))
+  }
+
+  test("stsz table round-trips; header-only stsz yields no sizes") {
+    val gs = grays(3L)
+    val frames = gs.map(Multimodal.grayFrameJpeg(_, 1.0f))
+    val withTable = mjpeg(gs, 1.0f)
+    assert(Multimodal.readStszSizes(withTable).get.toSeq ===
+      frames.map(_.length).toSeq)
+    // header-only stsz (count but sample_size=0 and no table): the
+    // legacy layout — not sliceable, byte-sum fallback territory
+    assert(Multimodal.readStszSizes(
+      mp4(64, amps(3L))).isEmpty)
+    // decodeVideoMeta still reads the frame count from the table form
+    assert(Multimodal.decodeVideoMeta(withTable).get._6 === 64L)
+  }
+
   test("short, frameless, and corrupt clips drop, never fail") {
     assert(Multimodal.videoFingerprint64(null).isEmpty)
     assert(Multimodal.videoFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
