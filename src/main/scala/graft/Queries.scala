@@ -950,6 +950,24 @@ object Queries {
       path
     })
 
+  /** Persisted prefix-SHARDED bloom sidecar over the BUILDING-segment
+    * customer keys — the offline build step of
+    * [[graft.pipeline.ShardedBloom.writeFilter]]; the query then
+    * exercises the nothing-resident cogroup probe + exact join.
+    */
+  private val shardedBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def shardedBloomFor(s: SparkSession, dir: String): String =
+    sweepStopped(shardedBloomCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("shardedbloom", d)
+      graft.pipeline.ShardedBloom.writeFilter(
+        rd(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        "c_custkey", numShards = 8, bitsPerShard = 8192, numHashes = 5,
+        path)
+      path
+    })
+
   /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
     * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
     * doc_id-derived timescale/duration/dims/frame-count the oracle knows
@@ -5285,6 +5303,29 @@ object Queries {
                         WHERE c_custkey = o.o_custkey
                           AND c_mktsegment = 'BUILDING')
       ORDER BY o_orderkey""")),
+
+    // ---- prefix-SHARDED bloom sidecar at the nothing-resident tier
+    // (the 10^10+-key scale path flat addressing can't reach): keys
+    // route to shards by hash prefix, the fact COGROUPS with the
+    // sparse shard words (each task densifies exactly one shard), and
+    // the exact join kills false positives — so the oracle is the same
+    // plain join as the flat bloom's. ----
+    ("bloom_sharded_join_orders", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ShardedBloom
+      val dim = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      ShardedBloom.prunedJoinViaSidecar(s, shardedBloomFor(s, dir),
+          rd(s, dir, "orders"), dim, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")),
 
     // ---- STREAM-MAINTAINED bloom sidecar serving a pruned join: the
     // BUILDING customer keys arrive as three micro-batches folding into

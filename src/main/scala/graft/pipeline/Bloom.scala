@@ -41,14 +41,14 @@ object Bloom {
     * takes only a literal shift amount, so a column-indexed lookup
     * stands in for a variable shift.
     */
-  private def powColumn: Column =
+  private[pipeline] def powColumn: Column =
     typedlit((0 until 64).map(1L << _))
 
   /** Position of hash `i` for `key`: `pmod(xxhash64(i, key), m)`.
     * Seeding with a leading literal column derives k independent
     * hashes from the one xxhash64 kernel.
     */
-  private def pos(i: Column, key: Column, numBits: Int): Column =
+  private[pipeline] def pos(i: Column, key: Column, numBits: Int): Column =
     pmod(xxhash64(i, key), lit(numBits.toLong))
 
   /** Classic sizing: bits and hash count for `expectedKeys` at target
@@ -91,19 +91,41 @@ object Bloom {
   final case class BloomFilter(words: Array[Long], numBits: Int,
       numHashes: Int) {
 
-    /** Membership predicate as a pure codegen'd Column — map-only,
-      * broadcast word array, no shuffle. NULL keys yield false (a
-      * NULL was never inserted).
+    /** Membership predicate as a pure codegen'd Column — map-only, no
+      * shuffle, NULL keys yield false (a NULL was never inserted).
+      * Small word arrays embed as a plan literal (self-contained
+      * expression, nothing to ship); past [[BloomFilter.literalWordCap]]
+      * words the array rides a codegen REFERENCE instead
+      * ([[graft.functions.BloomExpressions]]) — a big filter as a
+      * literal serializes ~8 bytes/word into EVERY plan that probes it.
+      * Both paths compute positions with the same `xxhash64` Columns
+      * the build uses, so they are interchangeable bit-for-bit.
       */
     def mightContain(key: Column): Column = {
-      val w = typedlit(words.toSeq)
-      key.isNotNull && forall(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => pos(i, key, numBits)),
-        p => (element_at(w, (p / 64).cast("int") + 1)
-          .bitwiseAND(element_at(powColumn, (p % 64).cast("int") + 1)))
-          =!= lit(0L))
+      val probes = transform(sequence(lit(0), lit(numHashes - 1)),
+        i => pos(i, key, numBits))
+      if (words.length <= BloomFilter.literalWordCap) {
+        val w = typedlit(words.toSeq)
+        key.isNotNull && forall(probes,
+          p => (element_at(w, (p / 64).cast("int") + 1)
+            .bitwiseAND(element_at(powColumn, (p % 64).cast("int") + 1)))
+            =!= lit(0L))
+      } else {
+        val shards = Array(words)
+        key.isNotNull && forall(probes,
+          p => (graft.functions.BloomExpressions
+            .wordAtC(lit(0), (p / 64).cast("int"), shards)
+            .bitwiseAND(element_at(powColumn, (p % 64).cast("int") + 1)))
+            =!= lit(0L))
+      }
     }
+  }
+
+  object BloomFilter {
+    /** Largest word array embedded as a plan literal (32 KiB — the
+      * size where plan-serialization cost starts to matter).
+      */
+    val literalWordCap: Int = 4096
   }
 
   private def densify(sparse: DataFrame, numBits: Int,
@@ -133,32 +155,35 @@ object Bloom {
       .write.mode("overwrite").json(s"$path/params")
   }
 
-  /** The stored filter, ready to probe. */
+  /** The stored filter, ready to probe ([[SidecarIO.readWithFallback]]:
+    * a crashed swap serves the previous generation).
+    */
   def readFilter(spark: SparkSession, path: String): BloomFilter = {
     val p = spark.read.json(s"$path/params").head()
     val numBits = p.getAs[Long]("num_bits").toInt
-    densify(spark.read.parquet(s"$path/words"), numBits,
+    densify(SidecarIO.readWithFallback(spark, s"$path/words"), numBits,
       p.getAs[Long]("num_hashes").toInt)
   }
 
   /** Fold a new batch of keys into the stored sidecar at batch cost:
     * sketch the batch at the STORED operating point, merge by
     * `bit_or` (union semantics — re-folding the same batch is exactly
-    * a no-op), overwrite through a bounded collect (the [[BottomK
-    * .updateSketch]] overwrite-race discipline).
+    * a no-op), rewrite through a bounded collect and the
+    * [[SidecarIO.atomicOverwrite]] swap (a crash mid-rewrite can no
+    * longer lose the only accumulated copy).
     */
   def updateFilter(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String): Unit = {
     val p = spark.read.json(s"$path/params").head()
     val numBits = p.getAs[Long]("num_bits").toInt
     val numHashes = p.getAs[Long]("num_hashes").toInt
-    val merged = spark.read.parquet(s"$path/words")
+    val merged = SidecarIO.readWithFallback(spark, s"$path/words")
       .unionAll(sketch(batch, keyCol, numBits, numHashes))
       .groupBy("word_idx")
       .agg(bit_or(col("bits")).as("bits"))
-    val rows = java.util.Arrays.asList(merged.collect(): _*)
-    spark.createDataFrame(rows, merged.schema).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/words")
+    SidecarIO.atomicOverwrite(spark,
+      java.util.Arrays.asList(merged.collect(): _*), merged.schema,
+      s"$path/words")
   }
 
   /** Bloom-pruned exact equi-join: prune the FACT side map-only with

@@ -106,18 +106,18 @@ object BottomK {
       batch: DataFrame): Unit = {
     val p = spark.read.json(s"$path/params").head()
     val k = p.getAs[Long]("k").toInt
-    val merged = spark.read.parquet(s"$path/sample")
+    val merged = SidecarIO.readWithFallback(spark, s"$path/sample")
       .unionAll(sketch(batch, p.getAs[String]("keyCol"),
         p.getAs[String]("valueCol"), k))
       .dropDuplicates("h", "v")
       .orderBy(col("h"), col("v"))
       .limit(k)
-    val rows = java.util.Arrays.asList(merged.collect(): _*)
-    spark.createDataFrame(rows, merged.schema).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/sample")
+    SidecarIO.atomicOverwrite(spark,
+      java.util.Arrays.asList(merged.collect(): _*), merged.schema,
+      s"$path/sample")
   }
 
   /** The stored sample, ready for [[quantiles]]. */
   def readSketch(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sample")
+    SidecarIO.readWithFallback(spark, s"$path/sample")
 }

@@ -106,26 +106,54 @@ object CountMin {
       .coalesce(1).write.mode("overwrite").json(s"$path/params")
   }
 
-  /** The stored grid + its params, for [[estimate]]/[[updateSketch]]. */
+  /** The stored grid + its params, for [[estimate]]/[[updateSketch]]
+    * (the replay-guard sentinel row is stripped; a crashed swap serves
+    * the previous generation).
+    */
   def readSketch(spark: SparkSession, path: String)
       : (DataFrame, Int, Int) = {
     val p = spark.read.json(s"$path/params").head()
-    (spark.read.parquet(s"$path/cells"),
+    (SidecarIO.readWithFallback(spark, s"$path/cells")
+        .filter(col("r") >= 0),
       p.getAs[Long]("depth").toInt, p.getAs[Long]("width").toInt)
   }
 
-  /** Fold a NEW batch into the stored sidecar at batch cost (additive
-    * semantics — fold each batch exactly once). Bounded collect before
-    * the overwrite (the [[BottomK.updateSketch]] discipline).
+  /** Fold a NEW batch into the stored sidecar at batch cost. The grid
+    * is ADDITIVE, so unlike the bloom's idempotent OR a replayed batch
+    * double-counts — callers with an at-least-once source (Structured
+    * Streaming `foreachBatch` after checkpoint recovery) pass the
+    * batch id, and a batch at or below the last folded id is SKIPPED.
+    * The folded id travels as a sentinel row `(r = -1, c = 0,
+    * cnt = batchId)` inside the SAME atomic cells swap, so the guard
+    * and the counts can never disagree across a crash; [[readSketch]]
+    * and [[estimate]] read through the sentinel-stripping filter.
+    * Bounded collect + [[SidecarIO.atomicOverwrite]].
     */
   def updateSketch(spark: SparkSession, path: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
     val p = spark.read.json(s"$path/params").head()
-    val merged = merge(spark.read.parquet(s"$path/cells"),
+    val stored = SidecarIO.readWithFallback(spark, s"$path/cells")
+    val lastFolded = stored.filter(col("r") === -1)
+      .select(col("cnt")).collect().headOption.map(_.getLong(0))
+    if (batchId.exists(id => lastFolded.exists(id <= _))) return
+    val merged = merge(stored.filter(col("r") >= 0),
       sketch(batch, p.getAs[String]("key_col"),
         p.getAs[Long]("depth").toInt, p.getAs[Long]("width").toInt))
-    val rows = java.util.Arrays.asList(merged.collect(): _*)
-    spark.createDataFrame(rows, merged.schema).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/cells")
+    val withSentinel = batchId match {
+      case Some(id) => merged.unionAll(
+        merged.sparkSession.range(1).select(lit(-1).cast("int").as("r"),
+          lit(0).cast("int").as("c"), lit(id).as("cnt")))
+      case None => lastFolded match {
+        // keep an existing guard through un-id'd folds
+        case Some(last) => merged.unionAll(
+          merged.sparkSession.range(1).select(
+            lit(-1).cast("int").as("r"), lit(0).cast("int").as("c"),
+            lit(last).as("cnt")))
+        case None => merged
+      }
+    }
+    SidecarIO.atomicOverwrite(spark,
+      java.util.Arrays.asList(withSentinel.collect(): _*),
+      withSentinel.schema, s"$path/cells")
   }
 }

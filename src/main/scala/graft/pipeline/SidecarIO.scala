@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Crash-safe overwrite for the small persisted sidecars (bloom words,
+  * count-min cells, bottom-k samples, …): `mode("overwrite")` on the
+  * live path deletes the ONLY copy before the new write commits, so a
+  * crash in between loses the accumulated sidecar irrecoverably. Here
+  * the new generation is written to a TMP sibling first, the live dir
+  * is renamed aside as `_prev`, tmp renamed live, `_prev` dropped —
+  * every crash window leaves at least one complete generation on disk,
+  * and [[readWithFallback]] serves `_prev` if the live dir is missing
+  * (the one window where a crash interrupts the swap).
+  */
+object SidecarIO {
+
+  /** Replace the parquet dir at `dest` with `rows` (already collected —
+    * sidecars are bounded by construction) without ever holding zero
+    * complete generations on disk.
+    */
+  def atomicOverwrite(spark: SparkSession, rows: java.util.List[Row],
+      schema: StructType, dest: String): Unit = {
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest + "_tmp")
+    val prev = new Path(dest + "_prev")
+    fs.delete(tmp, true)
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(prev, true)
+    if (fs.exists(destPath)) { fs.rename(destPath, prev); () }
+    if (!fs.rename(tmp, destPath))
+      sys.error(s"sidecar swap failed: could not rename $tmp to $dest")
+    fs.delete(prev, true)
+    ()
+  }
+
+  /** Read `dest`, falling back to the `_prev` generation if a crashed
+    * swap left the live dir missing.
+    */
+  def readWithFallback(spark: SparkSession, dest: String): DataFrame = {
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(destPath)) spark.read.parquet(dest)
+    else spark.read.parquet(dest + "_prev")
+  }
+}

@@ -343,19 +343,22 @@ object StreamOps {
   /** Sidecar maintenance for the [[graft.pipeline.CountMin]] frequency
     * grid: each micro-batch folds in by cellwise ADDITION, so the
     * maintained grid equals the build-at-once sketch over the whole
-    * stream bit-for-bit (counts-additivity) — but unlike the bloom's
-    * idempotent OR, additive folds must apply EXACTLY ONCE: a replayed
-    * batch double-counts. Run with a checkpoint and a sink that
-    * tolerates at-least-once only if upstream delivers batch-id
-    * dedup; the parity spec drives it with exactly-once local input.
+    * stream bit-for-bit (counts-additivity). Unlike the bloom's
+    * idempotent OR, additive folds must apply EXACTLY ONCE — and
+    * `foreachBatch` is at-least-once under checkpoint recovery — so
+    * the foreachBatch BATCH ID is threaded into the fold: the sidecar
+    * persists the last-folded id inside the same atomic cells swap and
+    * [[graft.pipeline.CountMin.updateSketch]] skips any batch at or
+    * below it, making a replayed batch a no-op instead of a
+    * double-count.
     */
   def cmsUpdateStream(stream: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         graft.pipeline.CountMin.updateSketch(batch.sparkSession, path,
-          batch)
+          batch, batchId = Some(batchId))
     }
 
   /** Sidecar maintenance for the [[graft.pipeline.Sketches]] HLL

@@ -90,4 +90,93 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() == 4900 && exact.count() == 4900)
     assert(pruned.filter(col("f_key").isNull).count() == 1)
   }
+
+  // ------------------------------------------------- sharded tier
+
+  test("large flat filter probes via codegen reference, same bits as " +
+      "the literal path") {
+    // past literalWordCap words (4096 * 64 = 2^18 bits) the probe
+    // switches to the reference expression; both paths must agree on
+    // every key, and the plan must carry no giant literal
+    val m = (Bloom.BloomFilter.literalWordCap + 64) * 64
+    val bf = Bloom.build(keys(0, 2000), "key", m, 5)
+    val small = Bloom.build(keys(0, 2000), "key", 4096 * 64, 5)
+    assert(bf.words.length > Bloom.BloomFilter.literalWordCap)
+    assert(keys(0, 2000).filter(!bf.mightContain(col("key")))
+      .count() == 0, "false negative on the reference path")
+    val plan = keys(0, 100).filter(bf.mightContain(col("key")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // the serialized plan stays small: the words ride a reference
+    assert(plan.length < 200000, s"plan blew up: ${plan.length} chars")
+    assert(small.words.length <= Bloom.BloomFilter.literalWordCap)
+  }
+
+  test("sharded sizing reaches past the 2^30 flat cap") {
+    // 10^10 keys at 1% fpp: ~9.6e10 bits — flat sizeFor clamps at
+    // 2^30, the sharded sizing does not
+    val (flatM, _) = Bloom.sizeFor(10000000000L, 0.01)
+    assert(flatM == (1L << 30))
+    val (nShards, bitsPerShard, k) =
+      ShardedBloom.sizeFor(10000000000L, 0.01)
+    val logical = nShards.toLong * bitsPerShard
+    assert(logical > (1L << 30), s"logical $logical")
+    assert(logical >= 9e10.toLong, s"logical $logical under target")
+    assert(bitsPerShard <= (1 << 27) && bitsPerShard % 64 == 0)
+    assert(k >= 4 && k <= 10)
+  }
+
+  test("sharded filter: no false negatives, resident == sidecar-cogroup " +
+      "probe, fold parity, pruned join exact") {
+    val path = java.nio.file.Files
+      .createTempDirectory("shbloom").toString + "/f"
+    ShardedBloom.writeFilter(keys(0, 600), "key", numShards = 7,
+      bitsPerShard = 4096, numHashes = 5, path)
+    ShardedBloom.updateFilter(spark, path, keys(600, 1200), "key")
+    val folded = ShardedBloom.readFilter(spark, path)
+    val once = ShardedBloom.build(keys(0, 1200), "key", 7, 4096, 5)
+    assert(folded.words.map(_.toSeq).toSeq ==
+      once.words.map(_.toSeq).toSeq)
+    // re-fold no-op (idempotent OR)
+    ShardedBloom.updateFilter(spark, path, keys(100, 700), "key")
+    assert(ShardedBloom.readFilter(spark, path).words.map(_.toSeq).toSeq
+      == once.words.map(_.toSeq).toSeq)
+    assert(folded.logicalBits == 7L * 4096)
+
+    // resident probe: zero false negatives, FP envelope
+    assert(keys(0, 1200).filter(!folded.mightContain(col("key")))
+      .count() == 0)
+    val fp = keys(10000, 20000)
+      .filter(folded.mightContain(col("key"))).count()
+    assert(fp < 600, s"fp $fp")
+
+    // resident probe and the nothing-resident cogroup probe keep the
+    // exact same rows
+    val fact = spark.range(0, 3000)
+      .select(concat(lit("k"), col("id") % 2000).as("key"),
+        (col("id") * 3).as("payload"))
+    val resident = fact.filter(folded.mightContain(col("key")))
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val cogrouped = ShardedBloom.pruneViaSidecar(spark, path,
+        fact, "key")
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(resident == cogrouped && resident.nonEmpty)
+
+    // sidecar-pruned join == exact join (false positives die)
+    val dim = keys(0, 1200).select(col("key").as("d_key"))
+    val pruned = ShardedBloom.prunedJoinViaSidecar(spark, path,
+      fact, dim, "key", "d_key")
+    val exact = fact.join(dim, col("key") === col("d_key"))
+    val norm = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(norm(pruned) == norm(exact) && pruned.count() > 0)
+  }
+
+  test("sharded resident probe plan: map-only, no giant literal") {
+    val bf = ShardedBloom.build(keys(0, 500), "key", 5, 4096, 4)
+    val plan = keys(0, 100).filter(bf.mightContain(col("key")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(plan.length < 200000)
+  }
 }
