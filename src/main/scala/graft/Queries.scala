@@ -5181,6 +5181,33 @@ object Queries {
       }.orderBy("query_id", "rank")
     }): Q, Some(bm25TopkSql)),
 
+    // ---- STREAM-MAINTAINED BM25 index: a third of the corpus is
+    // indexed offline, the rest arrives as micro-batches folding in
+    // through StreamOps.bm25UpdateStream (idempotent postings deltas +
+    // one atomic df/stats/guard swap per batch). Postings are disjoint
+    // by doc and df/stats counts-additive, so the folded index serves
+    // the standard workload BIT-IDENTICAL to build-at-once — same
+    // oracle as bm25_search_documents. ----
+    ("bm25_stream_index_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Search
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = freshSidecarPath("bm25fold")
+      Search.writeIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path)
+      val inDir = streamInputFor(s, dir, "bm25fold", 3) {
+        docs.filter(col("doc_id") % 3 =!= 0)
+      }
+      drainStream(s) {
+        graft.streaming.StreamOps.bm25UpdateStream(
+          s.readStream.schema(s.read.parquet(inDir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir),
+          path, "doc_id", "text")
+      }
+      Search.searchFromIndex(s, path, bm25QueriesFor(docs),
+          "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }): Q, Some(bm25TopkSql)),
+
     // ---- BM25 reached ENTIRELY through spark.sql (graft_bm25_search
     // table function — the fully-declarative one-plan variant, stats
     // as a broadcast one-row cross join): same oracle as the

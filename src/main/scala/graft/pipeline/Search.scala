@@ -202,18 +202,142 @@ object Search {
         .write.mode("overwrite").parquet(s"$path/postings")
       ix.docFreq.coalesce(1)
         .write.mode("overwrite").parquet(s"$path/df")
-      Seq((ix.nDocs, ix.avgDl))
-        .toDF("n_docs", "avgdl").coalesce(1)
+      val sumDl = math.round(ix.avgDl * ix.nDocs)
+      Seq((ix.nDocs, ix.avgDl, sumDl))
+        .toDF("n_docs", "avgdl", "sum_dl").coalesce(1)
         .write.mode("overwrite").json(s"$path/params")
     }
   }
 
-  /** The stored index, ready for [[search]]. */
+  // Sentinel toks carrying the fold state inside the df sidecar:
+  // tokens are split on whitespace, so a LEADING-SPACE tok can never
+  // collide with a real term. Folding them into the one atomic df
+  // swap makes the stats, the doc frequencies, and the replay guard
+  // agree across any crash (the CountMin sentinel discipline).
+  private val SentN = " n"
+  private val SentSumDl = " sumdl"
+  private val SentBatch = " batch"
+
+  private def isSentinel(tok: Column): Column = tok.startsWith(" ")
+
+  /** Fold a batch of NEW documents into the persisted index at batch
+    * cost (the incremental-index discipline: batches carry doc_ids not
+    * yet indexed — df additivity and postings disjointness both assume
+    * it). Exactly-once under at-least-once replay:
+    *
+    *  - batch postings land in their own DELTA directory
+    *    (`postings_delta/batch=<id>`), so re-writing the same batch id
+    *    OVERWRITES rather than appends — idempotent;
+    *  - doc frequencies merge additively into the df sidecar in ONE
+    *    [[SidecarIO]] atomic swap that also carries the collection
+    *    stats (`n`, `Σdl`) and the last-folded batch id as sentinel
+    *    rows — a replayed batch (id ≤ stored) is skipped BEFORE any
+    *    write, and a crash between the postings delta and the df swap
+    *    replays into an idempotent delta overwrite + the not-yet-
+    *    applied df merge.
+    *
+    * Without an explicit `batchId` (one-shot batch folds) the next
+    * free delta id is used; such folds are not replay-guarded.
+    */
+  def updateIndex(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      batchId: Option[Long] = None): Unit = {
+    val dfSide = SidecarIO.readWithFallback(spark, s"$path/df")
+    val sentinels = dfSide.filter(isSentinel(col("tok"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lastBatch = sentinels.get(SentBatch)
+    if (batchId.exists(id => lastBatch.exists(id <= _))) return
+    // base stats: sentinels when present (a prior fold), else the
+    // build-time params
+    val (curN, curSum) = (sentinels.get(SentN),
+        sentinels.get(SentSumDl)) match {
+      case (Some(n), Some(s)) => (n, s)
+      case _ =>
+        val p = spark.read.json(s"$path/params").head()
+        (p.getAs[Long]("n_docs"),
+          if (p.schema.fieldNames.contains("sum_dl"))
+            p.getAs[Long]("sum_dl")
+          else math.round(p.getAs[Double]("avgdl") *
+            p.getAs[Long]("n_docs")))
+    }
+    val effId = batchId.getOrElse(
+      math.max(lastBatch.getOrElse(-1L), nextDeltaId(spark, path)))
+
+    val toks = explodedTokens(batch, idCol, textCol)
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("dl")).cast(LongType).as("sumdl")).head()
+    val batchN = stats.getAs[Long]("n")
+    if (batchN == 0) return // nothing to fold; guard stays put
+    val batchSum = stats.getAs[Long]("sumdl")
+
+    // 1. idempotent postings delta
+    tf.join(dl, "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite")
+      .parquet(s"$path/postings_delta/batch=$effId")
+
+    // 2. one atomic swap: merged df + stats + replay guard
+    val batchDf = tf.groupBy("tok")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val mergedDf = dfSide.filter(!isSentinel(col("tok")))
+      .unionAll(batchDf)
+      .groupBy("tok").agg(sum(col("df")).cast(LongType).as("df"))
+    val sentinelRows = spark.range(1).select(
+        lit(SentN).as("tok"), lit(curN + batchN).as("df"))
+      .unionAll(spark.range(1).select(lit(SentSumDl).as("tok"),
+        lit(curSum + batchSum).as("df")))
+      .unionAll(spark.range(1).select(lit(SentBatch).as("tok"),
+        lit(effId).as("df")))
+    SidecarIO.atomicOverwriteDf(mergedDf.unionAll(sentinelRows),
+      s"$path/df")
+  }
+
+  /** Next unused delta id (max existing + 1) for un-id'd folds. */
+  private def nextDeltaId(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings_delta")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLongOption.getOrElse(-1L) }
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** The stored index, ready for [[search]]: base postings plus any
+    * fold deltas, df sidecar stripped of its sentinel rows, stats from
+    * the sentinels when folds have run (else the build-time params —
+    * `avgdl` is the same `Σdl / n` IEEE divide either way, so served
+    * scores are bit-identical to a build-at-once index over the same
+    * corpus).
+    */
   def readIndex(spark: SparkSession, path: String): Bm25Index = {
-    val p = spark.read.json(s"$path/params").head()
-    Bm25Index(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/df"),
-      p.getAs[Long]("n_docs"), p.getAs[Double]("avgdl"))
+    val dfSide = SidecarIO.readWithFallback(spark, s"$path/df")
+    val sentinels = dfSide.filter(isSentinel(col("tok"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$path/postings")
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/postings_delta")
+    val fs = deltaRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val postings = if (fs.exists(deltaRoot))
+      base.unionAll(spark.read.parquet(deltaRoot.toString)
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
+    else base
+    val (n, avgDl) = (sentinels.get(SentN),
+        sentinels.get(SentSumDl)) match {
+      case (Some(nv), Some(sv)) => (nv, sv.toDouble / nv)
+      case _ =>
+        val p = spark.read.json(s"$path/params").head()
+        (p.getAs[Long]("n_docs"), p.getAs[Double]("avgdl"))
+    }
+    Bm25Index(postings, dfSide.filter(!isSentinel(col("tok"))),
+      n, avgDl)
   }
 
   /** Daily-driver search against the persisted sidecar: read + probe,

@@ -37,6 +37,29 @@ object SidecarIO {
     ()
   }
 
+  /** [[atomicOverwrite]] for a DataFrame too big to collect (e.g. a
+    * vocabulary-sized table): the tmp write MATERIALIZES the plan in
+    * full while the live dir is still intact, so a plan that reads the
+    * path it replaces cannot race itself, and the swap then proceeds
+    * as above.
+    */
+  def atomicOverwriteDf(df: DataFrame, dest: String,
+      files: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest + "_tmp")
+    val prev = new Path(dest + "_prev")
+    fs.delete(tmp, true)
+    df.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(prev, true)
+    if (fs.exists(destPath)) { fs.rename(destPath, prev); () }
+    if (!fs.rename(tmp, destPath))
+      sys.error(s"sidecar swap failed: could not rename $tmp to $dest")
+    fs.delete(prev, true)
+    ()
+  }
+
   /** Read `dest`, falling back to the `_prev` generation if a crashed
     * swap left the live dir missing.
     */

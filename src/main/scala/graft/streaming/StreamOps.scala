@@ -340,6 +340,28 @@ object StreamOps {
           batch, keyCol)
     }
 
+  /** Sidecar maintenance for the [[graft.pipeline.Search]] BM25
+    * inverted index — the one persisted retrieval sidecar that
+    * previously had a serving stream but no update stream: each
+    * micro-batch of NEW documents folds in via
+    * [[graft.pipeline.Search.updateIndex]] (idempotent batch-stamped
+    * postings delta + one atomic df/stats/guard swap), so the
+    * maintained index serves scores BIT-IDENTICAL to a build-at-once
+    * index over the same corpus (postings disjoint by doc, df and
+    * collection stats counts-additive, avgdl the same IEEE divide).
+    * The foreachBatch batch id rides into the fold as the replay
+    * guard: checkpoint-recovered batches are skipped, not re-added.
+    */
+  def bm25UpdateStream(stream: DataFrame, path: String,
+      idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Search.updateIndex(batch.sparkSession, path,
+          batch, idCol, textCol, batchId = Some(batchId))
+    }
+
   /** Sidecar maintenance for the [[graft.pipeline.CountMin]] frequency
     * grid: each micro-batch folds in by cellwise ADDITION, so the
     * maintained grid equals the build-at-once sketch over the whole

@@ -731,4 +731,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(est("t" + i) >= i.toLong, s"t$i underestimated")
     }
   }
+
+  test("stream-maintained BM25 index serves scores bit-identical to " +
+      "build-at-once; replayed batches are skipped") {
+    import graft.pipeline.Search
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25stream").toString + "/idx"
+    val corpus = (1L to 60L).map(i =>
+      (i, s"term${i % 7} term${i % 5} term${i % 3} filler$i"))
+    val queries = Seq((1L, "term0 term2"), (2L, "term4 filler10"))
+      .toDF("qid", "qtext")
+    // base index over the first third; the rest arrives as a stream
+    Search.writeIndex(corpus.take(20).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.bm25UpdateStream(
+      input.toDF().toDF("doc_id", "text"), path, "doc_id", "text")
+      .start()
+    input.addData(corpus.slice(20, 40)); q.processAllAvailable()
+    input.addData(corpus.drop(40)); q.processAllAvailable()
+    q.stop()
+    val oncePath = java.nio.file.Files
+      .createTempDirectory("bm25once").toString + "/idx"
+    Search.writeIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      oncePath)
+    val norm = (df: org.apache.spark.sql.DataFrame) => df
+      .select("query_id", "rank", "doc_id", "score_q").collect()
+      .map(_.toSeq.toList).sortBy(_.toString).toList
+    val served = Search.searchFromIndex(spark, path, queries,
+      "qid", "qtext", k = 5)
+    val once = Search.searchFromIndex(spark, oncePath, queries,
+      "qid", "qtext", k = 5)
+    assert(norm(served) == norm(once) && served.count() > 0)
+    // replay guard: re-folding an already-folded batch id is a no-op
+    Search.updateIndex(spark, path,
+      corpus.slice(20, 40).toDF("doc_id", "text"), "doc_id", "text",
+      batchId = Some(0L))
+    assert(norm(Search.searchFromIndex(spark, path, queries,
+      "qid", "qtext", k = 5)) == norm(once))
+    // collection stats folded exactly
+    val ix = Search.readIndex(spark, path)
+    val ixOnce = Search.readIndex(spark, oncePath)
+    assert(ix.nDocs == ixOnce.nDocs && ix.avgDl == ixOnce.avgDl)
+  }
 }
