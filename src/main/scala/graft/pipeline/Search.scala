@@ -217,6 +217,8 @@ object Search {
   private val SentN = " n"
   private val SentSumDl = " sumdl"
   private val SentBatch = " batch"
+  private val SentGen = " gen"
+  private val SentFloor = " floor"
 
   private def isSentinel(tok: Column): Column = tok.startsWith(" ")
 
@@ -260,8 +262,12 @@ object Search {
           else math.round(p.getAs[Double]("avgdl") *
             p.getAs[Long]("n_docs")))
     }
-    val effId = batchId.getOrElse(
-      math.max(lastBatch.getOrElse(-1L), nextDeltaId(spark, path)))
+    // un-id'd folds take the next id past everything ever seen: live
+    // delta dirs, the replay guard, AND the compaction floor (a reused
+    // id at or below the floor would be ignored by readIndex)
+    val effId = batchId.getOrElse(Seq(
+      lastBatch.getOrElse(-1L), sentinels.getOrElse(SentFloor, -1L),
+      nextDeltaId(spark, path) - 1).max + 1)
 
     val toks = explodedTokens(batch, idCol, textCol)
     val tf = toks.groupBy("doc_id", "tok")
@@ -288,12 +294,14 @@ object Search {
     val mergedDf = dfSide.filter(!isSentinel(col("tok")))
       .unionAll(batchDf)
       .groupBy("tok").agg(sum(col("df")).cast(LongType).as("df"))
-    val sentinelRows = spark.range(1).select(
-        lit(SentN).as("tok"), lit(curN + batchN).as("df"))
-      .unionAll(spark.range(1).select(lit(SentSumDl).as("tok"),
-        lit(curSum + batchSum).as("df")))
-      .unionAll(spark.range(1).select(lit(SentBatch).as("tok"),
-        lit(effId).as("df")))
+    // rewrite the three fold sentinels, CARRY every other one (the
+    // compaction generation/floor must survive subsequent folds)
+    val newSentinels = (sentinels - SentN - SentSumDl - SentBatch).toSeq ++
+      Seq(SentN -> (curN + batchN), SentSumDl -> (curSum + batchSum),
+        SentBatch -> effId)
+    val sentinelRows = newSentinels.map { case (t, v) =>
+      spark.range(1).select(lit(t).as("tok"), lit(v).as("df"))
+    }.reduce(_ unionAll _)
     SidecarIO.atomicOverwriteDf(mergedDf.unionAll(sentinelRows),
       s"$path/df")
   }
@@ -321,12 +329,30 @@ object Search {
     val dfSide = SidecarIO.readWithFallback(spark, s"$path/df")
     val sentinels = dfSide.filter(isSentinel(col("tok"))).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val base = spark.read.parquet(s"$path/postings")
+    // base generation + delta floor: compaction renames the base and
+    // bumps both in the ONE atomic df swap, so every crash point reads
+    // a consistent (base, live-deltas) pair
+    val baseDir = sentinels.get(SentGen) match {
+      case Some(g) => s"$path/postings_gen$g"
+      case None => s"$path/postings"
+    }
+    val floor = sentinels.getOrElse(SentFloor, -1L)
+    val base = spark.read.parquet(baseDir)
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/postings_delta")
     val fs = deltaRoot.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val postings = if (fs.exists(deltaRoot))
+    // live deltas = batch dirs above the compaction floor (a fully
+    // compacted index leaves none — and an empty root must not reach
+    // the parquet reader, which cannot infer a schema from nothing)
+    val liveDeltas = if (fs.exists(deltaRoot))
+      fs.listStatus(deltaRoot).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLongOption.getOrElse(-1L) }
+        .filter(_ > floor)
+    else Seq.empty
+    val postings = if (liveDeltas.nonEmpty)
       base.unionAll(spark.read.parquet(deltaRoot.toString)
+        .filter(col("batch") > floor) // compacted-away deltas ignored
         .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
     else base
     val (n, avgDl) = (sentinels.get(SentN),
@@ -338,6 +364,58 @@ object Search {
     }
     Bm25Index(postings, dfSide.filter(!isSentinel(col("tok"))),
       n, avgDl)
+  }
+
+  /** Fold the accumulated stream deltas back into one range-partitioned
+    * sorted base (footer min/max term pruning restored after many
+    * [[updateIndex]] folds left one delta dir per batch). Crash-safe by
+    * GENERATION: the merged postings land in a fresh
+    * `postings_gen<g>` directory, then the base pointer and the delta
+    * FLOOR (deltas at or below it are ignored by [[readIndex]]) bump
+    * together in the one atomic df swap — before the swap readers see
+    * old base + live deltas, after it the new base with those deltas
+    * ignored; no state double- or under-counts. Stale dirs are dropped
+    * last (ignored either way if the cleanup dies).
+    */
+  def compactIndex(spark: SparkSession, path: String,
+      numFiles: Int = 8): Unit = {
+    val dfSide = SidecarIO.readWithFallback(spark, s"$path/df")
+    val sentinels = dfSide.filter(isSentinel(col("tok"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ix = readIndex(spark, path)
+    val gen = sentinels.getOrElse(SentGen, -1L) + 1
+    val newFloor = math.max(sentinels.getOrElse(SentFloor, -1L),
+      nextDeltaId(spark, path) - 1)
+    ix.postings
+      .repartitionByRange(numFiles, col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings_gen$gen")
+    val newSentinels = (sentinels - SentGen - SentFloor +
+      (SentGen -> gen) + (SentFloor -> newFloor)).toSeq
+    val sentRows = newSentinels.map { case (t, v) =>
+      spark.range(1).select(lit(t).as("tok"), lit(v).as("df"))
+    }.reduce(_ unionAll _)
+    SidecarIO.atomicOverwriteDf(
+      dfSide.filter(!isSentinel(col("tok"))).unionAll(sentRows),
+      s"$path/df")
+    // cleanup: stale base + compacted-away deltas (ignored either way)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldBase = sentinels.get(SentGen) match {
+      case Some(g) => s"$path/postings_gen$g"
+      case None => s"$path/postings"
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(oldBase), true)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/postings_delta")
+    if (fs.exists(deltaRoot)) {
+      fs.listStatus(deltaRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLongOption.exists(_ <= newFloor))
+          fs.delete(st.getPath, true)
+      }
+    }
+    ()
   }
 
   /** Daily-driver search against the persisted sidecar: read + probe,

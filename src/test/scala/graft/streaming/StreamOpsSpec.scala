@@ -773,5 +773,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     val ix = Search.readIndex(spark, path)
     val ixOnce = Search.readIndex(spark, oncePath)
     assert(ix.nDocs == ixOnce.nDocs && ix.avgDl == ixOnce.avgDl)
+
+    // COMPACTION: deltas fold into a fresh generation; served results,
+    // stats and the replay guard all unchanged
+    Search.compactIndex(spark, path)
+    assert(norm(Search.searchFromIndex(spark, path, queries,
+      "qid", "qtext", k = 5)) == norm(once))
+    val ixc = Search.readIndex(spark, path)
+    assert(ixc.nDocs == ixOnce.nDocs && ixc.avgDl == ixOnce.avgDl)
+    // the old flat base and the folded delta dirs are gone
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/postings_gen0")))
+    // a post-compaction fold still lands, survives the sentinel carry
+    // (generation/floor), and serves the new document
+    Search.updateIndex(spark, path,
+      Seq((1000L, "zzfreshword zzfreshword")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val freshHits = Search.searchFromIndex(spark, path,
+      Seq((9L, "zzfreshword")).toDF("qid", "qtext"), "qid", "qtext",
+      k = 5)
+    assert(freshHits.count() == 1 &&
+      freshHits.head().getAs[Long]("doc_id") == 1000L)
+    assert(Search.readIndex(spark, path).nDocs == ixOnce.nDocs + 1)
   }
 }
