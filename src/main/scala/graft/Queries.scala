@@ -4979,6 +4979,64 @@ object Queries {
       GROUP BY c.doc_id, c.chunk_id, c.start_tok
       ORDER BY c.doc_id, c.chunk_id""")),
 
+    // ---- the TRAINER itself, oracle-checked: one distributed
+    // word-count agg then the published frequency-dict merge loop
+    // (max-count pair, ties count desc then pair lexicographic; all
+    // non-overlapping occurrences fused per step). The oracle replays
+    // every training step as a recursive CTE carrying the full
+    // segmentation state — corpus word-dict is bounded, so the state
+    // list is too. ----
+    ("bpe_train_documents", ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val m = graft.pipeline.Bpe.train(
+        rd(s, dir, "documents").select(col("text")), "text",
+        numMerges = 12, marker = "_")
+      m.merges.zipWithIndex
+        .map { case ((l, r), k) => (k, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+        .orderBy("rank")
+    }): Q, Some(s"""
+      WITH RECURSIVE
+      wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT unnest(string_split(trim(COALESCE(text,'')),
+                     ' ')) AS word
+                   FROM documents
+                   WHERE length(trim(COALESCE(text,''))) > 0)
+             WHERE length(word) > 0 GROUP BY word),
+      steps AS (
+        SELECT 0 AS step, CAST([] AS VARCHAR[]) AS merges,
+               list(struct_pack(f := freq,
+                 s := '_~~' || trim(regexp_replace(word, '(.)',
+                   '\\1~~', 'g'), '~'))) AS state
+        FROM wc
+        UNION ALL
+        SELECT s.step + 1,
+               list_append(s.merges, b.l || ' ' || b.r),
+               list_transform(s.state, t -> struct_pack(f := t.f,
+                 s := trim(replace('~'||t.s||'~',
+                   '~'||b.l||'~~'||b.r||'~',
+                   '~'||b.l||b.r||'~'), '~')))
+        FROM steps s, LATERAL (
+          SELECT l, r FROM (
+            SELECT syms[CAST(i AS INTEGER)] AS l,
+                   syms[CAST(i AS INTEGER) + 1] AS r,
+                   SUM(t.f) AS cnt
+            FROM (SELECT unnest(s.state) AS t),
+                 LATERAL (SELECT string_split(t.s, '~~') AS syms) sy,
+                 LATERAL unnest(range(1, len(syms))) AS g(i)
+            GROUP BY 1, 2)
+          ORDER BY cnt DESC, l, r LIMIT 1) b
+        WHERE s.step < 12
+      )
+      SELECT CAST(m.i - 1 AS INTEGER) AS rank,
+             string_split(merges[CAST(m.i AS INTEGER)], ' ')[1]
+               AS left_sym,
+             string_split(merges[CAST(m.i AS INTEGER)], ' ')[2]
+               AS right_sym
+      FROM (SELECT merges FROM steps ORDER BY step DESC LIMIT 1),
+           LATERAL unnest(range(1, len(merges)+1)) AS m(i)
+      ORDER BY rank""")),
+
     // ---- the tokenizer reached ENTIRELY through spark.sql
     // (graft_bpe_count / graft_bpe_pieces resolve the registered model
     // at analysis time): same oracle skeleton — SQL reach for the
@@ -5353,6 +5411,32 @@ object Queries {
              CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")),
+
+    // ---- sharded-sidecar ANTI-join (incremental-ingest skip at the
+    // 10^10+-key tier): the DEFINITELY-new slice (probe rejects — no
+    // false negatives) passes straight through; only the might-match
+    // slice pays the exact left_anti that removes true members and
+    // revives false positives. Bit-identical to a plain left_anti, so
+    // the oracle is NOT EXISTS. ----
+    ("bloom_sharded_antijoin_orders", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ShardedBloom
+      val dim = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      ShardedBloom.prunedAntiJoinViaSidecar(s, shardedBloomFor(s, dir),
+          rd(s, dir, "orders"), dim, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer
+                        WHERE c_custkey = o.o_custkey
+                          AND c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey""")),
 
     // ---- STREAM-MAINTAINED bloom sidecar serving a pruned join: the
     // BUILDING customer keys arrive as three micro-batches folding into

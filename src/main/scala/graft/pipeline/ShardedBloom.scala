@@ -187,7 +187,18 @@ object ShardedBloom {
     * build and probe hashing can never diverge.
     */
   def pruneViaSidecar(spark: SparkSession, path: String,
-      fact: DataFrame, factKey: String): DataFrame = {
+      fact: DataFrame, factKey: String): DataFrame =
+    probeViaSidecar(spark, path, fact, factKey, keepMatches = true)
+
+  /** The cogroup probe core: emit the rows whose membership test
+    * equals `keepMatches` (true = might-match slice, false =
+    * DEFINITELY-new slice — zero false negatives make the reject side
+    * exact). NULL keys drop here (might-match can't hold them and the
+    * anti-join wrapper re-unions them).
+    */
+  private def probeViaSidecar(spark: SparkSession, path: String,
+      fact: DataFrame, factKey: String,
+      keepMatches: Boolean): DataFrame = {
     val (numShards, bitsPerShard, numHashes) = readParams(spark, path)
     val words = SidecarIO.readWithFallback(spark, s"$path/words")
       .select(col("shard").cast("int").as("shard"), col("word_idx"),
@@ -214,10 +225,35 @@ object ShardedBloom {
       rows.filter { r =>
         val ps = r.getSeq[Long](posIdx)
         ps.forall(p =>
-          (dense((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L)
+          (dense((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L) ==
+          keepMatches
       }.map(r => Row.fromSeq(r.toSeq.take(nCols)))
     }(Encoders.row(fact.schema))
     out.toDF()
+  }
+
+  /** Sidecar-pruned exact ANTI-join at the nothing-resident tier — the
+    * [[Bloom.prunedAntiJoin]] incremental-ingest skip pattern for
+    * 10^10+-key processed sets: the DEFINITELY-new slice (filter
+    * rejects — exact, no false negatives) and the NULL-keyed rows pass
+    * straight through; only the might-match slice pays the exact
+    * `left_anti` that removes true members and revives false
+    * positives. Bit-identical to `fact.join(dim, …, "left_anti")`.
+    * Cost shape: two shard exchanges of the fact instead of the full
+    * anti-join shuffle — the win is that the downstream anti-join sees
+    * only the might-match slice (≈ the true-member mass at 1% fpp).
+    */
+  def prunedAntiJoinViaSidecar(spark: SparkSession, path: String,
+      fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String): DataFrame = {
+    val defNew =
+      probeViaSidecar(spark, path, fact, factKey, keepMatches = false)
+    val might =
+      probeViaSidecar(spark, path, fact, factKey, keepMatches = true)
+    defNew
+      .unionAll(fact.filter(col(factKey).isNull))
+      .unionAll(might.join(dim, col(factKey) === col(dimKey),
+        "left_anti"))
   }
 
   /** Sidecar-pruned exact equi-join at the nothing-resident tier —

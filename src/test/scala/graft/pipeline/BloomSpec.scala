@@ -172,6 +172,27 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(norm(pruned) == norm(exact) && pruned.count() > 0)
   }
 
+  test("sharded anti-join == exact left_anti; null fact keys kept") {
+    val path = java.nio.file.Files
+      .createTempDirectory("shbloom_anti").toString + "/f"
+    val dimKeys = spark.range(0, 1000).filter(col("id") % 3 === 0)
+      .select(concat(lit("k"), col("id")).as("d_key"))
+    ShardedBloom.writeFilter(dimKeys, "d_key", numShards = 5,
+      bitsPerShard = 4096, numHashes = 5, path)
+    val fact = spark.range(0, 1500)
+      .select(when(col("id") === 1499, lit(null))
+        .otherwise(concat(lit("k"), col("id"))).as("f_key"),
+        (col("id") * 7).as("payload"))
+    val pruned = ShardedBloom.prunedAntiJoinViaSidecar(spark, path,
+      fact, dimKeys, "f_key", "d_key")
+    val exact = fact.join(dimKeys, col("f_key") === col("d_key"),
+      "left_anti")
+    val norm = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(norm(pruned) == norm(exact))
+    assert(pruned.filter(col("f_key").isNull).count() == 1)
+  }
+
   test("sharded resident probe plan: map-only, no giant literal") {
     val bf = ShardedBloom.build(keys(0, 500), "key", 5, 4096, 4)
     val plan = keys(0, 100).filter(bf.mightContain(col("key")))
