@@ -49,6 +49,13 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** Process start, for the report's `elapsed_sec` — the wall-clock
+    * evidence that the run fit (or didn't fit) the driver gate, kept
+    * next to `planned`/`completed`/`partial` so a report is auditable
+    * without the run's stderr.
+    */
+  private val processStartNanos = System.nanoTime()
+
   private val personJson = """{"name":"person","type":"record","fields":[
     {"name":"FirstName","type":"string"},{"name":"LastName","type":"string"},
     {"name":"Occupation","type":"string"},{"name":"Title","type":"string"},
@@ -440,7 +447,9 @@ object Bench {
         s""""spread":$spread,"meta":$meta,"runs":$runs,""" +
         s""""warmups":$warmups,"failures":$failures,"forked":$forked,""" +
         s""""planned":$planned,"completed":${results.size},""" +
-        s""""partial":$partial,"sf":"$sfDir"}"""
+        s""""partial":$partial,""" +
+        s""""elapsed_sec":${(System.nanoTime() - processStartNanos) / 1000000000L},""" +
+        s""""sf":"$sfDir"}"""
     // `emit` (final call) prints the one driver-contract line; `partial`
     // is the HONESTY flag — true whenever completed < planned, even on
     // the final report (the r13 deadline cut dropped 23 entries yet

@@ -3500,6 +3500,97 @@ object Queries {
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 1 ORDER BY query_id, rank""")),
 
+    // ---- product-quantization ENCODE, bit-level oracle: a planted
+    // integer-valued codebook (((c*7+s*3+j*5) mod 16 - 8)*32 per
+    // component) and floor(x*256)-quantized vectors make every double
+    // intermediate an exact integer << 2^53, so per-subspace argmin
+    // codes are engine-exact and summation-order-free (the
+    // quantize-before-sum rule); DuckDB replays the full argmin. Codes
+    // fold into one bigint checksum (code_s << 4s). ----
+    ("pq_encode_embeddings", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val cb = ProductQuant.plantedCodebook(8, 8, 16)
+      val qv = rd(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.encodeDf(qv, "vec_id", "qv", cb, idAs = "vec_id")
+        .select(col("vec_id"),
+          aggregate(zip_with(col("codes"), sequence(lit(0), lit(7)),
+            (c, sIdx) => c.cast("long") *
+              pow(lit(16.0), sIdx.cast("double")).cast("long")),
+            lit(0L), (a, x) => a + x).as("code_checksum"))
+        .orderBy("vec_id")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      d AS (
+        SELECT e.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM e, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1)
+      SELECT vec_id, CAST(SUM(CAST(code AS BIGINT)
+               * (CAST(1 AS BIGINT) << CAST(4*s AS INTEGER))) AS BIGINT)
+             AS code_checksum
+      FROM code GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- PQ ADC top-k (asymmetric distance: query LUT x corpus
+    // codes — the 8-bytes-per-vector scan that replaces the 256-byte
+    // float scan at 100 TB): same planted-integer exactness, so the
+    // oracle replays the IDENTICAL approximation — codes via argmin,
+    // then per-query LUT sums joined code-to-centroid — not the true
+    // distance. Ties: lowest adc, then lowest id. ----
+    ("pq_adc_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val cb = ProductQuant.plantedCodebook(8, 8, 16)
+      val e = rd(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv"))
+      ProductQuant.pqTopK(e, "vec_id", "qv", queries, "qid", "qv",
+          cb, k = 3)
+        .select(col("query_id"), col("id"),
+          col("adc").cast("long").as("adc_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      d AS (
+        SELECT e.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM e, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS query_id, code.vec_id AS id,
+               CAST(SUM(qd.dist) AS BIGINT) AS adc_int
+        FROM code JOIN d qd ON qd.s = code.s AND qd.c = code.code
+        WHERE qd.vec_id < 5
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, id, adc_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_int, id) AS rank FROM adc)
+      SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- multimodal AUDIO with a REAL header decode: every doc plants
     // an in-memory PCM RIFF/WAVE stream whose rate/channels/frames
     // derive from doc_id; the zero-dependency chunk-walk parse

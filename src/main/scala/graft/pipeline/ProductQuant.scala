@@ -1,0 +1,338 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the ANN
+  * compression tier below [[Similarity]]'s scalar int8 path: each
+  * vector splits into `numSubspaces` contiguous subvectors, each
+  * subvector is replaced by the id of its nearest codebook centroid,
+  * and a query scores a vector by summing per-subspace LOOKUPS instead
+  * of touching floats (asymmetric distance computation, ADC).
+  *
+  * Scale design (the reason PQ exists at 100 TB): an encoded corpus
+  * row is `numSubspaces` single-byte codes — 8 bytes against the 256
+  * raw float bytes of a 64-dim embedding (32×) — so an ADC scan reads
+  * ~3% of the bytes a brute-force scan reads, and the whole scan stays
+  * map-only: queries broadcast as precomputed LUTs
+  * (`numSubspaces` × `codesPerSubspace` doubles each), every partition
+  * keeps a bounded per-query top-k heap, and only
+  * partitions × queries × k candidate rows reach the final merge —
+  * never |corpus| × |queries|. Compose with the IVF index layout
+  * ([[Similarity.writeIvfIndex]]) for partition pruning × code
+  * compression.
+  *
+  * Exactness discipline (oracle queries): with integer-VALUED inputs
+  * (planted codebooks + `floor(x*256)`-quantized vectors) every double
+  * intermediate is an exact integer far below 2^53, so distances,
+  * argmins and ADC sums are bit-identical across engines and
+  * SUMMATION-ORDER-FREE — the quantize-before-sum rule. The float
+  * path (trained codebooks) is spec-covered instead; its tie-breaks
+  * (lowest code, then lowest id) are pinned here all the same.
+  */
+object ProductQuant {
+
+  /** `centroids(s)(c)` = the `subDim` floats of code `c` in subspace
+    * `s`; all subspaces carry the same code count.
+    */
+  final case class PqCodebook(subDim: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    require(centroids.nonEmpty && centroids.forall(_.nonEmpty),
+      "codebook must have >= 1 subspace and >= 1 code")
+    require(centroids.forall(_.forall(_.length == subDim)),
+      "every centroid must have subDim components")
+    def numSubspaces: Int = centroids.length
+    def codesPerSubspace: Int = centroids(0).length
+    def dim: Int = numSubspaces * subDim
+  }
+
+  // ------------------------------------------------------------ kernels
+
+  /** Squared L2 between `v[off, off+subDim)` and centroid `cv`,
+    * ascending-j fold (pinned order; on integer-valued inputs the
+    * doubles are exact, so the order is also irrelevant there).
+    */
+  private def subDistJ(v: Array[Float], off: Int,
+      cv: Array[Float]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < cv.length) {
+      val d = v(off + j).toDouble - cv(j).toDouble
+      acc += d * d
+      j += 1
+    }
+    acc
+  }
+
+  /** PQ codes for one vector: per subspace the argmin-distance code,
+    * ties to the LOWEST code id.
+    */
+  private[pipeline] def encodeJ(v: Array[Float],
+      cb: PqCodebook): Array[Int] = {
+    require(v.length == cb.dim,
+      s"vector dim ${v.length} != codebook dim ${cb.dim}")
+    Array.tabulate(cb.numSubspaces) { s =>
+      val cs = cb.centroids(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = subDistJ(v, s * cb.subDim, cs(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Reconstruction: concatenated centroid of each code. */
+  private[pipeline] def decodeJ(codes: Array[Int],
+      cb: PqCodebook): Array[Float] = {
+    val out = new Array[Float](cb.dim)
+    var s = 0
+    while (s < cb.numSubspaces) {
+      System.arraycopy(cb.centroids(s)(codes(s)), 0, out,
+        s * cb.subDim, cb.subDim)
+      s += 1
+    }
+    out
+  }
+
+  /** One query's ADC lookup table: `lut(s)(c)` = squared L2 between the
+    * query's subvector `s` and centroid `c`.
+    */
+  private[pipeline] def lutJ(q: Array[Float],
+      cb: PqCodebook): Array[Array[Double]] =
+    Array.tabulate(cb.numSubspaces)(s =>
+      Array.tabulate(cb.codesPerSubspace)(c =>
+        subDistJ(q, s * cb.subDim, cb.centroids(s)(c))))
+
+  /** ADC distance of one encoded row: ascending-subspace LUT sum. */
+  private[pipeline] def adcJ(codes: Array[Int],
+      lut: Array[Array[Double]]): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) { acc += lut(s)(codes(s)); s += 1 }
+    acc
+  }
+
+  // ---------------------------------------------------------- codebooks
+
+  /** Per-subspace Lloyd's k-means on one bounded DETERMINISTIC sample
+    * (same discipline as [[Similarity.trainIvfCentroids]]:
+    * hash-ordered top-`sampleN` — corpus-wide, no ingestion-order
+    * bias; evenly spaced init; empty cells keep their centroid). One
+    * corpus-side `limit(sampleN)` collect bounds driver state by
+    * construction; the loop is driver-side over the sample only.
+    */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, codesPerSubspace: Int,
+      sampleN: Int = 10000, iters: Int = 5): PqCodebook = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .orderBy(graft.pipeline.Sampling.hashOrderKey(col(idCol)),
+        col(idCol))
+      .limit(sampleN)
+      .as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % numSubspaces == 0,
+      s"dim $dim not divisible into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    val centroids = Array.tabulate(numSubspaces) { s =>
+      val k = math.min(codesPerSubspace, sample.length)
+      var cs = Array.tabulate(k)(i =>
+        sample(i * sample.length / k)
+          .slice(s * subDim, (s + 1) * subDim))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cs.length)(new Array[Double](subDim))
+        val counts = new Array[Int](cs.length)
+        sample.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val d = subDistJ(v, s * subDim, cs(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) {
+            sums(best)(j) += v(s * subDim + j); j += 1
+          }
+        }
+        cs = cs.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else Array.tabulate(subDim)(j =>
+            (sums(c)(j) / counts(c)).toFloat)
+        }
+      }
+      cs
+    }
+    PqCodebook(subDim, centroids)
+  }
+
+  /** Deterministic INTEGER-VALUED codebook for bit-level oracle replay:
+    * component `j` of code `c` in subspace `s` is
+    * `(((c*7 + s*3 + j*5) mod 16) - 8) * 32` — dyadic, exact in float
+    * and double, spanning [-256, 224] (the scale of
+    * `floor(x*256)`-quantized unit-ish embeddings).
+    */
+  def plantedCodebook(numSubspaces: Int, subDim: Int,
+      codesPerSubspace: Int): PqCodebook =
+    PqCodebook(subDim, Array.tabulate(numSubspaces)(s =>
+      Array.tabulate(codesPerSubspace)(c =>
+        Array.tabulate(subDim)(j =>
+          ((((c * 7 + s * 3 + j * 5) % 16) - 8) * 32).toFloat))))
+
+  // ----------------------------------------------------------- operators
+
+  /** Encode a corpus: one broadcast-codebook map over the rows →
+    * `(id, codes array<smallint>)`. Column-friendly operator shape;
+    * [[writePqIndex]] packs the same codes to one byte each for the
+    * persisted layout.
+    */
+  def encodeDf(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook, idAs: String = "id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, encodeJ(v, bc.value).map(_.toShort))
+      }
+      .toDF(idAs, "codes")
+  }
+
+  /** ADC top-`k` of an ENCODED corpus `(idCol, codesCol)` against raw
+    * query vectors: queries collect (bounded by contract — a query
+    * workload, not a corpus), their LUTs broadcast, the code scan is
+    * map-only with per-partition bounded heaps (ties: lowest adc, then
+    * lowest id), and a final per-query window ranks the
+    * partitions × queries × k survivors. Output:
+    * `(query_id, id, adc, rank)` with `adc` the double LUT sum.
+    */
+  def adcTopK(codes: DataFrame, idCol: String, codesCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      cb: PqCodebook, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Array[Double]])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, lutJ(qv, cb)) }
+    val bc = spark.sparkContext.broadcast(qRows)
+    val partial = codes
+      .select(col(idCol).cast("long"),
+        col(codesCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // head = current WORST survivor (largest adc, then largest id)
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (d, id) => (d, id)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue
+            .empty[(Double, Long)](worstFirst))
+        it.foreach { case (id, cs) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val d = adcJ(cs, qs(qi)._2)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, id))
+            else {
+              val (wd, wid) = h.head
+              if (d < wd || (d == wd && id < wid)) {
+                h.dequeue(); h.enqueue((d, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }.toDF("query_id", "id", "adc")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "adc", "rank")
+  }
+
+  /** Encode-then-scan convenience over a raw corpus. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      cb: PqCodebook, k: Int): DataFrame =
+    adcTopK(encodeDf(corpus, idCol, vecCol, cb), "id", "codes",
+      queries, qIdCol, qVecCol, cb, k)
+
+  // ------------------------------------------------------ persisted index
+
+  /** Persist the encoded corpus + a self-describing codebook sidecar.
+    * Codes pack to ONE BYTE each (`codesPerSubspace` <= 256 enforced) —
+    * the 32× byte cut over raw floats that makes the 100 TB ADC scan
+    * cheap; the sidecar carries the full codebook + identity so a
+    * reader can validate a query workload against the index.
+    */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook, path: String): Unit = {
+    require(cb.codesPerSubspace <= 256,
+      "one-byte packing requires <= 256 codes per subspace")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, encodeJ(v, bc.value).map(c => (c & 0xFF).toByte))
+      }
+      .toDF("id", "codes")
+      .write.mode("overwrite").parquet(path)
+    Seq((cb.centroids.map(_.map(_.toSeq).toSeq).toSeq, cb.subDim,
+        cb.numSubspaces, cb.codesPerSubspace, cb.dim, "l2"))
+      .toDF("centroids", "subDim", "numSubspaces", "codesPerSubspace",
+        "dim", "metric").coalesce(1)
+      .write.mode("overwrite").json(s"$path.codebook")
+  }
+
+  /** Reload the codebook sidecar written by [[writePqIndex]]
+    * (JSON numbers arrive as doubles; float→double→float is exact).
+    */
+  def readPqCodebook(spark: SparkSession, path: String): PqCodebook = {
+    import spark.implicits._
+    val row = spark.read.json(s"$path.codebook")
+      .select(col("centroids"), col("subDim"))
+      .as[(Seq[Seq[Seq[Double]]], Long)].head()
+    PqCodebook(row._2.toInt,
+      row._1.map(_.map(_.map(_.toFloat).toArray).toArray).toArray)
+  }
+
+  /** ADC top-`k` against a persisted PQ index: codebook + packed codes
+    * reload, byte codes widen back to ints, then the same broadcast-LUT
+    * scan. Query dim is validated against the stored identity up front.
+    */
+  def adcTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val cb = readPqCodebook(spark, path)
+    val qDim = queries.select(col(qVecCol).cast("array<float>"))
+      .as[Array[Float]].head().length
+    require(qDim == cb.dim,
+      s"query dim $qDim != index dim ${cb.dim}")
+    // packed codes land as BINARY; widen each byte back to [0,256)
+    val codes = spark.read.parquet(path)
+      .select(col("id").cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bs) => (id, bs.map(b => b & 0xFF)) }
+      .toDF("id", "codes")
+    adcTopK(codes, "id", "codes", queries, qIdCol, qVecCol, cb, k)
+  }
+}

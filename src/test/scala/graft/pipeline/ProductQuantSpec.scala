@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode determinism + tie-breaks, trained-
+  * codebook ADC recall on a separated-cluster fixture, decode
+  * reconstruction beating a coarse baseline, persisted round-trip
+  * bit-parity, and the map-only scan plan.
+  */
+class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import ProductQuant._
+
+  private val dim = 16
+  private val sub = 4 // 4 subspaces x 4 dims
+
+  /** 3 well-separated clusters of 30 vectors each: cluster base +- a
+    * small deterministic jitter, so exact top-1 of any member's own
+    * query is itself and the rest of its cluster fills the top-k.
+    */
+  private def clustered(): org.apache.spark.sql.DataFrame = {
+    val bases = Array(
+      Array.fill(dim)(10.0f),
+      Array.tabulate(dim)(j => if (j % 2 == 0) -8.0f else 12.0f),
+      Array.tabulate(dim)(j => (j - 8).toFloat))
+    (0 until 90).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, j) =>
+        x + ((i * 31 + j * 7) % 5 - 2) * 0.05f
+      }.toSeq)
+    }.toDF("id", "v").select(col("id"),
+      col("v").cast("array<float>").as("v"))
+  }
+
+  test("encodeJ: argmin with lowest-code tie-break; decode round-trip") {
+    val cb = PqCodebook(2, Array(
+      Array(Array(0f, 0f), Array(1f, 1f), Array(0f, 0f)), // dup: tie -> 0
+      Array(Array(5f, 5f), Array(-5f, -5f))))
+    assert(encodeJ(Array(0.1f, -0.1f, 4f, 6f), cb).toSeq == Seq(0, 0))
+    assert(encodeJ(Array(0.9f, 1.1f, -4f, -6f), cb).toSeq == Seq(1, 1))
+    val dec = decodeJ(Array(1, 0), cb)
+    assert(dec.toSeq == Seq(1f, 1f, 5f, 5f))
+  }
+
+  test("planted codebook is integer-valued and engine-exact by range") {
+    val cb = plantedCodebook(8, 8, 16)
+    val vals = cb.centroids.flatten.flatten
+    assert(vals.forall(v => v == math.floor(v) &&
+      v >= -256f && v <= 224f))
+    assert(cb.dim == 64 && cb.codesPerSubspace == 16)
+  }
+
+  test("trained ADC top-k: own vector first, cluster mates follow") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val top = pqTopK(corpus, "id", "v", queries, "qid", "qv", cb, 5)
+      .collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val ids = top(q).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(ids.head == q, s"query $q: own vector not rank 1 ($ids)")
+      // remaining top-5 come from the same cluster (id % 3 == q)
+      assert(ids.tail.forall(_ % 3 == q),
+        s"query $q: foreign-cluster id in top-5 ($ids)")
+    }
+  }
+
+  test("decode reconstruction: trained codebook beats one-code-fits-all") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    def err(v: Array[Float], w: Array[Float]): Double =
+      v.zip(w).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    val trained = rows.map { case (_, v) =>
+      err(v, decodeJ(encodeJ(v, cb), cb)) }.sum / rows.length
+    val gm = rows.map(_._2).transpose.map(c =>
+      (c.map(_.toDouble).sum / c.length).toFloat)
+    val coarse = rows.map { case (_, v) => err(v, gm.toArray) }
+      .sum / rows.length
+    assert(trained < coarse / 10,
+      s"trained MSE $trained not << grand-mean MSE $coarse")
+  }
+
+  test("persisted index round-trip: codes and ADC results bit-identical") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val path = java.nio.file.Files
+      .createTempDirectory("pqidx").toString + "/idx"
+    writePqIndex(corpus, "id", "v", cb, path)
+    val cb2 = readPqCodebook(spark, path)
+    assert(cb2.subDim == cb.subDim &&
+      cb2.centroids.flatten.flatten.toSeq ==
+        cb.centroids.flatten.flatten.toSeq)
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val direct = pqTopK(corpus, "id", "v", queries, "qid", "qv", cb, 5)
+      .select("query_id", "id", "adc", "rank").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val fromIdx = adcTopKFromIndex(spark, path, queries, "qid", "qv", 5)
+      .select("query_id", "id", "adc", "rank").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(direct == fromIdx)
+  }
+
+  test("ADC scan plan: no shuffle before the bounded top-k merge") {
+    val corpus = clustered()
+    val cb = plantedCodebook(sub, dim / sub, 8)
+    val enc = encodeDf(corpus, "id", "v", cb)
+    // encode itself is map-only
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      s"encode plan shuffles:\n$encPlan")
+    // the scan side of adcTopK shuffles ONLY the partitions x queries
+    // x k survivors into the final window — assert a single exchange
+    val queries = corpus.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val top = adcTopK(enc, "id", "codes", queries, "qid", "qv", cb, 3)
+    val nEx = "Exchange".r
+      .findAllIn(top.queryExecution.executedPlan.toString).length
+    assert(nEx <= 2, s"expected <=2 exchanges, got $nEx")
+  }
+}
