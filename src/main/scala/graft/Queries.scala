@@ -968,6 +968,27 @@ object Queries {
       path
     })
 
+  /** Persisted IVF-PQ index over the floor(x*256)-quantized embeddings
+    * with PLANTED integer-valued coarse centroids + codebook — the
+    * offline build step of [[graft.pipeline.ProductQuant
+    * .writeIvfPqIndex]]; the query then exercises probe routing,
+    * partition pruning and the ADC cell scan, all DuckDB-replayable.
+    */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(ivfPqIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import graft.pipeline.ProductQuant
+      val path = indexTmpPath("ivfpq", d)
+      val qv = rd(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.writeIvfPqIndex(qv, "vec_id", "qv",
+        ProductQuant.plantedCoarse(16, 64),
+        ProductQuant.plantedCodebook(8, 8, 16), path)
+      path
+    })
+
   /** Planted MP4 fixtures for `multimodal_video_meta`, same pattern as
     * [[audioBlobsFor]]: a real ISO-BMFF byte stream per document with
     * doc_id-derived timescale/duration/dims/frame-count the oracle knows
@@ -3583,6 +3604,130 @@ object Queries {
                CAST(SUM(qd.dist) AS BIGINT) AS adc_int
         FROM code JOIN d qd ON qd.s = code.s AND qd.c = code.code
         WHERE qd.vec_id < 5
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, id, adc_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_int, id) AS rank FROM adc)
+      SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- PQ ADC shortlist + EXACT rerank (the recall-recovery
+    // stage: codes nominate 10, exact squared-L2 re-ranks only those
+    // — the expensive metric touches queries x shortlist rows, never
+    // the corpus): integer-exact both stages, so DuckDB replays the
+    // nomination AND the rerank. ----
+    ("pq_rerank_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val cb = ProductQuant.plantedCodebook(8, 8, 16)
+      val e = rd(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv"))
+      ProductQuant.pqRerankTopK(e, "vec_id", "qv", queries, "qid",
+          "qv", cb, k = 3, shortlist = 10)
+        .select(col("query_id"), col("id"),
+          col("l2").cast("long").as("l2_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      d AS (
+        SELECT e.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM e, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS query_id, code.vec_id AS id,
+               SUM(qd.dist) AS adc
+        FROM code JOIN d qd ON qd.s = code.s AND qd.c = code.code
+        WHERE qd.vec_id < 5 GROUP BY 1, 2),
+      short AS (
+        SELECT query_id, id FROM (
+          SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 10),
+      exact AS (
+        SELECT s.query_id, s.id,
+               CAST(list_sum(list_transform(range(0, 64), j ->
+                 (ev.v[CAST(j+1 AS INTEGER)] - qe.v[CAST(j+1 AS INTEGER)])
+                 * (ev.v[CAST(j+1 AS INTEGER)] - qe.v[CAST(j+1 AS INTEGER)])
+               )) AS BIGINT) AS l2_int
+        FROM short s JOIN e ev ON ev.vec_id = s.id
+                     JOIN e qe ON qe.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, id, l2_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY l2_int, id) AS rank FROM exact)
+      SELECT query_id, id, l2_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- IVF-PQ composed index (the 100 TB ANN layout: coarse cells
+    // for PARTITION PRUNING x PQ codes for scan compression): planted
+    // integer coarse centroids route by L2 argmin, each query probes
+    // nProbe=1 cell and ADC-ranks ONLY that cell's codes. The oracle
+    // replays routing, pruning and ADC — same exact-integer argument
+    // as pq_encode/pq_adc. ----
+    ("ivf_pq_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val path = ivfPqIndexFor(s, dir)
+      val queries = rd(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.ivfPqTopKFromIndex(s, path, queries, "qid", "qv",
+          k = 3, nProbe = 1)
+        .select(col("query_id"), col("id"),
+          col("adc").cast("long").as("adc_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      cd AS (
+        SELECT e.vec_id, c.g AS cell,
+               list_sum(list_transform(range(0, 64), j ->
+                 (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+                 * (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+               )) AS dist
+        FROM e, range(0,16) c(g)),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM cd) WHERE rn = 1),
+      d AS (
+        SELECT e.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM e, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS query_id, code.vec_id AS id,
+               CAST(SUM(qd.dist) AS BIGINT) AS adc_int
+        FROM code
+        JOIN assign ca ON ca.vec_id = code.vec_id
+        JOIN assign qa ON qa.cell = ca.cell AND qa.vec_id < 5
+        JOIN d qd ON qd.vec_id = qa.vec_id AND qd.s = code.s
+                 AND qd.c = code.code
         GROUP BY 1, 2),
       ranked AS (
         SELECT query_id, id, adc_int,

@@ -335,4 +335,199 @@ object ProductQuant {
       .toDF("id", "codes")
     adcTopK(codes, "id", "codes", queries, qIdCol, qVecCol, cb, k)
   }
+
+  /** ADC shortlist + EXACT rerank — the standard PQ recall-recovery
+    * stage: the cheap code scan nominates `shortlist` candidates per
+    * query, then exact squared-L2 on raw vectors re-ranks only those
+    * (queries × shortlist rows — a broadcast-able sliver, so the
+    * expensive metric never touches the corpus at large). Ties:
+    * lowest l2, then lowest id. On integer-valued inputs the exact
+    * stage is engine-replayable like the ADC stage.
+    */
+  def pqRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      cb: PqCodebook, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val nominated = pqTopK(corpus, idCol, vecCol, queries, qIdCol,
+        qVecCol, cb, shortlist)
+      .select(col("query_id"), col("id"))
+    val qv = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<float>").as("_qv"))
+    val cand = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("_v"))
+      .join(broadcast(nominated), "id")
+      .join(broadcast(qv), "query_id")
+    val l2 = aggregate(
+      zip_with(col("_v"), col("_qv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2"), col("id"))
+    cand.select(col("query_id"), col("id"), l2.as("l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "l2", "rank")
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+  // The composed 100 TB ANN layout: a COARSE quantizer routes each
+  // vector to a cell (one parquet partition per cell — a query reads
+  // only its probed cells via partition pruning) and PQ codes stand in
+  // for the floats inside each cell (the 32× byte cut) — pruning ×
+  // compression, the FAISS IVFADC shape minus residual encoding
+  // (codes are over raw vectors here, so a cell's codes and a flat PQ
+  // index's codes agree bit-for-bit and the same codebook serves both).
+
+  /** L2-argmin cell for one vector (ties → lowest cell id) — PQ world
+    * routes by the metric ADC approximates, unlike the cosine routing
+    * of [[Similarity.ivfAssignDf]].
+    */
+  private[pipeline] def nearestCellL2(v: Array[Float],
+      coarse: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < coarse.length) {
+      val d = subDistJ(v, 0, coarse(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nProbe` nearest cells by L2 (asc, ties → lowest cell id). */
+  private[pipeline] def probeCellsL2(v: Array[Float],
+      coarse: Array[Array[Float]], nProbe: Int): Array[Int] =
+    coarse.indices
+      .sortBy(c => (subDistJ(v, 0, coarse(c)), c))
+      .take(nProbe).toArray
+
+  /** Deterministic INTEGER-VALUED coarse centroids for bit-level
+    * oracle replay of the ROUTING too: component `j` of cell `c` is
+    * `(((c*11 + j*3) mod 16) - 8) * 24` — same exactness argument as
+    * [[plantedCodebook]].
+    */
+  def plantedCoarse(numCells: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(numCells)(c => Array.tabulate(dim)(j =>
+      ((((c * 11 + j * 3) % 16) - 8) * 24).toFloat))
+
+  /** Persist the IVF-PQ index: one broadcast map assigns cells and
+    * encodes codes, rows land `partitionBy("cid")` (probed-cell reads
+    * touch only their directories), and one self-describing sidecar
+    * carries coarse + codebook + identity.
+    */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], cb: PqCodebook,
+      path: String): Unit = {
+    require(cb.codesPerSubspace <= 256,
+      "one-byte packing requires <= 256 codes per subspace")
+    require(coarse.nonEmpty && coarse.forall(_.length == cb.dim),
+      "coarse centroids must match the codebook dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, encodeJ(v, bcCb.value).map(c => (c & 0xFF).toByte),
+          nearestCellL2(v, bcCoarse.value))
+      }
+      .toDF("id", "codes", "cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    Seq((coarse.map(_.toSeq).toSeq,
+        cb.centroids.map(_.map(_.toSeq).toSeq).toSeq, cb.subDim,
+        cb.numSubspaces, cb.codesPerSubspace, cb.dim, coarse.length,
+        "l2"))
+      .toDF("coarse", "centroids", "subDim", "numSubspaces",
+        "codesPerSubspace", "dim", "numCells", "metric").coalesce(1)
+      .write.mode("overwrite").json(s"$path.meta")
+  }
+
+  /** Reload (coarse, codebook) written by [[writeIvfPqIndex]]. */
+  def readIvfPqSidecar(spark: SparkSession,
+      path: String): (Array[Array[Float]], PqCodebook) = {
+    import spark.implicits._
+    val row = spark.read.json(s"$path.meta")
+      .select(col("coarse"), col("centroids"), col("subDim"))
+      .as[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Long)].head()
+    (row._1.map(_.map(_.toFloat).toArray).toArray,
+      PqCodebook(row._3.toInt,
+        row._2.map(_.map(_.map(_.toFloat).toArray).toArray).toArray))
+  }
+
+  /** ADC top-`k` against a persisted IVF-PQ index: each query probes
+    * its `nProbe` L2-nearest cells, the scan filters `cid isin (union
+    * of probed cells)` BEFORE any row is read (partition pruning), and
+    * a row is scored only against the queries probing ITS cell —
+    * candidate volume ≈ |corpus| × nProbe / numCells per query, each
+    * candidate costing `numSubspaces` LUT adds. Ties: lowest adc, then
+    * lowest id.
+    */
+  def ivfPqTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val (coarse, cb) = readIvfPqSidecar(spark, path)
+    // one LUT + probe set per query; null query vectors probe nothing
+    val qRows: Array[(Long, Array[Int], Array[Array[Double]])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .filter(col(qVecCol).isNotNull)
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        require(qv.length == cb.dim,
+          s"query dim ${qv.length} != index dim ${cb.dim}")
+        (qid, probeCellsL2(qv, coarse, nProbe), lutJ(qv, cb))
+      }
+    val probed = qRows.flatMap(_._2).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(qRows)
+    val pruned = spark.read.parquet(path)
+      .filter(if (probed.isEmpty) lit(false)
+        else col("cid").isin(probed: _*)) // partition pruning
+      .select(col("id").cast("long"), col("codes"),
+        col("cid").cast("int"))
+      .as[(Long, Array[Byte], Int)]
+    val partial = pruned.mapPartitions { it =>
+      val qs = bc.value
+      val probeSets = qs.map(_._2.toSet)
+      val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+        case (d, id) => (d, id)
+      }
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](worstFirst))
+      it.foreach { case (id, bs, cid) =>
+        var qi = 0
+        while (qi < qs.length) {
+          if (probeSets(qi).contains(cid)) {
+            val lut = qs(qi)._3
+            var acc = 0.0
+            var s = 0
+            while (s < bs.length) {
+              acc += lut(s)(bs(s) & 0xFF); s += 1
+            }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((acc, id))
+            else {
+              val (wd, wid) = h.head
+              if (acc < wd || (acc == wd && id < wid)) {
+                h.dequeue(); h.enqueue((acc, id))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+      }
+    }.toDF("query_id", "id", "adc")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "adc", "rank")
+  }
 }

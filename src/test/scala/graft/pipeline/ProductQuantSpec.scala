@@ -108,6 +108,74 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
     assert(direct == fromIdx)
   }
 
+  test("ivf-pq: full-probe equals flat ADC; nProbe=1 prunes partitions") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val coarse = trainCodebook(corpus, "id", "v", 1, 3,
+      sampleN = 90, iters = 6).centroids(0) // 3 full-dim cells
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq").toString + "/idx"
+    writeIvfPqIndex(corpus, "id", "v", coarse, cb, path)
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    // probing EVERY cell must equal the flat (unpruned) ADC scan
+    val full = ivfPqTopKFromIndex(spark, path, queries, "qid", "qv",
+      k = 5, nProbe = coarse.length)
+      .select("query_id", "id", "adc", "rank").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val flat = pqTopK(corpus, "id", "v", queries, "qid", "qv", cb, 5)
+      .select("query_id", "id", "adc", "rank").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(full == flat)
+    // nProbe=1 on the separated clusters still finds the own cluster
+    val one = ivfPqTopKFromIndex(spark, path, queries, "qid", "qv",
+      k = 5, nProbe = 1)
+    val byQ = one.collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val ids = byQ(q).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(ids.head == q && ids.tail.forall(_ % 3 == q),
+        s"query $q top-5 crossed clusters at nProbe=1: $ids")
+    }
+    // the cid filter must reach the scan as a partition filter
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"cid filter must prune partitions:\n$plan")
+  }
+
+  test("rerank with corpus-wide shortlist equals exact L2 top-k") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val reranked = pqRerankTopK(corpus, "id", "v", queries, "qid",
+      "qv", cb, k = 4, shortlist = 90)
+      .select("query_id", "id", "rank").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    // exact truth: brute-force squared L2
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val truth = (0L until 3L).flatMap { q =>
+      val qv = rows.find(_._1 == q).get._2
+      rows.map { case (id, v) =>
+        val d = v.zip(qv).map { case (a, b) =>
+          (a.toDouble - b) * (a.toDouble - b) }.sum
+        (q, id, d)
+      }.sortBy { case (_, id, d) => (d, id) }.take(4).zipWithIndex
+        .map { case ((qq, id, _), i) => Seq[Any](qq, id, i + 1) }
+    }.sortBy(_.toString).toSeq
+    assert(reranked == truth)
+  }
+
+  test("ivf-pq routing: L2 argmin with lowest-cell tie-break") {
+    val coarse = Array(Array(0f, 0f), Array(1f, 1f), Array(0f, 0f))
+    assert(nearestCellL2(Array(0.1f, -0.1f), coarse) == 0) // dup tie -> 0
+    assert(nearestCellL2(Array(0.9f, 1.2f), coarse) == 1)
+    assert(probeCellsL2(Array(0.9f, 1.2f), coarse, 2).toSeq ==
+      Seq(1, 0))
+  }
+
   test("ADC scan plan: no shuffle before the bounded top-k merge") {
     val corpus = clustered()
     val cb = plantedCodebook(sub, dim / sub, 8)
