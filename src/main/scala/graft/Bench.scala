@@ -208,10 +208,16 @@ object Bench {
     * adaptive ceiling of 8.
     */
   private def binPlan(priors: Map[String, (Double, Double, Double)],
-      heavyCut: Double = 2.0, soloCut: Double = 4.0,
+      heavyCut: Double = 2.0, soloCut: Double = 6.0,
       binEvalBudgetSec: Double = 75.0, maxBinSize: Int = 12,
       heavyBinBudgetSec: Double = 120.0, maxHeavyBinSize: Int = 3)
       : Vector[Vector[(String, Int, Int)]] = {
+    // soloCut 6.0 (was 4.0): the r14-w2 run spent ~500 s of pure
+    // JVM+Spark startup on 18 solo children; the 4-6 s tier shares
+    // 3-per-bin children instead (bin-mates at this size showed no
+    // residue distortion in w2 — e.g. the span family bin matched its
+    // solo-era priors within noise), keeping isolation for the true
+    // heavies only.
     // heavyCut 2.0 (was 2.5): the r14-w1 first light bin packed three
     // ~2-2.4 s entries with nine sub-second ones and residue inflated
     // one of them 4.6x (audio_dedup_pairs 2.0 -> 9.2 s) — a corrupted
@@ -226,20 +232,21 @@ object Bench {
     val (solo, rest) = names.partition(n => med(n) >= soloCut)
     val (heavy, light) = rest.partition(n => med(n) >= heavyCut)
     // Warm-up ceilings by what a warmup actually buys:
-    //  - stream entries: 1 — every evaluation restarts its streaming
-    //    query (codegen per restart), so extra warmups only replay
-    //    micro-batch scheduling; the input fixture warms on the first.
-    //  - solo tier: 2 — own JVM, first eval compiles the plan, the
-    //    second demonstrates stability; 3 warmups on a 6 s entry was
-    //    ~40 s of the r14-w1 wall clock.
-    //  - heavy bins: 3 (unchanged).
+    //  - stream entries: 2 — the r14-w2 try at 1 under-warmed the
+    //    heavy streams badly (span_stream 8.1 -> 16.6 s, minhash_stream
+    //    6.2 -> 11.7: the first post-warmup evaluation still pays
+    //    state-store + per-restart setup); the second warmup absorbs
+    //    that. Beyond 2, extra warmups only replay micro-batch
+    //    scheduling.
+    //  - solo/heavy multi-second tier: 2 — first eval compiles the
+    //    plan, the second demonstrates stability; 3 warmups on a 6 s
+    //    entry was ~40 s of the r14-w1 wall clock.
     //  - light: 6 (was 8) — an entry the 10% band hasn't stabilized by
     //    6 warmups rarely stabilizes by 8; the floor of 5 for
     //    sub-second entries still applies inside timeSamples.
     def warmCap(n: String): Int =
-      if (n.contains("stream")) 1
-      else if (med(n) >= soloCut) 2
-      else if (med(n) >= heavyCut) 3
+      if (n.contains("stream")) 2
+      else if (med(n) >= heavyCut) 2
       else 6
     // family-affinity first-fit: entries sort by (operator family,
     // cost desc) and fill bins in that order, so queries sharing a

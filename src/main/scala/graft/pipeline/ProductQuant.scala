@@ -281,12 +281,25 @@ object ProductQuant {
     * cheap; the sidecar carries the full codebook + identity so a
     * reader can validate a query workload against the index.
     */
+  /** `recallSampleN` > 0 additionally measures the shortlist →
+    * recall@`recallK` curve ([[pqShortlistCurve]]) and stores the
+    * smallest shortlist meeting `recallTarget` in the sidecar — the
+    * measured rerank dial a reader passes to [[pqRerankTopK]], the
+    * same measure-don't-guess contract as the IVF index's derived
+    * nProbe. 0 skips the measurement (-1 stored).
+    */
   def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
-      cb: PqCodebook, path: String): Unit = {
+      cb: PqCodebook, path: String, recallK: Int = 10,
+      recallTarget: Double = 0.95, recallSampleN: Int = 100): Unit = {
     require(cb.codesPerSubspace <= 256,
       "one-byte packing requires <= 256 codes per subspace")
     val spark = df.sparkSession
     import spark.implicits._
+    val derived =
+      if (recallSampleN <= 0) None
+      else Some(derivePqShortlist(
+        pqShortlistCurve(df, idCol, vecCol, cb, recallK,
+          recallSampleN), recallTarget))
     val bc = spark.sparkContext.broadcast(cb)
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
@@ -296,9 +309,12 @@ object ProductQuant {
       .toDF("id", "codes")
       .write.mode("overwrite").parquet(path)
     Seq((cb.centroids.map(_.map(_.toSeq).toSeq).toSeq, cb.subDim,
-        cb.numSubspaces, cb.codesPerSubspace, cb.dim, "l2"))
+        cb.numSubspaces, cb.codesPerSubspace, cb.dim, "l2",
+        derived.map(_._1).getOrElse(-1),
+        derived.map(_._2).getOrElse(-1.0), recallK))
       .toDF("centroids", "subDim", "numSubspaces", "codesPerSubspace",
-        "dim", "metric").coalesce(1)
+        "dim", "metric", "shortlist", "shortlistRecall", "recallK")
+      .coalesce(1)
       .write.mode("overwrite").json(s"$path.codebook")
   }
 
@@ -335,6 +351,130 @@ object ProductQuant {
       .toDF("id", "codes")
     adcTopK(codes, "id", "codes", queries, qIdCol, qVecCol, cb, k)
   }
+
+  /** Exact squared-L2 top-`k` (asc, ties → lowest id) — the truth side
+    * of the recall measurement; same bounded-heap scan shape as
+    * [[Similarity.bruteForceTopK]] with L2 in place of cosine.
+    */
+  private def exactL2TopK(corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qRows)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (d, id) => (d, id)
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue
+            .empty[(Double, Long)](worstFirst))
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val d = subDistJ(v, 0, qs(qi)._2)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, id))
+            else {
+              val (wd, wid) = h.head
+              if (d < wd || (d == wd && id < wid)) {
+                h.dequeue(); h.enqueue((d, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }.toDF("query_id", "id", "l2")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2"), col("id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "l2", "rank")
+  }
+
+  /** Measured shortlist → recall@`k` curve for a PQ codebook over
+    * `df`, in TWO bounded passes (the [[Similarity.ivfRecallCurve]]
+    * discipline — measure, don't guess): `sampleN` deterministic
+    * self-queries, exact L2 truth for them, then each truth neighbor's
+    * ADC RANK — computed by ONE encoded-corpus scan that counts, per
+    * (query, neighbor) pair, the rows beating the neighbor's ADC score
+    * (sampleN × k bounded counters, merged by sum) — so recall at
+    * shortlist R is simply the fraction of truth pairs with rank ≤ R.
+    * Returns (R, recall) at doubling R values from `k` up to
+    * `maxShortlist`.
+    */
+  def pqShortlistCurve(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook, k: Int = 10, sampleN: Int = 100,
+      maxShortlist: Int = 160): Seq[(Int, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(sampleN > 0, "sampleN must be positive")
+    val queries = df
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<float>").as("qv"))
+      .filter(col("qv").isNotNull)
+      .orderBy(graft.pipeline.Sampling.hashOrderKey(col("qid")),
+        col("qid"))
+      .limit(sampleN)
+    val qMap = queries.as[(Long, Array[Float])].collect().toMap
+    val truth = exactL2TopK(df, idCol, vecCol, queries, "qid", "qv", k)
+      .select(col("query_id"), col("id")).as[(Long, Long)].collect()
+    require(truth.nonEmpty, "empty recall sample — corpus has no vectors")
+    val enc = encodeDf(df, idCol, vecCol, cb)
+      .select(col("id"), col("codes").cast("array<int>"))
+      .as[(Long, Array[Int])]
+    // neighbor codes: a broadcast semi-join sliver (sampleN x k rows)
+    val truthIds = truth.map(_._2).distinct.toSet
+    val bcTruthIds = spark.sparkContext.broadcast(truthIds)
+    val codeMap = enc.filter(r => bcTruthIds.value.contains(r._1))
+      .collect().toMap
+    val luts = qMap.map { case (qid, qv) => qid -> lutJ(qv, cb) }
+    // pair -> (lut, neighbor id, neighbor adc)
+    val pairs = truth.map { case (qid, nid) =>
+      (luts(qid), nid, adcJ(codeMap(nid), luts(qid)))
+    }
+    val bcPairs = spark.sparkContext.broadcast(pairs)
+    val beat = enc.mapPartitions { it =>
+      val ps = bcPairs.value
+      val cnt = new Array[Long](ps.length)
+      it.foreach { case (id, cs) =>
+        var p = 0
+        while (p < ps.length) {
+          val (lut, nid, nd) = ps(p)
+          val d = adcJ(cs, lut)
+          if (d < nd || (d == nd && id < nid)) cnt(p) += 1
+          p += 1
+        }
+      }
+      Iterator.single(cnt)
+    }.reduce { (a, b) =>
+      val out = new Array[Long](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+      out
+    }
+    val ranks = beat.map(_ + 1) // strictly-better count + self
+    Iterator.iterate(k)(_ * 2).takeWhile(_ < maxShortlist).toSeq
+      .appended(maxShortlist).distinct
+      .map(r => r -> ranks.count(_ <= r).toDouble / ranks.length)
+  }
+
+  /** The smallest shortlist whose measured recall meets `target` (the
+    * curve's last point when none does).
+    */
+  def derivePqShortlist(curve: Seq[(Int, Double)],
+      target: Double = 0.95): (Int, Double) =
+    curve.find(_._2 >= target).getOrElse(curve.last)
 
   /** ADC shortlist + EXACT rerank — the standard PQ recall-recovery
     * stage: the cheap code scan nominates `shortlist` candidates per

@@ -92,7 +92,12 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
       sampleN = 90, iters = 6)
     val path = java.nio.file.Files
       .createTempDirectory("pqidx").toString + "/idx"
-    writePqIndex(corpus, "id", "v", cb, path)
+    writePqIndex(corpus, "id", "v", cb, path, recallK = 5,
+      recallSampleN = 20)
+    // the sidecar carries a MEASURED shortlist point
+    val side = spark.read.json(s"$path.codebook").head()
+    assert(side.getAs[Long]("shortlist") >= 5L &&
+      side.getAs[Double]("shortlistRecall") > 0.0)
     val cb2 = readPqCodebook(spark, path)
     assert(cb2.subDim == cb.subDim &&
       cb2.centroids.flatten.flatten.toSeq ==
@@ -174,6 +179,20 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
     assert(nearestCellL2(Array(0.9f, 1.2f), coarse) == 1)
     assert(probeCellsL2(Array(0.9f, 1.2f), coarse, 2).toSeq ==
       Seq(1, 0))
+  }
+
+  test("shortlist curve: monotone, ends at 1.0 with corpus-wide R") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val curve = pqShortlistCurve(corpus, "id", "v", cb, k = 5,
+      sampleN = 20, maxShortlist = 90)
+    assert(curve.map(_._2) == curve.map(_._2).sorted,
+      s"recall must be monotone in shortlist: $curve")
+    assert(curve.last._2 == 1.0,
+      s"corpus-wide shortlist must recall everything: $curve")
+    val (r, rec) = derivePqShortlist(curve, target = 0.9)
+    assert(rec >= 0.9 || r == curve.last._1)
   }
 
   test("ADC scan plan: no shuffle before the bounded top-k merge") {
