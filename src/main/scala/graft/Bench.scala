@@ -559,7 +559,12 @@ object Bench {
       // (repetition_documents 0.83 min / 2.17 med in a shared JVM vs
       // 0.43 solo) — an explicit full GC between entries charges the
       // cleanup to the gap, not to a sibling's timed run
-      if (i > 0) { System.gc(); Thread.sleep(200) }
+      // two passes: the first unlinks, the second collects what the
+      // first pass's finalization/reference processing freed — one
+      // pass still left enough tenured garbage for mid-run GC storms
+      // (w4: gc_max_run 4.6 s inside a timed run)
+      if (i > 0) { System.gc(); Thread.sleep(150); System.gc();
+        Thread.sleep(150) }
       val body = benchBody(spark, name)
       val b = timeSamples(spark, name,
         defaultWarmups = if (i == 0) 2 else 1,
@@ -582,12 +587,21 @@ object Bench {
   /** JVM flags the child needs: module opens (Spark on JDK 17+) and
     * memory sizing, from this JVM's own arguments.
     */
-  private def childJvmFlags: Seq[String] =
-    java.lang.management.ManagementFactory.getRuntimeMXBean
+  private def childJvmFlags: Seq[String] = {
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString).toSeq
       .filter(a => a.startsWith("--add-opens") ||
         a.startsWith("--add-exports") || a.startsWith("-Xm") ||
         a.startsWith("-XX:") || a.startsWith("-Dfile.encoding"))
+    // children get a FIXED larger heap than the parent's default 8g:
+    // a packed bin accumulates tenured fixture/cache garbage across a
+    // dozen entries, and at 8g one w4 bin tipped into a GC storm that
+    // stamped a 0.9 s entry 21.7 s (gc_max_run 4.6 s) — heap-mode
+    // noise, not plan cost. One child runs at a time on a 128 GiB box,
+    // so the headroom is free.
+    val heap = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
+    inherited.filterNot(_.startsWith("-Xmx")) :+ s"-Xmx$heap"
+  }
 
   /** Parse a meta marker (identified by its full `prefix`, which for
     * bin children includes the benchmark name) back into the parts of a

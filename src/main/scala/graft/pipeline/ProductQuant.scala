@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Product quantization (PQ) for embedding columns — the ANN
+/** Product quantization (PQ) for embedding columns (Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+  * TPAMI 2011 — the source of the subspace-codebook/ADC/IVFADC
+  * design re-expressed here as Spark scans) — the ANN
   * compression tier below [[Similarity]]'s scalar int8 path: each
   * vector splits into `numSubspaces` contiguous subvectors, each
   * subvector is replaced by the id of its nearest codebook centroid,
