@@ -251,8 +251,18 @@ object Queries {
     * first three tokens.
     */
   private def bm25TopkSqlOver(corpusCtes: String, corpus: String,
+      corpusId: String, corpusText: String): String =
+    s"""WITH ${bm25RankedCtes(corpusCtes, corpus, corpusId, corpusText)}
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_q
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The CTE chain up to `ranked` (all BM25 scores, per-query rank) —
+    * shared by the top-5 SELECT above and compositions that keep
+    * fusing (hybrid RRF reads rank <= 20 from the same chain).
+    */
+  private def bm25RankedCtes(corpusCtes: String, corpus: String,
       corpusId: String, corpusText: String): String = s"""
-    WITH $corpusCtes
+    $corpusCtes
     toks0 AS (SELECT $corpusId AS doc_id,
                 unnest(string_split(lower(trim($corpusText)), ' '))
                   AS tok
@@ -288,12 +298,36 @@ object Queries {
                  CAST(sum(qc) AS BIGINT) AS score_q
                FROM comp GROUP BY query_id, doc_id),
     ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY score_q DESC, doc_id) AS rank FROM scored)
-    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_q
-    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+                 ORDER BY score_q DESC, doc_id) AS rank FROM scored)"""
 
   private val bm25TopkSql =
     bm25TopkSqlOver("", "documents", "doc_id", "text")
+
+  /** DuckDB replay of [[graft.pipeline.QualityModel.logitQ]] over the
+    * `text` column, GENERATED from the LinearModel values so weights
+    * cannot drift between scorer and oracle. Term order, quotient
+    * shapes and the final floor(× 1e6) mirror the Scala column tree
+    * exactly (strict left-to-right accumulation; every literal CAST to
+    * DOUBLE — DuckDB parses bare decimals as DECIMAL, which would
+    * change the arithmetic). `len - spaces` (Spark) is
+    * `length(replace(text, ' ', ''))` here — same integer.
+    */
+  private def qualityLogitQSql(
+      m: graft.pipeline.QualityModel.LinearModel): String = {
+    def d(x: Double) = s"CAST(${x} AS DOUBLE)"
+    val t = tokenCountSql("text")
+    val lenD = "CAST(GREATEST(length(text), 1) AS DOUBLE)"
+    val z =
+      s"""(((( ${d(m.bias)}
+        + ${d(m.wTokens)} * (CAST(LEAST($t, 100) AS DOUBLE) / ${d(100.0)}))
+        + ${d(m.wAlpha)} * (CAST(length(regexp_replace(text,
+            '[^A-Za-z]', '', 'g')) AS DOUBLE) / $lenD))
+        + ${d(m.wDigit)} * (CAST(length(regexp_replace(text,
+            '[^0-9]', '', 'g')) AS DOUBLE) / $lenD))
+        + ${d(m.wAwl)} * ((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(GREATEST($t, 1) AS DOUBLE)) / ${d(12.0)}))"""
+    s"CAST(floor($z * ${d(1e6)}) AS BIGINT)"
+  }
 
   /** Hex digit `i` (1-based) of the md5 column `h`, scaled — the
     * DuckDB replay of Spark's `conv(substring(md5, 1, 4), 16, 10)`
@@ -5850,7 +5884,85 @@ object Queries {
             FROM sc s JOIN documents d ON s.doc_id = d.doc_id)
       SELECT doc_id, n_bigrams, lm_score, tier FROM j
       WHERE tier = 'high' OR substr(md5(text), 1, 4) < '8000'
-      ORDER BY doc_id""")))
+      ORDER BY doc_id""")),
+
+    // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25 top-20
+    // (standard %29 query workload) with the exact-cosine top-20 for
+    // the same query ids (query vector = that document's embedding —
+    // the RAG serving shape). Contributions are exact integral
+    // quotients 1e12 div (60+rank) and the fused score their integer
+    // sum, so the whole fusion replays verbatim in SQL on top of the
+    // shared BM25 ranked-CTE chain. ----
+    ("hybrid_search_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Hybrid
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = rd(s, dir, "embeddings")
+      val queries = bm25QueriesFor(docs).join(
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid")
+      Hybrid.hybridSearch(docs, "doc_id", "text",
+          emb.select("vec_id", "embedding"), "vec_id", "embedding",
+          queries, "qid", "qtext", "qv", kEach = 20, k0 = 60, topK = 5)
+        .orderBy("query_id", "rank")
+    }): Q, Some(s"""
+      WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
+      bm AS (SELECT query_id, doc_id AS id, rank FROM ranked
+             WHERE rank <= 20),
+      qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 29 = 1),
+      scoredv AS (SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
+                 AS cosine
+             FROM embeddings e CROSS JOIN qv q),
+      rankedv AS (SELECT query_id, id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+             FROM scoredv),
+      ann AS (SELECT query_id, id, rank FROM rankedv WHERE rank <= 20),
+      contrib AS (
+        SELECT query_id, id, 1000000000000 // (60 + rank) AS c FROM bm
+        UNION ALL
+        SELECT query_id, id, 1000000000000 // (60 + rank) AS c FROM ann),
+      fused AS (SELECT query_id, id, CAST(sum(c) AS BIGINT) AS rrf_q
+                FROM contrib GROUP BY query_id, id),
+      frank AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_q DESC, id) AS rank FROM fused)
+      SELECT query_id, id, rrf_q, CAST(rank AS INTEGER) AS rank
+      FROM frank WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- MODEL-BASED quality filtering (the CCNet/RefinedWeb stage):
+    // a linear classifier over exactly-replayable integer-derived
+    // features, published as the quantized logit; the keep decision
+    // thresholds the QUANTIZED value so scorer and oracle can never
+    // disagree on a boundary. Weights here are the library default
+    // operating point; the oracle SQL is GENERATED from the same
+    // LinearModel values, so the two cannot drift. ----
+    ("quality_classify_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.QualityModel
+      QualityModel.score(rd(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("logit_q"), col("keep"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      SELECT doc_id, ${qualityLogitQSql(graft.pipeline.QualityModel.default)}
+               AS logit_q,
+             ${qualityLogitQSql(graft.pipeline.QualityModel.default)} >= 0
+               AS keep
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- per-source frequency cap (domain-diversity stage): keep the
+    // first 10 documents per source by doc id, via the two-phase
+    // salted cap (exactly the unsalted window's answer — the oracle IS
+    // the unsalted window). ----
+    ("cap_per_source_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling.capPerKey(
+          rd(s, dir, "documents"), "source", "doc_id", cap = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }): Q, Some("""
+      WITH r AS (SELECT source, doc_id, row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id) AS rn
+                 FROM documents)
+      SELECT source, doc_id FROM r WHERE rn <= 10
+      ORDER BY source, doc_id""")))
 
   lazy val queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

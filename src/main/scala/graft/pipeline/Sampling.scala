@@ -232,4 +232,41 @@ object Sampling {
       rowsPerShard: Long, numPartitions: Int = 0): DataFrame =
     Sharding.shardByTokenBudget(permuted(df, keyCol, seed), "_order",
       lit(1L), rowsPerShard, numPartitions)
+
+  /** Frequency cap: keep at most `cap` rows per key, chosen as the
+    * FIRST `cap` by `orderCol` ascending (ties broken by `orderCol`
+    * itself, so the order column must be unique per key — a doc id
+    * qualifies). The domain-diversity stage of the published web-corpus
+    * recipes: no single host/source may dominate the mixture.
+    *
+    * Skew design (the whole point at 100 TB — a hot domain holds
+    * billions of rows): a plain per-key window sorts every hot key's
+    * rows in ONE reducer. Instead the cap runs in two exact phases:
+    *   1. salt each row by hash(order) into `salts` buckets; rank
+    *      within (key, salt) and keep rank <= cap — at most
+    *      `salts × cap` survivors per key, each bucket ~1/salts of the
+    *      hot key;
+    *   2. rank the bounded survivor set within key and keep rank <=
+    *      cap.
+    * Phase 1 can never evict a final top-`cap` row (a row's rank in
+    * its salt bucket is <= its rank in the whole key), so the result
+    * is EXACTLY the unsalted window's — the standard distributed
+    * top-k argument, applied per key.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
+      cap: Int, salts: Int = 16): DataFrame = {
+    require(cap >= 1 && salts >= 1, s"cap $cap / salts $salts must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val salt = pmod(xxhash64(col(orderCol)), lit(salts)).as("_salt")
+    val w1 = Window.partitionBy(col(keyCol), col("_salt"))
+      .orderBy(col(orderCol))
+    val survivors = df.withColumn("_salt", salt)
+      .withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= cap)
+      .drop("_salt", "_r")
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    survivors.withColumn("_r", row_number().over(w2))
+      .filter(col("_r") <= cap)
+      .drop("_r")
+  }
 }

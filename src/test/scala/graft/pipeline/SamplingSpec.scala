@@ -142,4 +142,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("capPerKey: exactly the unsalted window's answer, any salt count") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val plain = d.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7).select("source", "doc_id")
+      .orderBy("source", "doc_id")
+      .as[(String, Long)].collect().toSeq
+    for (salts <- Seq(1, 3, 16)) {
+      val got = Sampling.capPerKey(d, "source", "doc_id", cap = 7,
+          salts = salts)
+        .select("source", "doc_id").orderBy("source", "doc_id")
+        .as[(String, Long)].collect().toSeq
+      assert(got == plain, s"salts=$salts diverged from unsalted window")
+    }
+    // caps >= key size are a no-op
+    val n = d.count()
+    assert(Sampling.capPerKey(d, "source", "doc_id",
+      cap = 100000).count() == n)
+  }
 }
