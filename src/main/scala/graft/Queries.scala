@@ -5907,7 +5907,8 @@ object Queries {
     }): Q, Some(s"""
       WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
       bm AS (SELECT query_id, doc_id AS id, rank FROM ranked
-             WHERE rank <= 20),
+             WHERE rank <= 20
+               AND query_id IN (SELECT vec_id FROM embeddings)),
       qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id % 29 = 1),
       scoredv AS (SELECT q.query_id, e.vec_id AS id,
