@@ -1670,7 +1670,9 @@ object Queries {
       threshold: Double, transitive: Boolean,
       maxPiiHits: Option[Int], maxTokenRunPct: Option[Int],
       baseSql: String, minLmScore: Option[Double] = None,
-      lmVocabSize: Int = 20): String = {
+      lmVocabSize: Int = 20,
+      modelGate: Option[(graft.pipeline.QualityModel.LinearModel, Long)]
+        = None): String = {
     // single-pass: drop the higher id of each pair; transitive: drop
     // every non-minimum member of each pair-graph component (recursive
     // reachability closure, min reachable id = cluster label)
@@ -1738,17 +1740,25 @@ object Queries {
       s" AND lm IS NOT NULL AND lm >= $t").getOrElse("")
     val lmCase = minLmScore.map(t =>
       s"WHEN s.lm IS NULL OR s.lm < $t THEN 'lm_filtered' ").getOrElse("")
+    // optional model gate: the quantized-logit scorer generated from
+    // the SAME LinearModel values the Spark stage uses
+    val mSel = modelGate.map { case (m, _) =>
+      s", ${qualityLogitQSql(m)} AS mq" }.getOrElse("")
+    val mCond = modelGate.map { case (_, t) =>
+      s" AND mq >= $t" }.getOrElse("")
+    val mCase = modelGate.map { case (_, t) =>
+      s"WHEN s.mq < $t THEN 'model_filtered' " }.getOrElse("")
     s"""WITH ${if (transitive) "RECURSIVE " else ""}base AS ($baseSql),
       $tmaxCte $lmCtes
       staged AS (
         SELECT doc_id, text,
                ${langIdSql("text")} AS lang_d,
                ${qualityScoreSql("text")} AS q
-               $piiSel $repSel $lmSel
+               $mSel $piiSel $repSel $lmSel
         $stagedFrom $lmFrom),
       lq AS (SELECT doc_id, text FROM staged
              WHERE lang_d = '$keepLang' AND q >= $minQuality
-               $piiCond $repCond $lmCond),
+               $mCond $piiCond $repCond $lmCond),
       ranked AS (
         SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
           ORDER BY doc_id) AS rn FROM lq),
@@ -1760,7 +1770,7 @@ object Queries {
         SELECT s.doc_id, s.text,
                CASE WHEN s.lang_d <> '$keepLang' THEN 'lang_filtered'
                     WHEN s.q < $minQuality THEN 'quality_filtered'
-                    $piiCase$repCase$lmCase
+                    $mCase$piiCase$repCase$lmCase
                     WHEN r.rn > 1 THEN 'exact_dup'
                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
                     ELSE 'kept' END AS status
@@ -4112,6 +4122,29 @@ object Queries {
       maxPiiHits = None, maxTokenRunPct = None,
       baseSql = docsCurationSql, minLmScore = Some(0.09),
       lmVocabSize = 20))),
+
+    // ---- curation with the OPT-IN trainable-classifier gate (the
+    // CCNet/RefinedWeb model-based stage): documents whose QUANTIZED
+    // classifier logit falls under 1.8e6 reject as `model_filtered`
+    // between the heuristic quality gate and the PII cap. The 1.8e6
+    // operating point sits mid-distribution on this corpus (logits
+    // span ~0.89e6–2.73e6), so the stage genuinely partitions the
+    // fixture. Oracle replays the stage from the SAME LinearModel
+    // values via the generated quantized-logit SQL. ----
+    ("curate_model_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curation.curate(docsForCuration(s, dir),
+        "doc_id", "text",
+        graft.pipeline.Curation.Config(
+          nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+            maxDocFreq = 0),
+          modelGate = Some(graft.pipeline.QualityModel.default),
+          minModelLogitQ = 1800000L))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSqlFull("en", 40, 0.8, transitive = false,
+      maxPiiHits = None, maxTokenRunPct = None,
+      baseSql = docsCurationSql,
+      modelGate = Some((graft.pipeline.QualityModel.default,
+        1800000L))))),
 
     // ---- curation with TRANSITIVE near-dup removal: the same composed
     // pipeline, near-dup drop set = every non-minimum member of each

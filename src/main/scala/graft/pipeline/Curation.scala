@@ -28,6 +28,7 @@ object Curation {
   /** Stage labels in the `status` audit column, in decision order. */
   val LangFiltered = "lang_filtered"
   val QualityFiltered = "quality_filtered"
+  val ModelFiltered = "model_filtered"
   val PiiFiltered = "pii_filtered"
   val RepetitionFiltered = "repetition_filtered"
   val LmFiltered = "lm_filtered"
@@ -71,8 +72,11 @@ object Curation {
     * off — integer percent so the comparison is exact integer math in
     * both engines) insert two more filter stages between quality and
     * exact dedup, and `minLmScore` (with `lmModel`/`lmVocabSize`) an
-    * optional bigram-LM reference-likeness stage after them: language
-    * → quality → pii → repetition → lm → exact → near-dup → split.
+    * optional bigram-LM reference-likeness stage after them; `modelGate`
+    * (+`minModelLogitQ`) inserts the trainable-classifier gate
+    * ([[QualityModel]]) right after the heuristic quality stage:
+    * language → quality → model → pii → repetition → lm → exact →
+    * near-dup → split.
     */
   final case class Config(
       keepLangs: Seq[String] = Seq("en"),
@@ -87,7 +91,9 @@ object Curation {
       lmVocabSize: Int = 10000,
       lmModel: Option[LanguageModel.BigramLm] = None,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      modelGate: Option[QualityModel.LinearModel] = None,
+      minModelLogitQ: Long = 0L)
 
   /** Per-document curation audit: `(id, status, split)` for EVERY input
     * row, where `status` is the first stage that rejected the document
@@ -98,6 +104,9 @@ object Curation {
     *   - language: `TextAnalysis.langId(text)` must be in
     *     `cfg.keepLangs`;
     *   - quality: `TextAnalysis.qualityScore(text) >= cfg.minQuality`;
+    *   - model (when `cfg.modelGate` set): the classifier's QUANTIZED
+    *     logit must reach `cfg.minModelLogitQ`
+    *     ([[QualityModel.logitQ]] — exact long comparison);
     *   - pii (when `cfg.maxPiiHits` set): total email+IPv4+phone
     *     matches must not exceed the cap;
     *   - repetition (when `cfg.maxTokenRunPct` set): the most frequent
@@ -116,8 +125,8 @@ object Curation {
     *     collapse fully; oracle = recursive-CTE closure);
     *   - split: `Sampling.hashSplitColumn(text)` on kept docs.
     */
-  /** The five filter stages as one frame: `(id, text, _lang_ok, _q_ok,
-    * _pii_ok, _rep_ok, _lm_ok)` — the decision columns [[curate]] and
+  /** The six filter stages as one frame: `(id, text, _lang_ok, _q_ok,
+    * _m_ok, _pii_ok, _rep_ok, _lm_ok)` — the decision columns [[curate]] and
     * [[Refresh.curateRefresh]] share, so a refreshed delta is filtered
     * by EXACTLY the batch rules (one definition, no drift).
     *
@@ -147,10 +156,20 @@ object Curation {
       if (cfg.maxTokenRunPct >= 100) lit(true)
       else TextAnalysis.maxTokenCount(col("text")) * 100 <=
         TextAnalysis.tokenCount(col("text")) * cfg.maxTokenRunPct
+    // optional trainable-classifier gate (the CCNet/RefinedWeb
+    // model-based stage, sibling of the heuristic quality gate): pure
+    // Column predicate on the QUANTIZED logit, so the stage is as
+    // oracle-exact as the scorer itself
+    val modelOk = cfg.modelGate match {
+      case Some(m) =>
+        QualityModel.logitQ(col("text"), m) >= cfg.minModelLogitQ
+      case None => lit(true)
+    }
     val staged0 = TextAnalysis.withLangId(base, "text", as = "_lang")
       .withColumn("_lang_ok", col("_lang").isin(cfg.keepLangs: _*))
       .withColumn("_q_ok",
         TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+      .withColumn("_m_ok", modelOk)
       .withColumn("_pii_ok", piiOk)
       .withColumn("_rep_ok", repOk)
       .drop("_lang")
@@ -181,7 +200,7 @@ object Curation {
     require(cfg.keepLangs.nonEmpty, "keepLangs must be non-empty")
     val sc = CacheScope.resolve(scope, docs.sparkSession)
     val staged = stageFlags(docs, idCol, textCol, cfg, sc)
-    val filtersOk = col("_lang_ok") && col("_q_ok") &&
+    val filtersOk = col("_lang_ok") && col("_q_ok") && col("_m_ok") &&
       col("_pii_ok") && col("_rep_ok") && col("_lm_ok")
     // exact-dedup rank among filter survivors only; rejected rows get a
     // unique synthetic key (rank 1 in a singleton window partition — no
@@ -219,6 +238,7 @@ object Curation {
 
     val status = when(!col("_lang_ok"), lit(LangFiltered))
       .when(!col("_q_ok"), lit(QualityFiltered))
+      .when(!col("_m_ok"), lit(ModelFiltered))
       .when(!col("_pii_ok"), lit(PiiFiltered))
       .when(!col("_rep_ok"), lit(RepetitionFiltered))
       .when(!col("_lm_ok"), lit(LmFiltered))

@@ -66,8 +66,9 @@ object Refresh {
     * `(idCol, status, split)`, one row per NEW-snapshot id.
     *
     * Decision rules on the delta are EXACTLY the batch rules (shared
-    * [[Curation.stageFlags]] definition): language → quality → pii →
-    * repetition → lm → exact → near-dup → split, where the exact stage
+    * [[Curation.stageFlags]] definition): language → quality → model →
+    * pii → repetition → lm → exact → near-dup → split, where the exact
+    * stage
     * probes `exactIndexPath` (the old KEPT corpus) and the near-dup
     * stage probes `nearDupIndex` — a delta doc is `near_dup` iff it
     * pairs with a live old-kept doc (the corpus is "earlier") or with a
@@ -139,7 +140,7 @@ object Refresh {
 
     val staged = sc.persist(
       Curation.stageFlags(delta, "id", "text", cfg, sc))
-    val filtersOk = col("_lang_ok") && col("_q_ok") &&
+    val filtersOk = col("_lang_ok") && col("_q_ok") && col("_m_ok") &&
       col("_pii_ok") && col("_rep_ok") && col("_lm_ok")
     val survivors = staged.filter(filtersOk).select("id", "text")
 
@@ -173,6 +174,7 @@ object Refresh {
 
     val status = when(!col("_lang_ok"), lit(Curation.LangFiltered))
       .when(!col("_q_ok"), lit(Curation.QualityFiltered))
+      .when(!col("_m_ok"), lit(Curation.ModelFiltered))
       .when(!col("_pii_ok"), lit(Curation.PiiFiltered))
       .when(!col("_rep_ok"), lit(Curation.RepetitionFiltered))
       .when(!col("_lm_ok"), lit(Curation.LmFiltered))

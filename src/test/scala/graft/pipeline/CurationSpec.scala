@@ -172,6 +172,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       off(3L) != Curation.RepetitionFiltered)
   }
 
+  test("model gate sits between quality and pii; quantized threshold") {
+    val docs = Seq(
+      (1L, "a perfectly ordinary sentence about nothing much at all"),
+      (2L, "99 1 22 333 4444 55 6 77 888 9 00 11 2 3 44 55 66 77 88"),
+      (3L, "another ordinary sentence but reach me at spam@junk.example"),
+      (4L, "a perfectly ordinary sentence about nothing much at all"))
+      .toDF("doc_id", "text")
+    // digit soup scores a deeply negative logit under the default
+    // model; prose scores positive — threshold 0 separates them
+    val cfg = Curation.Config(minQuality = 0,
+      keepLangs = Seq("en", "und"), maxPiiHits = 0,
+      nearDup = Curation.NearDupStrategy.Ngram(maxDocFreq = 0),
+      modelGate = Some(QualityModel.default), minModelLogitQ = 0L)
+    val m = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text", cfg, scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(m(1L) == Curation.Kept)
+    assert(m(2L) == Curation.ModelFiltered) // model gate fires...
+    assert(m(3L) == Curation.PiiFiltered) // ...BEFORE the pii stage
+    assert(m(4L) == Curation.ExactDup)
+    // gate off by default: the digit doc survives to the dedup rules
+    val off = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text",
+          cfg.copy(modelGate = None), scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(off(2L) != Curation.ModelFiltered)
+    // the stage decision equals the standalone scorer's keep column
+    val scored = QualityModel.score(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(!scored(2L) && scored(1L))
+  }
+
   test("LM stage sits between cheap filters and dedup; null score rejects") {
     // model trained on a reference corpus the junk doc diverges from
     val ref = docs.limit(50)
