@@ -303,6 +303,39 @@ object Queries {
   private val bm25TopkSql =
     bm25TopkSqlOver("", "documents", "doc_id", "text")
 
+  /** DuckDB replay of the hybrid RRF fusion: BM25 top-20 (shared
+    * ranked-CTE chain, restricted to query ids that have embeddings —
+    * at some SFs the documents table outnumbers the embeddings table)
+    * fused with exact-cosine top-20 via exact integral contributions
+    * `1e12 // (60+rank)`. Shared by the batch and streaming rows (the
+    * accumulated stream sink equals the one-shot batch fusion).
+    */
+  private lazy val hybridTopkSql = s"""
+      WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
+      bm AS (SELECT query_id, doc_id AS id, rank FROM ranked
+             WHERE rank <= 20
+               AND query_id IN (SELECT vec_id FROM embeddings)),
+      qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 29 = 1),
+      scoredv AS (SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
+                 AS cosine
+             FROM embeddings e CROSS JOIN qv q),
+      rankedv AS (SELECT query_id, id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+             FROM scoredv),
+      ann AS (SELECT query_id, id, rank FROM rankedv WHERE rank <= 20),
+      contrib AS (
+        SELECT query_id, id, 1000000000000 // (60 + rank) AS c FROM bm
+        UNION ALL
+        SELECT query_id, id, 1000000000000 // (60 + rank) AS c FROM ann),
+      fused AS (SELECT query_id, id, CAST(sum(c) AS BIGINT) AS rrf_q
+                FROM contrib GROUP BY query_id, id),
+      frank AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_q DESC, id) AS rank FROM fused)
+      SELECT query_id, id, rrf_q, CAST(rank AS INTEGER) AS rank
+      FROM frank WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** DuckDB replay of [[graft.pipeline.QualityModel.logitQ]] over the
     * `text` column, GENERATED from the LinearModel values so weights
     * cannot drift between scorer and oracle. Term order, quotient
@@ -5542,6 +5575,35 @@ object Queries {
       }.orderBy("query_id", "rank")
     }): Q, Some(bm25TopkSql)),
 
+    // ---- STREAMING HYBRID serving: the same fused workload as
+    // hybrid_search_documents arrives as THREE micro-batches of
+    // (qtext, qvec) queries, each probing the persisted BM25 sidecar +
+    // the vector corpus and fusing via RRF
+    // (StreamOps.hybridSearchStream). Each query's fused top-k depends
+    // on that query + the two fixed corpora alone, so the accumulated
+    // sink equals the one-shot batch fusion under any micro-batch
+    // split — the oracle is the batch hybrid oracle verbatim (the
+    // index path scores bit-identically to the declarative leg). ----
+    ("hybrid_stream_queries", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = rd(s, dir, "embeddings")
+      val idxPath = bm25IndexFor(s, dir)
+      val inDir = streamInputFor(s, dir, "hybq", 3) {
+        bm25QueriesFor(docs).join(
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid")
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.hybridSearchStream(stream, idxPath,
+          s"$dir/embeddings.parquet", "vec_id", "embedding",
+          "qid", "qtext", "qv", kEach = 20, k0 = 60, topK = 5) {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.orderBy("query_id", "rank")
+    }): Q, Some(hybridTopkSql)),
+
     // ---- STREAM-MAINTAINED BM25 index: a third of the corpus is
     // indexed offline, the rest arrives as micro-batches folding in
     // through StreamOps.bm25UpdateStream (idempotent postings deltas +
@@ -5937,31 +5999,7 @@ object Queries {
           emb.select("vec_id", "embedding"), "vec_id", "embedding",
           queries, "qid", "qtext", "qv", kEach = 20, k0 = 60, topK = 5)
         .orderBy("query_id", "rank")
-    }): Q, Some(s"""
-      WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
-      bm AS (SELECT query_id, doc_id AS id, rank FROM ranked
-             WHERE rank <= 20
-               AND query_id IN (SELECT vec_id FROM embeddings)),
-      qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings WHERE vec_id % 29 = 1),
-      scoredv AS (SELECT q.query_id, e.vec_id AS id,
-               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
-                 AS cosine
-             FROM embeddings e CROSS JOIN qv q),
-      rankedv AS (SELECT query_id, id, row_number() OVER (
-               PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
-             FROM scoredv),
-      ann AS (SELECT query_id, id, rank FROM rankedv WHERE rank <= 20),
-      contrib AS (
-        SELECT query_id, id, 1000000000000 // (60 + rank) AS c FROM bm
-        UNION ALL
-        SELECT query_id, id, 1000000000000 // (60 + rank) AS c FROM ann),
-      fused AS (SELECT query_id, id, CAST(sum(c) AS BIGINT) AS rrf_q
-                FROM contrib GROUP BY query_id, id),
-      frank AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY rrf_q DESC, id) AS rank FROM fused)
-      SELECT query_id, id, rrf_q, CAST(rank AS INTEGER) AS rank
-      FROM frank WHERE rank <= 5 ORDER BY query_id, rank""")),
+    }): Q, Some(hybridTopkSql)),
 
     // ---- MODEL-BASED quality filtering (the CCNet/RefinedWeb stage):
     // a linear classifier over exactly-replayable integer-derived

@@ -71,6 +71,38 @@ object StreamOps {
         indexPath, batch, queryIdCol, queryTextCol, k)
     }
 
+  /** HYBRID serving loop: every micro-batch of queries (text + vector
+    * per query id) probes the persisted BM25 sidecar AND the vector
+    * corpus at `vecPath` (exact-cosine brute force — swap in an IVF
+    * index probe upstream of [[graft.pipeline.Hybrid.rrfFuse]] when
+    * approximate is acceptable), and `sink` receives that batch's
+    * RRF-fused top-k. Each query's fused list depends on that query +
+    * the two fixed corpora alone, so the accumulated output equals the
+    * one-shot batch fusion over the same query set under any
+    * micro-batch placement — the property `hybrid_stream_queries` pins
+    * against the batch oracle.
+    */
+  def hybridSearchStream(stream: DataFrame, bm25IndexPath: String,
+      vecPath: String, vecIdCol: String, vecCol: String,
+      queryIdCol: String, queryTextCol: String, queryVecCol: String,
+      kEach: Int, k0: Int = 60, topK: Int = 10)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, _) =>
+      val s = batch.sparkSession
+      val bm = graft.pipeline.Search.searchFromIndex(s, bm25IndexPath,
+          batch, queryIdCol, queryTextCol, kEach)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val ann = graft.pipeline.Similarity.bruteForceTopK(
+          s.read.parquet(vecPath), vecIdCol, vecCol,
+          batch.select(col(queryIdCol), col(queryVecCol)),
+          queryIdCol, queryVecCol, kEach)
+        .select(col("query_id"), col("id"), col("rank"))
+      graft.pipeline.Hybrid.rrfFuse(Seq(bm, ann), "query_id", "id",
+        "rank", k0, topK)
+    }
+
   /** Windowed per-key event counts + value sums with a watermark — the
     * canonical streaming aggregation (late data beyond `delay` dropped).
     */

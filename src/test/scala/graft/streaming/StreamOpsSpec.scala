@@ -332,6 +332,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("micro-batch hybrid search = batch RRF fusion (fixed corpora)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val vecPath = "/root/testdata/sf0.001/embeddings.parquet"
+    val emb = spark.read.parquet(vecPath).select($"vec_id", $"embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("hybstream").toString
+    graft.pipeline.Search.writeIndex(docs, "doc_id", "text", path)
+    val queries = docs.filter($"doc_id" % 17 === 0)
+      .select($"doc_id".as("qid"), substring($"text", 1, 40).as("qtext"))
+      .join(emb.select($"vec_id".as("qid"), $"embedding".as("qv")), "qid")
+      .as[(Long, String, Seq[Float])].collect().toSeq
+    assert(queries.size >= 4)
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Int)]
+    val input = MemoryStream[(Long, String, Seq[Float])](spark)
+    val q = StreamOps.hybridSearchStream(
+      input.toDF().toDF("qid", "qtext", "qv"), path, vecPath,
+      "vec_id", "embedding", "qid", "qtext", "qv",
+      kEach = 5, topK = 3) { (res, _) =>
+        found ++= res.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        ()
+      }.start()
+    input.addData(queries.filter(_._1 % 2 == 0))
+    q.processAllAvailable()
+    input.addData(queries.filter(_._1 % 2 != 0))
+    q.processAllAvailable()
+    q.stop()
+    // one-shot fusion over the same query set, same legs
+    val qdf = queries.toDF("qid", "qtext", "qv")
+    val bm = graft.pipeline.Search.searchFromIndex(spark, path,
+        qdf, "qid", "qtext", 5)
+      .select($"query_id", $"doc_id".as("id"), $"rank")
+    val ann = graft.pipeline.Similarity.bruteForceTopK(
+        spark.read.parquet(vecPath), "vec_id", "embedding",
+        qdf.select("qid", "qv"), "qid", "qv", 5)
+      .select($"query_id", $"id", $"rank")
+    val oneShot = graft.pipeline.Hybrid
+      .rrfFuse(Seq(bm, ann), "query_id", "id", "rank", 60, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(oneShot.nonEmpty)
+    assert(found.toSet == oneShot)
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
   test("windowed stats with watermark aggregate per window+key") {
     val input = MemoryStream[(Timestamp, Long, Double)](spark)
     val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
