@@ -5652,6 +5652,36 @@ object Queries {
         ORDER BY query_id, rank""")
     }): Q, Some(bm25TopkSql)),
 
+    // ---- HYBRID retrieval reached ENTIRELY through spark.sql
+    // (graft_hybrid_search TVF — BM25 leg + declarative-cosine leg +
+    // RRF fusion spliced as ONE plan, no job at plan build): same
+    // workload and oracle as hybrid_search_documents (the declarative
+    // cosine leg scores bit-identically to the brute-force kernel —
+    // same op sequence). ----
+    ("sql_hybrid_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "hybrid") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("graft_sql_docs_hyb")
+        rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .createOrReplaceTempView("graft_sql_vecs_hyb")
+        bm25QueriesFor(
+          rd(s, dir, "documents").select(col("doc_id"), col("text")))
+          .join(rd(s, dir, "embeddings")
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid")
+          .createOrReplaceTempView("graft_sql_queries_hyb")
+      }
+      s.sql("""
+        SELECT query_id, id, rrf_q, rank
+        FROM graft_hybrid_search('graft_sql_docs_hyb',
+                                 'graft_sql_vecs_hyb',
+                                 'graft_sql_queries_hyb',
+                                 'doc_id', 'text', 'vec_id', 'embedding',
+                                 'qid', 'qtext', 'qv', 20, 5)
+        ORDER BY query_id, rank""")
+    }): Q, Some(hybridTopkSql)),
+
     // ---- BLOOM-PRUNED exact join (persistable membership sidecar):
     // orders pruned map-only by a bloom built from the BUILDING-segment
     // customer keys, then the exact equi-join — bit-identical to the

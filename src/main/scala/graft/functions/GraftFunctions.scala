@@ -67,6 +67,22 @@ object GraftFunctions {
       NormalizeText(es.head)
     },
     // repetition + URL signals
+    // model-based quality scorer: graft_quality_logit(text) with the
+    // library default operating point, or (text, bias, wTokens, wAlpha,
+    // wDigit, wAwl) with literal weights (the model is config, not
+    // data) — returns the exact quantized logit (floor(z * 1e6) long)
+    "graft_quality_logit" -> { es =>
+      require(es.length == 1 || es.length == 6,
+        s"expected text or text + 5 weight literals, got ${es.length}")
+      val m =
+        if (es.length == 1) graft.pipeline.QualityModel.default
+        else graft.pipeline.QualityModel.LinearModel(
+          numLit(es(1), "bias"), numLit(es(2), "wTokens"),
+          numLit(es(3), "wAlpha"), numLit(es(4), "wDigit"),
+          numLit(es(5), "wAwl"))
+      graftshim.resolvedExpression(graft.pipeline.QualityModel
+        .logitQ(graftshim.column(es.head), m))
+    },
     "graft_max_token_count" -> unary(TextAnalysis.maxTokenCount),
     "graft_max_bigram_count" -> unary(TextAnalysis.maxBigramCount),
     "graft_distinct_token_count" -> unary(TextAnalysis.distinctTokenCount),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim
 
 import graft.pipeline.Curation
@@ -288,6 +289,43 @@ object GraftTableFunctions {
       intLit(es(6), "k")))
   }
 
+  /** `graft_hybrid_search(corpusView, vecView, queriesView, corpusId,
+    * corpusText, vecId, vecCol, queryId, queryText, queryVec, kEach,
+    * topK)` — hybrid lexical+vector retrieval fused by exact integral
+    * RRF ([[graft.pipeline.Hybrid.rrfFuse]]), as
+    * `(query_id, id, rrf_q, rank)`. Both legs are the fully-declarative
+    * one-plan variants ([[graft.pipeline.Search.searchCorpus]] with
+    * broadcast one-row stats; [[graft.pipeline.Similarity
+    * .cosineTopKDeclarative]] with a broadcast query batch), so plan
+    * construction runs no job — the TVF contract.
+    */
+  private def hybridSearchBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 12,
+      "usage: graft_hybrid_search(corpusView, vecView, queriesView, " +
+        "corpusId, corpusText, vecId, vecCol, queryId, queryText, " +
+        "queryVec, kEach, topK)")
+    val spark = SparkSession.active
+    val queries = spark.table(strLit(es(2), "queries view"))
+    val kEach = intLit(es(10), "kEach")
+    val bm = graft.pipeline.Search.searchCorpus(
+        spark.table(strLit(es(0), "corpus view")),
+        strLit(es(3), "corpus id column"),
+        strLit(es(4), "corpus text column"),
+        queries, strLit(es(7), "query id column"),
+        strLit(es(8), "query text column"), kEach)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val ann = graft.pipeline.Similarity.cosineTopKDeclarative(
+        spark.table(strLit(es(1), "vector view")),
+        strLit(es(5), "vector id column"),
+        strLit(es(6), "vector column"),
+        queries, strLit(es(7), "query id column"),
+        strLit(es(9), "query vector column"), kEach)
+      .select(col("query_id"), col("id"), col("rank"))
+    graftshim.logicalPlan(graft.pipeline.Hybrid.rrfFuse(
+      Seq(bm, ann), "query_id", "id", "rank",
+      k0 = 60, topK = intLit(es(11), "topK")))
+  }
+
   /** `graft_chunk(view, idCol, textCol, size, overlap)` — token-window
     * chunking ([[graft.pipeline.Chunking.chunkDocuments]]) as
     * `(doc_id, chunk_id, start_tok, n_tok, chunk)` rows.
@@ -305,6 +343,7 @@ object GraftTableFunctions {
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_bm25_search" -> (bm25SearchBuilder _),
+    "graft_hybrid_search" -> (hybridSearchBuilder _),
     "graft_chunk" -> (chunkBuilder _),
     "graft_curate" -> (curateBuilder _),
     "graft_dedup_exact" -> (dedupExactBuilder _),

@@ -307,6 +307,34 @@ object Similarity {
     topKByCosine(partial, k)
   }
 
+  /** Fully-DECLARATIVE exact cosine top-k — no driver-side job anywhere
+    * in plan construction, so SQL table functions can splice it (TVF
+    * plans are built during analysis and must not run jobs; this is the
+    * [[graft.functions.GraftTableFunctions]] `graft_hybrid_search` ANN
+    * leg). The query side rides a broadcast hash join (bounded query
+    * batch — the ANN contract) and cosine is the native codegen'd
+    * [[graft.functions.VectorExpressions.cosineC]], the same op
+    * sequence as [[bruteForceTopK]]'s kernel, so both variants score
+    * and rank identically bit-for-bit. Tradeoff vs [[bruteForceTopK]]:
+    * all |corpus|×|queries| scored rows reach the rank exchange instead
+    * of `partitions × queries × k` heap survivors — fine for the
+    * serving-batch shape, use the heap variant for bulk scans.
+    */
+  def cosineTopKDeclarative(corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("_v"))
+      .crossJoin(broadcast(queries
+        .select(col(qIdCol).cast("long").as("query_id"),
+          col(qVecCol).cast("array<float>").as("_qv"))))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorExpressions.cosineC(col("_v"), col("_qv"))
+          .as("cosine"))
+    topKByCosine(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a hyperplane bucket
     * in at least one of `tables` hash tables; exact cosine re-ranks the
     * candidates. Trades recall for never touching the full corpus per

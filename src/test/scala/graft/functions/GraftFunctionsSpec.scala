@@ -271,6 +271,67 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(lmSql == lmApi && lmSql.nonEmpty)
   }
 
+  test("graft_quality_logit and graft_hybrid_search equal the operators") {
+    GraftFunctions.register(spark)
+    GraftTableFunctions.register(spark)
+    docs.createOrReplaceTempView("gf_hyb_docs")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    emb.createOrReplaceTempView("gf_hyb_vecs")
+    docs.filter($"doc_id" % 29 === 1)
+      .select($"doc_id".as("qid"),
+        array_join(slice(split(lower(trim($"text")), "\\s+"), 1, 3), " ")
+          .as("qtext"))
+      .join(emb.select($"vec_id".as("qid"), $"embedding".as("qv")), "qid")
+      .createOrReplaceTempView("gf_hyb_queries")
+
+    // scalar: default model and explicit-weights form, vs the Column API
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_quality_logit(text) AS a,
+             graft_quality_logit(text, -1.5D, 2.0D, 2.5D, -4.0D, 0.5D)
+               AS b
+      FROM gf_hyb_docs""").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaCol = docs.select($"doc_id",
+        graft.pipeline.QualityModel.logitQ($"text",
+          graft.pipeline.QualityModel.default))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql.forall { case (id, (a, b)) =>
+      a == viaCol(id) && b == viaCol(id) })
+
+    // TVF: fused rows equal the DataFrame composition with the same legs
+    val viaTvf = spark.sql("""
+      SELECT query_id, id, rrf_q, rank
+      FROM graft_hybrid_search('gf_hyb_docs', 'gf_hyb_vecs',
+        'gf_hyb_queries', 'doc_id', 'text', 'vec_id', 'embedding',
+        'qid', 'qtext', 'qv', 10, 5)
+      ORDER BY query_id, rank""")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val queries = spark.table("gf_hyb_queries")
+    val bm = graft.pipeline.Search.searchCorpus(docs, "doc_id", "text",
+        queries, "qid", "qtext", 10)
+      .select($"query_id", $"doc_id".as("id"), $"rank")
+    val ann = graft.pipeline.Similarity.cosineTopKDeclarative(
+        emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select($"query_id", $"id", $"rank")
+    val manual = graft.pipeline.Hybrid
+      .rrfFuse(Seq(bm, ann), "query_id", "id", "rank", 60, 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(viaTvf == manual)
+    assert(viaTvf.nonEmpty)
+    // declarative cosine leg ranks exactly as the brute-force kernel
+    val brute = graft.pipeline.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries.select("qid", "qv"),
+        "qid", "qv", 10)
+      .select("query_id", "id", "rank").orderBy("query_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    val decl = ann.orderBy("query_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(decl == brute)
+  }
+
   test("graft_curate rejects bad arguments loudly") {
     GraftTableFunctions.register(spark)
     docs.createOrReplaceTempView("gf_curate_docs")
