@@ -58,6 +58,45 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.CacheScope.releaseSession(spark)
   }
 
+  test("quality_classify is map-only: zero exchanges in the plan") {
+    val plan = executed("quality_classify_documents")
+    // orderBy adds the final sort range exchange; NOTHING else may
+    // shuffle — the scorer itself is a pure projection
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"scorer must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("hybrid fusion plans broadcast legs, never cartesian/sort-merge") {
+    for (q <- Seq("hybrid_search_documents", "sql_hybrid_documents")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // the BM25 leg's one-row stats ride a broadcast nested loop by
+      // design; the term probes and (declarative) query batch must be
+      // broadcast, not sort-merge
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+    graft.pipeline.CacheScope.releaseSession(spark)
+  }
+
+  test("capPerKey: both phases hash-partition by their window keys") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source")
+    val plan = graft.pipeline.Sampling
+      .capPerKey(d, "source", "doc_id", cap = 5, salts = 8)
+      .queryExecution.executedPlan.toString
+    // phase 1 partitions by (key, salt) — the skew split; phase 2 by
+    // key alone over the bounded survivors
+    assert("hashpartitioning\\(source[#\\d]*, _salt".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("hashpartitioning\\(source[#\\d]*, \\d+".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("temporal joins plan as binned equi-joins, never BNLJ/cartesian") {
     for (q <- Seq("asof_join_events", "range_join_events",
         "band_join_events", "interval_join_events",
