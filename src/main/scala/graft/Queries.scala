@@ -5213,6 +5213,39 @@ object Queries {
         .orderBy("doc_id", "chunk_id")
     }): Q, Some(chunkSql)),
 
+    // ---- SENTENCE-boundary chunking (3-sentence windows, 1 shared):
+    // the corpus has no punctuation, so the fixture synthesizes
+    // deterministic sentence boundaries first (replace ' the ' → '. ',
+    // left-to-right non-overlapping in BOTH engines); the oracle
+    // replays the boundary-mark split and the window arithmetic. ----
+    ("sentence_chunk_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Chunking.chunkBySentences(
+          rd(s, dir, "documents").select(col("doc_id"),
+            call_function("replace", col("text"), lit(" the "),
+              lit(". ")).as("text")),
+          "doc_id", "text", size = 3, overlap = 1)
+        .orderBy("doc_id", "chunk_id")
+    }): Q, Some("""
+      WITH t0 AS (SELECT doc_id, replace(text, ' the ', '. ') AS text
+                  FROM documents),
+      t AS (SELECT doc_id,
+              string_split(regexp_replace(trim(text), '([.!?]) +',
+                '\1' || chr(1), 'g'), chr(1)) AS sents
+            FROM t0 WHERE length(trim(text)) > 0),
+      c AS (SELECT doc_id, sents, len(sents) AS n,
+              CASE WHEN len(sents) <= 3 THEN 1
+                   ELSE CAST((len(sents) - 2) // 2 AS INTEGER) + 1
+              END AS nc
+            FROM t)
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+             CAST(i * 2 AS INTEGER) AS start_sent,
+             CAST(LEAST(3, n - i * 2) AS INTEGER) AS n_sent,
+             array_to_string(
+               sents[CAST(i*2+1 AS INTEGER):CAST(i*2+3 AS INTEGER)],
+               ' ') AS chunk
+      FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
+      ORDER BY doc_id, chunk_id""")),
+
     // ---- the chunker reached ENTIRELY through spark.sql (graft_chunk
     // TVF splices the identical Column trees): same oracle as the
     // DataFrame row — SQL reach for the RAG-prep family. ----

@@ -106,4 +106,52 @@ object Chunking {
         trim(replace(array_join(col("_win"), ""),
           lit(model.marker), lit(" "))).as("chunk"))
   }
+
+  /** Sentence-BOUNDARY chunking — the retrieval-prep variant that never
+    * cuts mid-sentence: windows of `size` sentences with `overlap`
+    * shared between neighbours, same window rule as [[chunkDocuments]]
+    * but the unit is a sentence instead of a token.
+    *
+    * Sentence rule (deterministic and engine-portable): a sentence ends
+    * at `.`, `!` or `?` followed by one-or-more spaces. The split is
+    * LOOKBEHIND-FREE (RE2 has no lookbehind, Java does — the suite's
+    * Java∩RE2 discipline): mark each boundary by rewriting
+    * `([.!?]) +` to the terminator plus a U+0001 separator, then
+    * split on the separator — the terminator stays attached to its
+    * sentence, inter-sentence whitespace collapses. Text with no
+    * terminator is one sentence; blank/NULL text yields no chunks.
+    *
+    * Same map-only scale shape as [[chunkDocuments]]: codegen'd
+    * replace/split → `sequence`/`transform`/`posexplode`, no shuffle,
+    * no state — and therefore runs unchanged on a micro-batch stream.
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size >= 1, s"chunk size $size must be >= 1")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size)")
+    val stride = size - overlap
+    val t0 = trim(coalesce(col(textCol), lit("")))
+    val SEP = "\u0001"
+    val sents = when(length(t0) === 0, array().cast("array<string>"))
+      .otherwise(split(
+        regexp_replace(t0, "([.!?]) +", "$1" + SEP), java.util.regex.Pattern.quote(SEP)))
+    val n = org.apache.spark.sql.functions.size(sents)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(floor((n - size + stride - 1) / lit(stride))
+        .cast("int") + 1)
+    docs
+      .filter(n > 0)
+      .select(col(idCol).as("doc_id"), sents.as("_s"), nChunks.as("_nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          i => struct(
+            (i * stride).as("start_sent"),
+            slice(col("_s"), i * stride + 1, lit(size)).as("_win")))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col._win").as("_win"), col("col.start_sent").as("start_sent"))
+      .select(col("doc_id"), col("chunk_id"), col("start_sent"),
+        org.apache.spark.sql.functions.size(col("_win")).as("n_sent"),
+        array_join(col("_win"), " ").as("chunk"))
+  }
 }

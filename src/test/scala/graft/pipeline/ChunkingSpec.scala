@@ -101,4 +101,43 @@ class ChunkingSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Chunking.chunkDocuments(d, "id", "text", 4, -1) }
   }
+
+  private def sentChunks(text: String, size: Int, overlap: Int) =
+    Chunking.chunkBySentences(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", size, overlap)
+      .orderBy("chunk_id")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+
+  test("sentence chunks: boundaries at .!? + space, windows overlap") {
+    val text = "One two. Three four!  Five? Six seven. Eight"
+    // sentences: [One two.] [Three four!] [Five?] [Six seven.] [Eight]
+    val c = sentChunks(text, 2, 1)
+    assert(c.toSeq == Seq(
+      (0, 0, 2, "One two. Three four!"),
+      (1, 1, 2, "Three four! Five?"),
+      (2, 2, 2, "Five? Six seven."),
+      (3, 3, 2, "Six seven. Eight")))
+  }
+
+  test("sentence chunks: terminator stays attached, no-terminator doc") {
+    assert(sentChunks("just one sentence no punctuation", 3, 0).toSeq ==
+      Seq((0, 0, 1, "just one sentence no punctuation")))
+    // a period NOT followed by a space does not split (decimals, urls)
+    assert(sentChunks("pi is 3.14 ok. next one", 1, 0).toSeq ==
+      Seq((0, 0, 1, "pi is 3.14 ok."), (1, 1, 1, "next one")))
+    // blank and null yield nothing
+    assert(Chunking.chunkBySentences(
+      Seq((1L, ""), (2L, "   ")).toDF("id", "text"),
+      "id", "text", 2).count() == 0)
+  }
+
+  test("sentence chunking is map-only: no exchange anywhere") {
+    val plan = Chunking.chunkBySentences(
+        Seq((1L, "a. b. c.")).toDF("id", "text"), "id", "text", 2, 1)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.isEmpty, s"sentence chunking must be map-only: $plan")
+  }
 }
