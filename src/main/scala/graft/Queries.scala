@@ -424,6 +424,32 @@ object Queries {
       FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
       ORDER BY doc_id, chunk_id"""
 
+  /** DuckDB replay of the sentence-boundary chunker (3-sentence
+    * windows, 1 shared) over the punctuation-synthesized fixture
+    * (replace ' the ' → '. ') — shared by the DataFrame row and the
+    * `graft_chunk_sentences` TVF row.
+    */
+  private lazy val sentenceChunkSql: String = """
+      WITH t0 AS (SELECT doc_id, replace(text, ' the ', '. ') AS text
+                  FROM documents),
+      t AS (SELECT doc_id,
+              string_split(regexp_replace(trim(text), '([.!?]) +',
+                '\1' || chr(1), 'g'), chr(1)) AS sents
+            FROM t0 WHERE length(trim(text)) > 0),
+      c AS (SELECT doc_id, sents, len(sents) AS n,
+              CASE WHEN len(sents) <= 3 THEN 1
+                   ELSE CAST((len(sents) - 2) // 2 AS INTEGER) + 1
+              END AS nc
+            FROM t)
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+             CAST(i * 2 AS INTEGER) AS start_sent,
+             CAST(LEAST(3, n - i * 2) AS INTEGER) AS n_sent,
+             array_to_string(
+               sents[CAST(i*2+1 AS INTEGER):CAST(i*2+3 AS INTEGER)],
+               ' ') AS chunk
+      FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
+      ORDER BY doc_id, chunk_id"""
+
   // ------------------------------------------------------ BPE fixture
 
   /** Planted merge table for the BPE oracle queries: exercises
@@ -5225,26 +5251,7 @@ object Queries {
               lit(". ")).as("text")),
           "doc_id", "text", size = 3, overlap = 1)
         .orderBy("doc_id", "chunk_id")
-    }): Q, Some("""
-      WITH t0 AS (SELECT doc_id, replace(text, ' the ', '. ') AS text
-                  FROM documents),
-      t AS (SELECT doc_id,
-              string_split(regexp_replace(trim(text), '([.!?]) +',
-                '\1' || chr(1), 'g'), chr(1)) AS sents
-            FROM t0 WHERE length(trim(text)) > 0),
-      c AS (SELECT doc_id, sents, len(sents) AS n,
-              CASE WHEN len(sents) <= 3 THEN 1
-                   ELSE CAST((len(sents) - 2) // 2 AS INTEGER) + 1
-              END AS nc
-            FROM t)
-      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
-             CAST(i * 2 AS INTEGER) AS start_sent,
-             CAST(LEAST(3, n - i * 2) AS INTEGER) AS n_sent,
-             array_to_string(
-               sents[CAST(i*2+1 AS INTEGER):CAST(i*2+3 AS INTEGER)],
-               ' ') AS chunk
-      FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
-      ORDER BY doc_id, chunk_id""")),
+    }): Q, Some(sentenceChunkSql)),
 
     // ---- the chunker reached ENTIRELY through spark.sql (graft_chunk
     // TVF splices the identical Column trees): same oracle as the
@@ -5261,6 +5268,24 @@ object Queries {
                          32, 8)
         ORDER BY doc_id, chunk_id""")
     }): Q, Some(chunkSql)),
+
+    // ---- the SENTENCE chunker through spark.sql (graft_chunk_sentences
+    // TVF, identical Column trees): same fixture and oracle as the
+    // DataFrame row. ----
+    ("sql_sentence_chunk_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "schunk") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"),
+            call_function("replace", col("text"), lit(" the "),
+              lit(". ")).as("text"))
+          .createOrReplaceTempView("graft_sql_docs_schunk")
+      }
+      s.sql("""
+        SELECT doc_id, chunk_id, start_sent, n_sent, chunk
+        FROM graft_chunk_sentences('graft_sql_docs_schunk',
+                                   'doc_id', 'text', 3, 1)
+        ORDER BY doc_id, chunk_id""")
+    }): Q, Some(sentenceChunkSql)),
 
     // ---- REAL BPE tokenizer (merges/vocab-driven rank-min encode,
     // native codegen'd kernel): per document the exact token count,

@@ -340,11 +340,27 @@ object GraftTableFunctions {
       intLit(es(3), "size"), intLit(es(4), "overlap")))
   }
 
+  /** `graft_chunk_sentences(view, idCol, textCol, size, overlap)` —
+    * sentence-boundary chunking
+    * ([[graft.pipeline.Chunking.chunkBySentences]]) as
+    * `(doc_id, chunk_id, start_sent, n_sent, chunk)` rows.
+    */
+  private def chunkSentencesBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 5,
+      "usage: graft_chunk_sentences(view, idCol, textCol, size, overlap)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Chunking.chunkBySentences(
+      spark.table(strLit(es(0), "view")),
+      strLit(es(1), "id column"), strLit(es(2), "text column"),
+      intLit(es(3), "size"), intLit(es(4), "overlap")))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_bm25_search" -> (bm25SearchBuilder _),
     "graft_hybrid_search" -> (hybridSearchBuilder _),
     "graft_chunk" -> (chunkBuilder _),
+    "graft_chunk_sentences" -> (chunkSentencesBuilder _),
     "graft_curate" -> (curateBuilder _),
     "graft_dedup_exact" -> (dedupExactBuilder _),
     "graft_contamination" -> (contaminationBuilder _),

@@ -52,6 +52,15 @@ object StreamOps {
     graft.pipeline.Chunking.chunkDocuments(stream, idCol, textCol,
       size, overlap)
 
+  /** [[chunkStream]]'s sentence-boundary sibling
+    * ([[graft.pipeline.Chunking.chunkBySentences]]) — the same
+    * stateless-per-row argument applies verbatim.
+    */
+  def chunkSentencesStream(stream: DataFrame, idCol: String,
+      textCol: String, size: Int, overlap: Int = 0): DataFrame =
+    graft.pipeline.Chunking.chunkBySentences(stream, idCol, textCol,
+      size, overlap)
+
   /** [[probeIndexPerBatch]] against a persisted BM25 index
     * ([[graft.pipeline.Search.writeIndex]]) — the serving loop of the
     * sparse-retrieval family: every micro-batch of QUERIES probes the
