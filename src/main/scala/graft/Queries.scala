@@ -5633,6 +5633,29 @@ object Queries {
       }.orderBy("query_id", "rank")
     }): Q, Some(bm25TopkSql)),
 
+    // ---- HARD-NEGATIVE mining (DPR-style contrastive-training prep):
+    // per query document, the top-5 lexically-closest OTHER documents
+    // by BM25, densely re-ranked after self-exclusion. Oracle replays
+    // the shared ranked chain to depth 6, drops the self row, and
+    // re-ranks — both sides the identical exclusion-then-rank rule. ----
+    ("hard_negatives_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Search
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      Search.hardNegatives(docs, "doc_id", "text",
+          bm25QueriesFor(docs), "qid", "qtext", k = 5)
+        .orderBy("query_id", "neg_rank")
+    }): Q, Some(s"""
+      WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
+      cand AS (SELECT query_id, doc_id, score_q FROM ranked
+               WHERE rank <= 6 AND query_id <> doc_id),
+      rr AS (SELECT query_id, doc_id, score_q, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_q DESC, doc_id) AS neg_rank
+             FROM cand)
+      SELECT query_id, CAST(neg_rank AS INTEGER) AS neg_rank, doc_id,
+             score_q
+      FROM rr WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""")),
+
     // ---- STREAMING HYBRID serving: the same fused workload as
     // hybrid_search_documents arrives as THREE micro-batches of
     // (qtext, qvec) queries, each probing the persisted BM25 sidecar +

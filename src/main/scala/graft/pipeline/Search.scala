@@ -185,6 +185,33 @@ object Search {
       k, k1, b, logIdf = false)
   }
 
+  /** DPR-style HARD-NEGATIVE mining — the contrastive-training prep
+    * step (Karpukhin et al. 2020: the best negatives are the top
+    * BM25-retrieved passages that are NOT the positive): for each
+    * query (here a document standing in for its own positive), the
+    * top-`k` lexically-closest OTHER documents, re-ranked densely
+    * after the self-exclusion so `rank` is 1..k over negatives alone.
+    *
+    * Plan shape: [[searchCorpus]] to depth `k+1` (the self-match can
+    * occupy at most one slot), one filter, one per-query window over
+    * ≤ k+1 rows — nothing beyond the search leg's own cost.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"negatives-per-query k $k must be >= 1")
+    val cand = searchCorpus(corpus, idCol, textCol, queries,
+        queryIdCol, queryTextCol, k + 1, k1, b)
+      .filter(col("query_id") =!= col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), col("doc_id"))
+    cand.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank"), col("doc_id"),
+        col("score_q"))
+  }
+
   /** Persist the index sidecar: postings range-partitioned AND sorted
     * on `tok` (parquet footer min/max then prunes whole files for
     * selective term probes), df as its own table, collection stats +

@@ -140,4 +140,29 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     val ix = Search.buildIndex(withBlank, "doc_id", "text")
     assert(ix.nDocs == 4L && ix.avgDl == 4.0)
   }
+
+  test("hardNegatives: self excluded, ranks dense, scores unchanged") {
+    // query = doc 1's own text: doc 1 is the top BM25 hit and must NOT
+    // appear among its negatives; ranks re-densify after the exclusion
+    val queries = docs.select($"doc_id".as("qid"), $"text".as("qtext"))
+    val negs = Search.hardNegatives(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 2)
+      .orderBy("query_id", "neg_rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(negs.nonEmpty)
+    assert(negs.forall { case (q, _, d, _) => q != d },
+      "a query's own document leaked into its negatives")
+    negs.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2) == (1 to rows.size), s"ranks not dense for $q")
+      assert(rows.size <= 2)
+    }
+    // scores are the plain search scores: the depth-3 search minus the
+    // self row reproduces every (query, doc, score) triple
+    val search3 = Search.searchCorpus(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .filter($"query_id" =!= $"doc_id")
+      .select("query_id", "doc_id", "score_q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(negs.map(r => (r._1, r._3, r._4)).toSet.subsetOf(search3))
+  }
 }
