@@ -424,6 +424,23 @@ object Queries {
       FROM c, unnest(range(0, CAST(nc AS BIGINT))) AS g(i)
       ORDER BY doc_id, chunk_id"""
 
+  /** DuckDB replay of hard-negative mining: the shared BM25 ranked
+    * chain to depth 6, the query's own document excluded, dense
+    * re-rank, top-5 — shared by the DataFrame row and the
+    * `graft_hard_negatives` TVF row.
+    */
+  private lazy val hardNegativesSql: String = s"""
+      WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
+      cand AS (SELECT query_id, doc_id, score_q FROM ranked
+               WHERE rank <= 6 AND query_id <> doc_id),
+      rr AS (SELECT query_id, doc_id, score_q, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_q DESC, doc_id) AS neg_rank
+             FROM cand)
+      SELECT query_id, CAST(neg_rank AS INTEGER) AS neg_rank, doc_id,
+             score_q
+      FROM rr WHERE neg_rank <= 5 ORDER BY query_id, neg_rank"""
+
   /** DuckDB replay of the sentence-boundary chunker (3-sentence
     * windows, 1 shared) over the punctuation-synthesized fixture
     * (replace ' the ' → '. ') — shared by the DataFrame row and the
@@ -5644,17 +5661,26 @@ object Queries {
       Search.hardNegatives(docs, "doc_id", "text",
           bm25QueriesFor(docs), "qid", "qtext", k = 5)
         .orderBy("query_id", "neg_rank")
-    }): Q, Some(s"""
-      WITH ${bm25RankedCtes("", "documents", "doc_id", "text")},
-      cand AS (SELECT query_id, doc_id, score_q FROM ranked
-               WHERE rank <= 6 AND query_id <> doc_id),
-      rr AS (SELECT query_id, doc_id, score_q, row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY score_q DESC, doc_id) AS neg_rank
-             FROM cand)
-      SELECT query_id, CAST(neg_rank AS INTEGER) AS neg_rank, doc_id,
-             score_q
-      FROM rr WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""")),
+    }): Q, Some(hardNegativesSql)),
+
+    // ---- hard-negative mining through spark.sql (graft_hard_negatives
+    // TVF, identical plan): same workload and oracle. ----
+    ("sql_hard_negatives_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "hardneg") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("graft_sql_docs_hn")
+        bm25QueriesFor(
+          rd(s, dir, "documents").select(col("doc_id"), col("text")))
+          .createOrReplaceTempView("graft_sql_queries_hn")
+      }
+      s.sql("""
+        SELECT query_id, neg_rank, doc_id, score_q
+        FROM graft_hard_negatives('graft_sql_docs_hn',
+                                  'graft_sql_queries_hn',
+                                  'doc_id', 'text', 'qid', 'qtext', 5)
+        ORDER BY query_id, neg_rank""")
+    }): Q, Some(hardNegativesSql)),
 
     // ---- STREAMING HYBRID serving: the same fused workload as
     // hybrid_search_documents arrives as THREE micro-batches of

@@ -289,6 +289,27 @@ object GraftTableFunctions {
       intLit(es(6), "k")))
   }
 
+  /** `graft_hard_negatives(corpusView, queriesView, corpusId,
+    * corpusText, queryId, queryText, k)` — DPR-style hard-negative
+    * mining ([[graft.pipeline.Search.hardNegatives]]: top-k BM25
+    * documents that are not the query's own), as
+    * `(query_id, neg_rank, doc_id, score_q)`.
+    */
+  private def hardNegativesBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 7,
+      "usage: graft_hard_negatives(corpusView, queriesView, corpusId, " +
+        "corpusText, queryId, queryText, k)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Search.hardNegatives(
+      spark.table(strLit(es(0), "corpus view")),
+      strLit(es(2), "corpus id column"),
+      strLit(es(3), "corpus text column"),
+      spark.table(strLit(es(1), "queries view")),
+      strLit(es(4), "query id column"),
+      strLit(es(5), "query text column"),
+      intLit(es(6), "k")))
+  }
+
   /** `graft_hybrid_search(corpusView, vecView, queriesView, corpusId,
     * corpusText, vecId, vecCol, queryId, queryText, queryVec, kEach,
     * topK)` — hybrid lexical+vector retrieval fused by exact integral
@@ -359,6 +380,7 @@ object GraftTableFunctions {
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_bm25_search" -> (bm25SearchBuilder _),
     "graft_hybrid_search" -> (hybridSearchBuilder _),
+    "graft_hard_negatives" -> (hardNegativesBuilder _),
     "graft_chunk" -> (chunkBuilder _),
     "graft_chunk_sentences" -> (chunkSentencesBuilder _),
     "graft_curate" -> (curateBuilder _),
