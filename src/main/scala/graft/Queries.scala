@@ -228,6 +228,81 @@ object Queries {
       path
     })
 
+  /** Full-corpus k-means model for a testdata dir, TRAINED ONCE per
+    * dir (pure data — k exact long centroid vectors, no session
+    * resources): the offline clustering step the assignment/diverse
+    * queries then probe map-only. `kmeans_centroids_embeddings` times
+    * the training path itself, uncached.
+    */
+  private val kmeansModelCache = new java.util.concurrent
+    .ConcurrentHashMap[String, graft.pipeline.KMeans.Model]()
+  def kmeansModelFor(s: SparkSession, dir: String)
+      : graft.pipeline.KMeans.Model =
+    kmeansModelCache.computeIfAbsent(dir, d =>
+      graft.pipeline.KMeans.train(rd(s, d, "embeddings"), "vec_id",
+        "embedding", k = 5, iters = 2))
+
+  /** Drift specs shared by the drift queries: one numeric metric
+    * (n_chars, 8 bins over the reference window), one bounded
+    * categorical (lang), one hash-bounded categorical (source through
+    * the 4-hex md5 slice mod 8 — the unbounded-domain posture).
+    */
+  def driftSpecs: Seq[graft.pipeline.Drift.Spec] = {
+    import graft.pipeline.Drift
+    Seq(Drift.numeric("n_chars", col("n_chars"), bins = 8),
+      Drift.categorical("lang", col("lang")),
+      Drift.categorical("src_hash", Drift.hashedBucket(col("source"), 8)))
+  }
+
+  /** Persisted drift-reference sidecar (histogram + numeric bounds of
+    * the EVEN-doc snapshot), same once-per-(session, dir) offline-build
+    * pattern as [[minhashIndexFor]] — the streaming probe then pays
+    * only the per-batch bucketing pass.
+    */
+  private val driftRefCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def driftRefFor(s: SparkSession, dir: String): String =
+    sweepStopped(driftRefCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("driftref", d)
+      graft.pipeline.Drift.writeReference(
+        rd(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        driftSpecs, path)
+      path
+    })
+
+  /** Streaming-drift input: the ODD-doc snapshot as three DETERMINISTIC
+    * single-file micro-batches (`doc_id % 6` ∈ 1,3,5 → batch 0,1,2,
+    * strictly increasing mtimes so the file source replays them in
+    * that order) — unlike [[streamInputFor]]'s round-robin split, batch
+    * MEMBERSHIP here is part of the oracle contract (a per-batch drift
+    * report depends on which rows shared a batch).
+    */
+  private val driftStreamInputCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def driftStreamInputFor(s: SparkSession, dir: String): String =
+    sweepStopped(driftStreamInputCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val path = indexTmpPath("driftstream", d)
+        val docs = rd(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+        val root = new java.io.File(path)
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        root.mkdirs()
+        Seq(1L, 3L, 5L).zipWithIndex.foreach { case (m, b) =>
+          val tmp = path + s"/_stage$b"
+          docs.filter(col("doc_id") % 6 === m).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(root, f"batch$b%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          dst.setLastModified(60000L * (b + 1))
+        }
+        path
+    })
+
   /** Deterministic keyword-query workload for the BM25 rows: every
     * 29th document contributes its first three tokens as a query (the
     * oracle replays the same slice in DuckDB — `list_filter` drops the
@@ -372,6 +447,154 @@ object Queries {
   private def cmsBucket(width: Int): String =
     s"(${cmsHv(1, 4096)} + ${cmsHv(2, 256)} + ${cmsHv(3, 16)} + " +
       s"${cmsHv(4, 1)}) % $width"
+
+  /** DuckDB replay of `Drift.hashedBucket(expr, buckets)` — the first
+    * four md5 hex digits as a decimal, mod `buckets` (the [[cmsHv]]
+    * strpos arithmetic inlined over an arbitrary expression).
+    */
+  private def hex4BucketSql(expr: String, buckets: Int): String = {
+    def d(i: Int, mult: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * $mult"
+    s"((${d(1, 4096)} + ${d(2, 256)} + ${d(3, 16)} + ${d(4, 1)}) % $buckets)"
+  }
+
+  // ---- k-means oracle: replay fixed-point Lloyd (KMeans.scala) ----
+  // Every quantity is exact: components quantize as
+  // floor(x*65536 + 0.5) (pure IEEE ops), centroid sums/means are
+  // integer math, and assignment scores dot/sqrt(nrm) divide exact
+  // integers below 2^53 — so the CTE chain below reproduces training
+  // bit-for-bit. k=5, iters=2, dim=64 match the query bodies.
+
+  /** Assignment score of quantized vector column `v` against centroid
+    * column `m`: `dot(v,m)/sqrt(dot(m,m))`, −∞ for a zero centroid
+    * (KMeans.centroidScore).
+    */
+  private def kmScoreSql(v: String, m: String): String = {
+    val nrm = s"list_inner_product(CAST($m AS DOUBLE[]), CAST($m AS DOUBLE[]))"
+    s"""CASE WHEN $nrm = 0 THEN CAST('-infinity' AS DOUBLE)
+        ELSE list_inner_product(CAST($v AS DOUBLE[]),
+               CAST($m AS DOUBLE[])) / sqrt($nrm) END"""
+  }
+
+  /** Assignment CTE `name`: every vq row takes the argmax-score
+    * centroid from `cents` (ties → lowest c), KMeans.assignColumn.
+    */
+  private def kmAssignCte(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, v, c FROM (
+         SELECT q.vec_id, q.v, i.c, row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ${kmScoreSql("q.v", "i.m")} DESC, i.c) AS rn
+         FROM vq q CROSS JOIN $cents i) WHERE rn = 1)"""
+
+  /** Lloyd-update CTEs for round `n` (from assignment `a${n-1}` to
+    * centroids `c$n`): per-(cluster, position) exact sums, floored
+    * means, previous centroid kept for an empty cluster
+    * (KMeans.lloydRound). `prev` names the previous centroid CTE.
+    */
+  private def kmUpdateCtes(n: Int, prev: String): String =
+    s"""e$n AS (SELECT a.c, r.i AS p, a.v[r.i] AS x
+         FROM a${n - 1} a CROSS JOIN
+           (SELECT UNNEST(range(1, 65)) AS i) r),
+       s$n AS (SELECT c, p, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+         FROM e$n GROUP BY c, p),
+       m$n AS (SELECT c, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+           ORDER BY p) AS m FROM s$n GROUP BY c),
+       c$n AS (SELECT i.c, COALESCE(u.m, i.m) AS m
+         FROM $prev i LEFT JOIN m$n u ON i.c = u.c)"""
+
+  /** The shared k-means CTE chain: quantize → hash-order init (k=5) →
+    * assign/update ×2 → final assignment `a2` over centroids `c2`.
+    */
+  private val kmeansCtes: String =
+    s"""WITH vq AS (
+         SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 65536 + 0.5) AS BIGINT))
+           AS v
+         FROM embeddings),
+       seed AS (SELECT vec_id, v FROM vq
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5),
+       init AS (SELECT row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+           v AS m FROM seed),
+       ${kmAssignCte("a0", "init")},
+       ${kmUpdateCtes(1, "init")},
+       ${kmAssignCte("a1", "c1")},
+       ${kmUpdateCtes(2, "c1")},
+       ${kmAssignCte("a2", "c2")}"""
+
+  // ---- drift oracle: replay Drift.report / Drift.reportAgainstReference
+  // bucket-for-bucket. TVD legs are exact integer rationals; the bucket
+  // rule is the identical IEEE expression in both engines; reference =
+  // EVEN docs, numeric window = reference min/max.
+
+  /** Bucket rows `(col, bucket)` of drift-tracked columns for the
+    * snapshot named `src` (needs the bounds CTE `b` in scope); `lead`
+    * prepends extra pass-through columns (e.g. `"batch, "`).
+    */
+  private def driftBucketsSql(src: String, lead: String = ""): String =
+    s"""SELECT $lead'n_chars' AS col, CAST(GREATEST(0, LEAST(7,
+           CAST(floor(CAST(n_chars - b.lo AS DOUBLE) * 8
+             / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT)))
+           AS VARCHAR) AS bucket FROM $src, b
+       UNION ALL SELECT $lead'lang' AS col, lang AS bucket FROM $src
+       UNION ALL SELECT $lead'src_hash' AS col,
+         CAST(${hex4BucketSql("source", 8)} AS VARCHAR) AS bucket
+         FROM $src"""
+
+  /** Shared drift CTE prefix: snapshots, reference bounds, reference
+    * histogram.
+    */
+  private val driftRefCtes: String =
+    s"""WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       b AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM ref),
+       rh AS (SELECT col, bucket, COUNT(*) AS rc
+         FROM (${driftBucketsSql("ref")}) GROUP BY col, bucket)"""
+
+  private val driftReportSql: String =
+    s"""$driftRefCtes,
+       cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       ch AS (SELECT col, bucket, COUNT(*) AS cc
+         FROM (${driftBucketsSql("cur")}) GROUP BY col, bucket),
+       j AS (SELECT COALESCE(rh.col, ch.col) AS col,
+               COALESCE(rh.rc, 0) AS rc, COALESCE(ch.cc, 0) AS cc
+             FROM rh FULL OUTER JOIN ch
+               ON rh.col = ch.col AND rh.bucket = ch.bucket),
+       t AS (SELECT col, CAST(SUM(rc) AS BIGINT) AS nr,
+               CAST(SUM(cc) AS BIGINT) AS nc FROM j GROUP BY col)
+       SELECT j.col AS "column", t.nr AS ref_rows, t.nc AS cur_rows,
+              CAST(SUM(ABS(rc * t.nc - cc * t.nr)) AS BIGINT) AS tvd_num,
+              CAST(2 * t.nr * t.nc AS BIGINT) AS tvd_den
+       FROM j JOIN t ON j.col = t.col
+       GROUP BY j.col, t.nr, t.nc ORDER BY j.col"""
+
+  /** Streaming drift replay: batch b = odd docs with doc_id%6 = 2b+1
+    * (the deterministic micro-batch fixture), each compared against
+    * the same persisted reference histogram.
+    */
+  private val driftStreamSql: String =
+    s"""$driftRefCtes,
+       curb AS (SELECT CAST((doc_id % 6 - 1) / 2 AS BIGINT) AS batch, *
+         FROM documents WHERE doc_id % 2 = 1),
+       ch AS (SELECT batch, col, bucket, COUNT(*) AS cc
+         FROM (${driftBucketsSql("curb", "batch, ")})
+         GROUP BY batch, col, bucket),
+       bt AS (SELECT UNNEST(range(0, 3)) AS batch),
+       rhx AS (SELECT bt.batch, rh.col, rh.bucket, rh.rc
+         FROM rh CROSS JOIN bt),
+       j AS (SELECT COALESCE(rhx.batch, ch.batch) AS batch,
+               COALESCE(rhx.col, ch.col) AS col,
+               COALESCE(rhx.rc, 0) AS rc, COALESCE(ch.cc, 0) AS cc
+             FROM rhx FULL OUTER JOIN ch
+               ON rhx.batch = ch.batch AND rhx.col = ch.col
+                 AND rhx.bucket = ch.bucket),
+       t AS (SELECT batch, col, CAST(SUM(rc) AS BIGINT) AS nr,
+               CAST(SUM(cc) AS BIGINT) AS nc FROM j GROUP BY batch, col)
+       SELECT j.batch AS batch_id, j.col AS "column", t.nr AS ref_rows,
+              t.nc AS cur_rows,
+              CAST(SUM(ABS(rc * t.nc - cc * t.nr)) AS BIGINT) AS tvd_num,
+              CAST(2 * t.nr * t.nc AS BIGINT) AS tvd_den
+       FROM j JOIN t ON j.batch = t.batch AND j.col = t.col
+       GROUP BY j.batch, j.col, t.nr, t.nc ORDER BY j.batch, j.col"""
 
   /** DuckDB replay of the Count-Min estimate row: rebuild every cell
     * of the depth-4 × width-1024 grid from the identical md5 bucket
@@ -6156,6 +6379,87 @@ object Queries {
              ${qualityLogitQSql(graft.pipeline.QualityModel.default)} >= 0
                AS keep
       FROM documents ORDER BY doc_id""")),
+
+    // ---- distributed fixed-point k-means, TRAINING path: two
+    // full-corpus Lloyd rounds from the hash-order init; output = the
+    // exact long centroid matrix, so the oracle pins every sum, floor
+    // mean, and argmax of training (all exact integer/IEEE arithmetic
+    // — see KMeans.scala scaladoc). ----
+    ("kmeans_centroids_embeddings", ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val m = graft.pipeline.KMeans.train(rd(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, iters = 2)
+      m.centroids.zipWithIndex.flatMap { case (v, c) =>
+        v.zipWithIndex.map { case (x, p) => (c, p, x) }
+      }.toSeq.toDF("c", "p", "m").orderBy("c", "p")
+    }): Q, Some(s"""$kmeansCtes,
+      cx AS (SELECT c, r.i - 1 AS p, m[r.i] AS mv
+             FROM c2 CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) r)
+      SELECT CAST(c AS INTEGER) AS c, CAST(p AS INTEGER) AS p, mv AS m
+      FROM cx ORDER BY c, p""")),
+
+    // ---- k-means ASSIGNMENT (the corpus-organization read path):
+    // map-only argmax over the trained centroids via the codegen'd
+    // long-dot kernel; model trained once per dir (the offline step,
+    // like IVF centroids). ----
+    ("kmeans_clusters_embeddings", ((s: SparkSession, dir: String) => {
+      graft.pipeline.KMeans.assign(rd(s, dir, "embeddings"), "embedding",
+          kmeansModelFor(s, dir))
+        .select(col("vec_id"), col("cid").cast("int").as("cid"))
+        .orderBy("vec_id")
+    }): Q, Some(s"""$kmeansCtes
+      SELECT vec_id, CAST(c AS INTEGER) AS cid FROM a2
+      ORDER BY vec_id""")),
+
+    // ---- cluster-diverse sample: first 3 docs per cluster in
+    // (md5(id), id) order through the skew-safe two-phase cap — the
+    // topically balanced training-prep draw. ----
+    ("kmeans_diverse_embeddings", ((s: SparkSession, dir: String) => {
+      val a = graft.pipeline.KMeans.assign(rd(s, dir, "embeddings"),
+        "embedding", kmeansModelFor(s, dir))
+      graft.pipeline.KMeans.diverseSample(a, "vec_id", perCluster = 3)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"))
+        .orderBy("cid", "vec_id")
+    }): Q, Some(s"""$kmeansCtes,
+      dvs AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM a2)
+      SELECT vec_id, CAST(c AS INTEGER) AS cid FROM dvs WHERE rn <= 3
+      ORDER BY cid, vec_id""")),
+
+    // ---- corpus drift report: even-doc snapshot vs odd-doc snapshot
+    // over one numeric (n_chars, reference-window bins), one bounded
+    // categorical (lang) and one hash-bounded categorical (md5-slice
+    // of source) column; TVD emitted as the exact integer rational —
+    // engine-replayable end to end (Drift.scala scaladoc). ----
+    ("drift_report_documents", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Drift
+      val docs = rd(s, dir, "documents")
+      Drift.report(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), driftSpecs)
+        .select(col("column"), col("ref_rows"), col("cur_rows"),
+          col("tvd_num"), col("tvd_den"))
+        .orderBy("column")
+    }): Q, Some(driftReportSql)),
+
+    // ---- STREAMING drift monitor: three deterministic odd-doc
+    // micro-batches probe the persisted even-doc reference histogram;
+    // one exact-TVD report row per (batch, column). Batch membership
+    // is part of the contract, so the fixture pins it (doc_id%6 →
+    // batch, mtime-ordered single-file batches). ----
+    ("drift_stream_documents", ((s: SparkSession, dir: String) => {
+      val refPath = driftRefFor(s, dir)
+      val inDir = driftStreamInputFor(s, dir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.driftStream(stream, refPath,
+            driftSpecs) { (res, _) =>
+          res.write.mode("append").parquet(outDir)
+        }
+      }.select(col("batch_id"), col("column"), col("ref_rows"),
+          col("cur_rows"), col("tvd_num"), col("tvd_den"))
+        .orderBy("batch_id", "column")
+    }): Q, Some(driftStreamSql)),
 
     // ---- per-source frequency cap (domain-diversity stage): keep the
     // first 10 documents per source by doc id, via the two-phase

@@ -24,6 +24,21 @@ object VectorExpressions {
   def cosineC(a: Column, b: Column): Column =
     graftshim.column(CosineSimilarity(graftshim.expression(a),
       graftshim.expression(b)))
+
+  /** Codegen'd exact dot product over two `array<long>` columns.
+    *
+    * The fixed-point kernel under [[graft.pipeline.KMeans]]: quantized
+    * vectors and centroids are exact long vectors, so the dot product is
+    * exact 64-bit integer arithmetic — associative, order-independent,
+    * and (for magnitudes below 2^53) bit-identical to any other engine's
+    * replay in double arithmetic. A higher-order `zip_with`+`aggregate`
+    * spelling computes the same value but falls out of whole-stage
+    * codegen (HigherOrderFunction is CodegenFallback); this expression
+    * keeps the k-per-row scoring loop fused.
+    */
+  def dotLongC(a: Column, b: Column): Column =
+    graftshim.column(LongDotProduct(graftshim.expression(a),
+      graftshim.expression(b)))
 }
 
 /** Inputs MUST be `array<float>` (callers cast; `AbstractDataType` is
@@ -95,5 +110,48 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact dot product of two `array<long>` columns (shorter length wins;
+  * overflow wraps as 64-bit twos-complement, callers bound magnitudes).
+  * Inputs MUST be `array<long>` (same `ExpectsInputTypes` caveat as
+  * [[CosineSimilarity]]).
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "long_dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        final int $n = java.lang.Math.min($a.numElements(),
+          $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongDotProduct =
     copy(left = newLeft, right = newRight)
 }

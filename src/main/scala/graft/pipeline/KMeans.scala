@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Distributed fixed-point k-means over an embedding column — the corpus
+  * ORGANIZATION operator: topical clusters for mixture balancing,
+  * cluster-diverse sampling for training prep, and per-cluster stats for
+  * curation dashboards. (The IVF *index* trains its centroids on a
+  * bounded driver-side sample — [[Similarity.trainIvfCentroids]] — which
+  * is the right cost model for an index; THIS operator runs Lloyd rounds
+  * over the FULL corpus, because cluster populations are the product.)
+  *
+  * Scale design (100 TB): each Lloyd round is one corpus scan —
+  * assignment is map-only (centroids ride the plan as literals, scored by
+  * the codegen'd [[graft.functions.LongDotProduct]] kernel), and the
+  * centroid update reduces `(cid, pos)` partial sums map-side before one
+  * tiny shuffle of `k × dim` rows; the driver holds only the `k × dim`
+  * centroid matrix. No iteration ever materializes per-document state
+  * beyond one `cid` column.
+  *
+  * Exactness design (the repo's quantized-long discipline): components
+  * quantize as `floor(x · scale + 0.5)` — every step an IEEE-defined
+  * double op, so any engine replays it bit-identically — and centroids
+  * stay exact long vectors (floor of the per-cluster mean). Assignment
+  * scores are `dot(v,m) / sqrt(dot(m,m))` where both dot products are
+  * exact integers below 2^53: the division and square root are correctly
+  * rounded IEEE ops, so the argmax (ties → lowest cluster index) is
+  * engine-independent — a DuckDB oracle replays training *and*
+  * assignment exactly. `dot/|m|` is a positive rescale of cosine per
+  * row, so the argmax equals the cosine argmax.
+  *
+  * Magnitude budget: with `scale = 2^16` and components in (−1, 1),
+  * quantized components stay under 2^16, centroid components (floored
+  * means) likewise, so `dot(v,m) ≤ dim · 2^32` and `dot(m,m)` the same —
+  * exact in a double for any real embedding dimensionality.
+  *
+  * Rows with a NULL vector take a NULL `cid` and are excluded from
+  * centroid updates (a null embedding cannot vote); empty clusters keep
+  * their previous centroid (the standard Lloyd fallback), and an
+  * all-zero centroid scores −∞ so it can never capture rows.
+  */
+object KMeans {
+
+  /** Fixed-point quantization scale: 2^16 keeps every dot product exact
+    * in a double for unit-ish embeddings up to thousands of dimensions.
+    */
+  val defaultScale: Int = 1 << 16
+
+  /** Trained model: exact long centroids at `scale` fixed-point. */
+  final case class Model(centroids: Array[Array[Long]], scale: Int) {
+    require(centroids.nonEmpty, "model needs at least one centroid")
+    def k: Int = centroids.length
+  }
+
+  /** `floor(x · scale + 0.5)` per component as exact longs — the
+    * engine-independent quantizer (see class doc).
+    */
+  def quantize(vec: Column, scale: Int = defaultScale): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long"))
+
+  /** Assignment score of quantized vector `v` against one exact centroid:
+    * `dot(v,m)/sqrt(dot(m,m))`, −∞ for a zero centroid.
+    */
+  private def centroidScore(v: Column, m: Array[Long]): Column = {
+    var nrm = 0L
+    var i = 0
+    while (i < m.length) { nrm += m(i) * m(i); i += 1 }
+    if (nrm == 0L) lit(Double.NegativeInfinity)
+    else VectorExpressions.dotLongC(v, typedlit(m.toSeq))
+      .cast("double") / lit(math.sqrt(nrm.toDouble))
+  }
+
+  /** Argmax-score cluster id for a quantized vector (ties → lowest
+    * index; NULL vector → NULL). A fold of strict `greatest`-style
+    * comparisons, so the whole thing is one codegen'd expression tree —
+    * no join, no shuffle.
+    */
+  def assignColumn(vq: Column, centroids: Array[Array[Long]]): Column = {
+    require(centroids.nonEmpty, "at least one centroid")
+    val first = (lit(0), centroidScore(vq, centroids(0)))
+    val (cid, _) = centroids.zipWithIndex.tail
+      .foldLeft(first) { case ((bc, bs), (m, c)) =>
+        val s = centroidScore(vq, centroids(c))
+        (when(s > bs, lit(c)).otherwise(bc), when(s > bs, s).otherwise(bs))
+      }
+    when(vq.isNull, lit(null)).otherwise(cid)
+  }
+
+  /** Deterministic init: the `k` corpus vectors first in
+    * `(md5(id), id)` order — [[Sampling.hashOrderKey]], the same
+    * replayable uniform draw every sampling oracle uses.
+    */
+  def initCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      scale: Int = defaultScale): Array[Array[Long]] = {
+    require(k >= 1, "k must be >= 1")
+    df.filter(col(vecCol).isNotNull)
+      .select(quantize(col(vecCol), scale).as("vq"))
+      .orderBy(Sampling.hashOrderKey(col(idCol)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+  }
+
+  /** One Lloyd round: assign against `centroids`, then replace each
+    * centroid with the floored per-cluster component mean (empty
+    * cluster → previous centroid). One scan; the only shuffle carries
+    * `k × dim` partial sums.
+    */
+  def lloydRound(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Long]],
+      scale: Int = defaultScale): Array[Array[Long]] = {
+    val vq = quantize(col(vecCol), scale)
+    val sums = df
+      .filter(col(vecCol).isNotNull)
+      .select(assignColumn(vq, centroids).as("cid"),
+        posexplode(vq).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val dim = centroids(0).length
+    val acc = Array.fill(centroids.length)(new Array[Long](dim))
+    val cnt = new Array[Long](centroids.length)
+    sums.foreach { r =>
+      val c = r.getInt(0); val p = r.getInt(1)
+      acc(c)(p) = r.getLong(2)
+      cnt(c) = r.getLong(3)
+    }
+    centroids.zipWithIndex.map { case (old, c) =>
+      if (cnt(c) == 0L) old
+      else acc(c).map(s => math.floor(s.toDouble / cnt(c)).toLong)
+    }
+  }
+
+  /** Train `k` clusters with `iters` full-corpus Lloyd rounds. */
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5, scale: Int = defaultScale): Model = {
+    require(iters >= 0, "iters must be >= 0")
+    var centroids = initCentroids(df, idCol, vecCol, k, scale)
+    for (_ <- 1 to iters)
+      centroids = lloydRound(df, vecCol, centroids, scale)
+    Model(centroids, scale)
+  }
+
+  /** `df` plus an integer `cid` column (NULL for NULL vectors) —
+    * map-only, centroids ride the plan.
+    */
+  def assign(df: DataFrame, vecCol: String, model: Model,
+      cidCol: String = "cid"): DataFrame =
+    df.withColumn(cidCol,
+      assignColumn(quantize(col(vecCol), model.scale), model.centroids))
+
+  /** Per-cluster population and mean vector norm proxy — the mixture
+    * dashboard aggregate: `(cid, size)`.
+    */
+  def clusterSizes(assigned: DataFrame, cidCol: String = "cid"): DataFrame =
+    assigned.groupBy(col(cidCol)).agg(count(lit(1)).as("size"))
+
+  /** Cluster-diverse sample: the first `perCluster` rows of each cluster
+    * in `(md5(id), id)` order — a topically balanced draw for training
+    * prep (each topic contributes equally regardless of its population).
+    *
+    * Skew posture: a raw `Window.partitionBy(cid)` would sort each
+    * cluster in ONE reducer (k is small, clusters are corpus-sized), so
+    * the cap delegates to [[Sampling.capPerKey]] — the exact two-phase
+    * salted top-k. The order column is the composite
+    * `md5(id) ++ zero-padded id` string: same total order as
+    * `(md5(id), id)` and unique per row, which `capPerKey` requires.
+    */
+  def diverseSample(assigned: DataFrame, idCol: String, perCluster: Int,
+      cidCol: String = "cid"): DataFrame = {
+    require(perCluster >= 1, "perCluster must be >= 1")
+    val ord = concat(Sampling.hashOrderKey(col(idCol)),
+      lpad(col(idCol).cast("string"), 20, "0"))
+    Sampling.capPerKey(
+      assigned.filter(col(cidCol).isNotNull).withColumn("_dord", ord),
+      cidCol, "_dord", perCluster)
+      .drop("_dord")
+  }
+}

@@ -424,6 +424,30 @@ object StreamOps {
           batch, batchId = Some(batchId))
     }
 
+  /** Per micro-batch drift probe against a persisted reference
+    * histogram ([[graft.pipeline.Drift.writeReference]]): each batch's
+    * tracked-column distributions compare against the FIXED reference
+    * sidecar and `sink` receives one report frame per batch (rows =
+    * specs, prefixed with `batch_id`) — the live data-quality monitor
+    * shape: a feed whose language mix or length profile lurches away
+    * from the reference trips a threshold within one micro-batch.
+    * The sidecar is KBs and the probe is one map-only bucketing pass
+    * over the batch plus arithmetic on `columns × buckets` rows, so
+    * the per-batch cost is the minimum any monitor could pay. Batch
+    * reports are INDEPENDENT (nothing folds), so checkpoint replay
+    * merely rewrites an identical report — idempotent by construction.
+    */
+  def driftStream(stream: DataFrame, refPath: String,
+      specs: Seq[graft.pipeline.Drift.Spec])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.pipeline.Drift
+        .reportAgainstReference(batch, specs, refPath)
+        .select(lit(batchId).as("batch_id"), col("*")), batchId)
+    }
+
   /** Sidecar maintenance for the [[graft.pipeline.Sketches]] HLL
     * distinct-count columns: per-register MAX union — SET-stable, so a
     * checkpoint-replayed batch introduces no new items. Estimates are
