@@ -242,6 +242,20 @@ object Queries {
       graft.pipeline.KMeans.train(rd(s, d, "embeddings"), "vec_id",
         "embedding", k = 5, iters = 2))
 
+  /** Persisted k-means model sidecar ([[graft.pipeline.KMeans
+    * .writeModel]] of [[kmeansModelFor]]'s model), once per (session,
+    * dir) — the offline artifact the STREAMING assignment probes.
+    */
+  private val kmeansModelPathCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def kmeansModelPathFor(s: SparkSession, dir: String): String =
+    sweepStopped(kmeansModelPathCache).computeIfAbsent((s, dir), {
+      case (_, d) =>
+        val path = indexTmpPath("kmeans", d)
+        graft.pipeline.KMeans.writeModel(s, kmeansModelFor(s, d), path)
+        path
+    })
+
   /** Drift specs shared by the drift queries: one numeric metric
     * (n_chars, 8 bins over the reference window), one bounded
     * categorical (lang), one hash-bounded categorical (source through
@@ -6425,6 +6439,29 @@ object Queries {
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM a2)
       SELECT vec_id, CAST(c AS INTEGER) AS cid FROM dvs WHERE rn <= 3
       ORDER BY cid, vec_id""")),
+
+    // ---- STREAMING k-means assignment against the persisted model
+    // sidecar: the live corpus-routing shape. Assignment is row-local
+    // given the fixed model, so batch placement cannot change the
+    // union — the batch oracle (a2) applies verbatim. ----
+    ("kmeans_stream_embeddings", ((s: SparkSession, dir: String) => {
+      val modelPath = kmeansModelPathFor(s, dir)
+      val inDir = streamInputFor(s, dir, "kmeansvecs", 3) {
+        rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.kmeansAssignStream(stream, modelPath,
+            "embedding") { (res, _) =>
+          res.select(col("vec_id"), col("cid"))
+            .write.mode("append").parquet(outDir)
+        }
+      }.select(col("vec_id"), col("cid").cast("int").as("cid"))
+        .orderBy("vec_id")
+    }): Q, Some(s"""$kmeansCtes
+      SELECT vec_id, CAST(c AS INTEGER) AS cid FROM a2
+      ORDER BY vec_id""")),
 
     // ---- corpus drift report: even-doc snapshot vs odd-doc snapshot
     // over one numeric (n_chars, reference-window bins), one bounded

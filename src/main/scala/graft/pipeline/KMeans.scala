@@ -159,6 +159,39 @@ object KMeans {
   def clusterSizes(assigned: DataFrame, cidCol: String = "cid"): DataFrame =
     assigned.groupBy(col(cidCol)).agg(count(lit(1)).as("size"))
 
+  /** Persist a trained model as a sidecar: `path/centroids` holds
+    * `(c, p, m)` rows (exact longs), `path/params` the scale — KBs, the
+    * [[Similarity.writeIvfIndex]] discipline, so day-2 assignment and
+    * the streaming probe never retrain.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, p) => (c, p, x) }
+    }.toSeq.toDF("c", "p", "m")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    Seq(model.scale).toDF("scale")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/params")
+  }
+
+  /** Reload a persisted model (driver-side collect of the KB-sized
+    * centroid matrix — it rides query plans as literals).
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Model = {
+    val rows = spark.read.parquet(path + "/centroids")
+      .select("c", "p", "m").collect()
+    require(rows.nonEmpty, s"empty centroid sidecar at $path")
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents = Array.fill(k)(new Array[Long](dim))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val scale = spark.read.parquet(path + "/params")
+      .collect()(0).getInt(0)
+    Model(cents, scale)
+  }
+
   /** Cluster-diverse sample: the first `perCluster` rows of each cluster
     * in `(md5(id), id)` order — a topically balanced draw for training
     * prep (each topic contributes equally regardless of its population).

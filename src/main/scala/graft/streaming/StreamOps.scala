@@ -448,6 +448,28 @@ object StreamOps {
         .select(lit(batchId).as("batch_id"), col("*")), batchId)
     }
 
+  /** Per micro-batch k-means assignment against a PERSISTED model
+    * ([[graft.pipeline.KMeans.writeModel]]): each batch's vectors take
+    * their argmax-cosine cluster via the map-only fixed-point kernel
+    * and `sink` receives the batch plus its `cid` column — the live
+    * corpus-routing shape (route incoming documents to topical shards,
+    * tag them for mixture accounting). Assignment is row-local given
+    * the fixed model, so the accumulated result is independent of
+    * micro-batch placement BY CONSTRUCTION — the one-shot batch
+    * assignment over the union is the exact contract. The KB-sized
+    * model loads once at stream construction, not per batch.
+    */
+  def kmeansAssignStream(stream: DataFrame, modelPath: String,
+      vecCol: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val model = graft.pipeline.KMeans
+      .readModel(stream.sparkSession, modelPath)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.pipeline.KMeans.assign(batch, vecCol, model), batchId)
+    }
+  }
+
   /** Sidecar maintenance for the [[graft.pipeline.Sketches]] HLL
     * distinct-count columns: per-register MAX union — SET-stable, so a
     * checkpoint-replayed batch introduces no new items. Estimates are

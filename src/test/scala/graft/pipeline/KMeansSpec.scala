@@ -138,6 +138,44 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("model sidecar round-trip: centroids and scale exact") {
+    val model = KMeans.train(plantedGroups, "id", "vec", k = 3, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("kmeans_model").toString
+    KMeans.writeModel(spark, model, path)
+    val back = KMeans.readModel(spark, path)
+    assert(back.scale == model.scale)
+    assert(back.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansAssignStream: union of batches equals one-shot assignment") {
+    val df = plantedGroups
+    val model = KMeans.train(df, "id", "vec", k = 3, iters = 2)
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("kmeans_model_s").toString
+    KMeans.writeModel(spark, model, modelPath)
+    val inDir = java.nio.file.Files
+      .createTempDirectory("kmeans_in").toString
+    df.repartition(3).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("kmeans_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("kmeans_ckpt").toString
+    val q = graft.streaming.StreamOps.kmeansAssignStream(stream,
+        modelPath, "vec") { (res, _) =>
+      res.select("id", "cid").write.mode("append").parquet(outDir)
+    }.option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Int)].collect().toSet
+    val oneShot = KMeans.assign(df, "vec", model)
+      .select("id", "cid").as[(Long, Int)].collect().toSet
+    assert(streamed == oneShot)
+  }
+
   test("testdata embeddings: full pipeline clusters every row") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = KMeans.train(e, "vec_id", "embedding", k = 5, iters = 2)
