@@ -564,7 +564,7 @@ object Queries {
        rh AS (SELECT col, bucket, COUNT(*) AS rc
          FROM (${driftBucketsSql("ref")}) GROUP BY col, bucket)"""
 
-  private val driftReportSql: String =
+  private def driftReportSqlWhere(filter: String): String =
     s"""$driftRefCtes,
        cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
        ch AS (SELECT col, bucket, COUNT(*) AS cc
@@ -578,8 +578,10 @@ object Queries {
        SELECT j.col AS "column", t.nr AS ref_rows, t.nc AS cur_rows,
               CAST(SUM(ABS(rc * t.nc - cc * t.nr)) AS BIGINT) AS tvd_num,
               CAST(2 * t.nr * t.nc AS BIGINT) AS tvd_den
-       FROM j JOIN t ON j.col = t.col
+       FROM j JOIN t ON j.col = t.col $filter
        GROUP BY j.col, t.nr, t.nc ORDER BY j.col"""
+
+  private val driftReportSql: String = driftReportSqlWhere("")
 
   /** Streaming drift replay: batch b = odd docs with doc_id%6 = 2b+1
     * (the deterministic micro-batch fixture), each compared against
@@ -6497,6 +6499,53 @@ object Queries {
           col("cur_rows"), col("tvd_num"), col("tvd_den"))
         .orderBy("batch_id", "column")
     }): Q, Some(driftStreamSql)),
+
+    // ---- k-means assignment reached ENTIRELY through spark.sql
+    // (graft_kmeans_assign TVF): the declarative sidecar-join variant
+    // — centroids packed into one broadcast row, per-row argmax fold —
+    // same answer as the literal-centroid kernel, same oracle. ----
+    ("sql_kmeans_embeddings", ((s: SparkSession, dir: String) => {
+      val modelPath = kmeansModelPathFor(s, dir)
+      sqlSurfaceOnce(s, dir, "kmeans") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .createOrReplaceTempView("graft_sql_embeddings_km")
+      }
+      s.sql(s"""
+        SELECT vec_id, CAST(cid AS INT) AS cid
+        FROM graft_kmeans_assign('graft_sql_embeddings_km', 'embedding',
+                                 '$modelPath', 65536)
+        ORDER BY vec_id""")
+    }): Q, Some(s"""$kmeansCtes
+      SELECT vec_id, CAST(c AS INTEGER) AS cid FROM a2
+      ORDER BY vec_id""")),
+
+    // ---- drift reached ENTIRELY through spark.sql (graft_drift_num +
+    // graft_drift_cat TVFs, numeric window passed as literals — the
+    // no-job-at-plan-time contract): n_chars + lang legs of the batch
+    // report, same exact-TVD oracle filtered to those columns. ----
+    ("sql_drift_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "drift") {
+        graft.functions.GraftTableFunctions.register(s)
+        val docs = rd(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .createOrReplaceTempView("graft_sql_drift_ref")
+        docs.filter(col("doc_id") % 2 === 1)
+          .createOrReplaceTempView("graft_sql_drift_cur")
+      }
+      val b = rd(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .agg(min("n_chars"), max("n_chars")).collect()(0)
+      s.sql(s"""
+        SELECT `column`, ref_rows, cur_rows, tvd_num, tvd_den
+        FROM graft_drift_num('graft_sql_drift_ref', 'graft_sql_drift_cur',
+                             'n_chars', 8, ${b.getLong(0)}, ${b.getLong(1)})
+        UNION ALL
+        SELECT `column`, ref_rows, cur_rows, tvd_num, tvd_den
+        FROM graft_drift_cat('graft_sql_drift_ref', 'graft_sql_drift_cur',
+                             'lang')
+        ORDER BY `column`""")
+    }): Q, Some(driftReportSqlWhere(
+      "WHERE j.col IN ('n_chars', 'lang')"))),
 
     // ---- per-source frequency cap (domain-diversity stage): keep the
     // first 10 documents per source by doc id, via the two-phase

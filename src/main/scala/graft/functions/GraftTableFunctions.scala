@@ -376,8 +376,66 @@ object GraftTableFunctions {
       intLit(es(3), "size"), intLit(es(4), "overlap")))
   }
 
+  /** `graft_kmeans_assign(view, vecCol, sidecarPath, scale)` — cluster
+    * id per row against a persisted k-means centroid sidecar
+    * ([[graft.pipeline.KMeans.writeModel]]), as the input columns plus
+    * `cid`. Uses the fully-declarative sidecar-join assignment
+    * ([[graft.pipeline.KMeans.assignAgainstSidecar]]: centroids pack
+    * into one broadcast row, the argmax folds per row) so plan
+    * construction runs no job — the TVF contract.
+    */
+  private def kmeansAssignBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 4,
+      "usage: graft_kmeans_assign(view, vecCol, sidecarPath, scale)")
+    val spark = SparkSession.active
+    val cents = spark.read
+      .parquet(strLit(es(2), "sidecar path") + "/centroids")
+    graftshim.logicalPlan(graft.pipeline.KMeans.assignAgainstSidecar(
+      spark.table(strLit(es(0), "view")), strLit(es(1), "vector column"),
+      cents, intLit(es(3), "scale")))
+  }
+
+  /** `graft_drift_num(refView, curView, colName, bins, lo, hi)` —
+    * numeric distribution drift between two snapshots over the
+    * explicit window `[lo, hi]` ([[graft.pipeline.Drift
+    * .reportWithBounds]]), one row
+    * `(column, ref_rows, cur_rows, tvd_num, tvd_den, tvd, psi, jsd)`.
+    * The window is a literal (a data-derived window would need a scan
+    * at plan time); compute it upstream or use a business constant.
+    */
+  private def driftNumBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 6,
+      "usage: graft_drift_num(refView, curView, colName, bins, lo, hi)")
+    val spark = SparkSession.active
+    val name = strLit(es(2), "column name")
+    graftshim.logicalPlan(graft.pipeline.Drift.reportWithBounds(
+      spark.table(strLit(es(0), "reference view")),
+      spark.table(strLit(es(1), "current view")),
+      Seq(graft.pipeline.Drift.numeric(name, col(name),
+        intLit(es(3), "bins"))),
+      Map(name -> (longLit(es(4), "lo"), longLit(es(5), "hi")))))
+  }
+
+  /** `graft_drift_cat(refView, curView, colName)` — categorical
+    * distribution drift between two snapshots (same row shape as
+    * [[driftNumBuilder]]).
+    */
+  private def driftCatBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 3,
+      "usage: graft_drift_cat(refView, curView, colName)")
+    val spark = SparkSession.active
+    val name = strLit(es(2), "column name")
+    graftshim.logicalPlan(graft.pipeline.Drift.reportWithBounds(
+      spark.table(strLit(es(0), "reference view")),
+      spark.table(strLit(es(1), "current view")),
+      Seq(graft.pipeline.Drift.categorical(name, col(name))), Map.empty))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_kmeans_assign" -> (kmeansAssignBuilder _),
+    "graft_drift_num" -> (driftNumBuilder _),
+    "graft_drift_cat" -> (driftCatBuilder _),
     "graft_bm25_search" -> (bm25SearchBuilder _),
     "graft_hybrid_search" -> (hybridSearchBuilder _),
     "graft_hard_negatives" -> (hardNegativesBuilder _),

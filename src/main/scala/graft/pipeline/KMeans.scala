@@ -159,6 +159,46 @@ object KMeans {
   def clusterSizes(assigned: DataFrame, cidCol: String = "cid"): DataFrame =
     assigned.groupBy(col(cidCol)).agg(count(lit(1)).as("size"))
 
+  /** Assignment against a centroid FRAME (the `(c, p, m)` sidecar rows)
+    * instead of a driver-held model — the fully-declarative variant the
+    * SQL table function requires (no collect at plan-construction
+    * time). The centroids pack into ONE broadcast row of
+    * `array<struct<c,m>>` and the argmax folds inside each row via
+    * `aggregate`, so the plan is a broadcast join plus a map — nothing
+    * corpus-sized shuffles. Scores, tie rule, and the NULL/zero-centroid
+    * semantics are the same expressions as [[assignColumn]], so the two
+    * paths agree bit-for-bit.
+    */
+  def assignAgainstSidecar(df: DataFrame, vecCol: String,
+      centroids: DataFrame, scale: Int = defaultScale,
+      cidCol: String = "cid"): DataFrame = {
+    val perC = centroids.groupBy(col("c"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        s => s.getField("m")).as("m"))
+    val packed = perC
+      .agg(array_sort(collect_list(struct(col("c"), col("m"))))
+        .as("_cents"))
+    val vq = quantize(col(vecCol), scale)
+    val best = aggregate(
+      col("_cents"),
+      struct(lit(-1).as("c"), lit(Double.NegativeInfinity).as("s")),
+      (acc, x) => {
+        val m = x.getField("m")
+        val nrm = VectorExpressions.dotLongC(m, m).cast("double")
+        val sc = when(nrm === lit(0.0), lit(Double.NegativeInfinity))
+          .otherwise(VectorExpressions.dotLongC(vq, m).cast("double") /
+            sqrt(nrm))
+        when(sc > acc.getField("s"),
+          struct(x.getField("c").as("c"), sc.as("s"))).otherwise(acc)
+      },
+      // all-−∞ (every centroid zero): assignColumn keeps its initial
+      // c=0, the fold keeps its seed c=−1 — clamp for exact parity
+      acc => greatest(acc.getField("c"), lit(0)))
+    df.crossJoin(broadcast(packed))
+      .withColumn(cidCol, when(vq.isNull, lit(null)).otherwise(best))
+      .drop("_cents")
+  }
+
   /** Persist a trained model as a sidecar: `path/centroids` holds
     * `(c, p, m)` rows (exact longs), `path/params` the scale — KBs, the
     * [[Similarity.writeIvfIndex]] discipline, so day-2 assignment and

@@ -176,6 +176,25 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == oneShot)
   }
 
+  test("assignAgainstSidecar: bit-parity with the literal-centroid path") {
+    val df = plantedGroups
+    val model = KMeans.train(df, "id", "vec", k = 3, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("kmeans_sidecar").toString
+    KMeans.writeModel(spark, model, path)
+    val cents = spark.read.parquet(path + "/centroids")
+    val viaJoin = KMeans.assignAgainstSidecar(df, "vec", cents)
+      .select("id", "cid").as[(Long, Int)].collect().toSet
+    val viaLiteral = KMeans.assign(df, "vec", model)
+      .select("id", "cid").as[(Long, Int)].collect().toSet
+    assert(viaJoin == viaLiteral)
+    // null vector stays null on the join path too
+    val withNull = Seq((99L, Option.empty[Seq[Float]])).toDF("id", "vec")
+    val r = KMeans.assignAgainstSidecar(withNull, "vec", cents)
+      .select("cid").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("testdata embeddings: full pipeline clusters every row") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = KMeans.train(e, "vec_id", "embedding", k = 5, iters = 2)
