@@ -6500,6 +6500,37 @@ object Queries {
         .orderBy("batch_id", "column")
     }): Q, Some(driftStreamSql)),
 
+    // ---- row-level snapshot diff (the companion of the
+    // distribution-level drift report): planted fixture — %10==0
+    // removed, %10==9 added, %10==3 changed (derived ' OLD' suffix in
+    // the old snapshot), rest unchanged; both engines hash the same
+    // derived content. ----
+    ("corpus_diff_documents", ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 10 < 9)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")).as("content"))
+      val cur = docs.filter(col("doc_id") % 10 > 0)
+        .select(col("doc_id"), col("text").as("content"))
+      graft.pipeline.Drift.corpusDiff(old, cur, "doc_id", "content")
+        .orderBy("id")
+    }): Q, Some("""
+      WITH old AS (SELECT doc_id AS id,
+             CASE WHEN doc_id % 10 = 3 THEN text || ' OLD' ELSE text END
+               AS content
+           FROM documents WHERE doc_id % 10 < 9),
+      cur AS (SELECT doc_id AS id, text AS content
+              FROM documents WHERE doc_id % 10 > 0),
+      j AS (SELECT COALESCE(o.id, c.id) AS id, md5(o.content) AS ho,
+                   md5(c.content) AS hn
+            FROM old o FULL OUTER JOIN cur c ON o.id = c.id)
+      SELECT id, CASE WHEN ho IS NULL THEN 'added'
+                      WHEN hn IS NULL THEN 'removed'
+                      WHEN ho = hn THEN 'unchanged'
+                      ELSE 'changed' END AS status
+      FROM j ORDER BY id""")),
+
     // ---- k-means assignment reached ENTIRELY through spark.sql
     // (graft_kmeans_assign TVF): the declarative sidecar-join variant
     // — centroids packed into one broadcast row, per-row argmax fold —

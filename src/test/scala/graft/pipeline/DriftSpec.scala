@@ -130,6 +130,34 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == direct)
   }
 
+  test("corpusDiff: planted add/remove/change/unchanged statuses") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "content")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "content")
+    val got = Drift.corpusDiff(old, cur, "id", "content")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val stats = Drift.diffStats(old, cur, "id", "content")
+      .as[(String, Long)].collect().toMap
+    assert(stats == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+    // null ids are ignored, not matched to each other
+    val oldN = Seq((Option.empty[Long], "x"), (Some(1L), "a"))
+      .toDF("id", "content")
+    val curN = Seq((Option.empty[Long], "x")).toDF("id", "content")
+    val gotN = Drift.corpusDiff(oldN, curN, "id", "content")
+      .as[(Long, String)].collect().toMap
+    assert(gotN == Map(1L -> "removed"))
+  }
+
+  test("corpusDiff shuffles only (id, hash): no wide columns in exchange") {
+    val old = Seq((1L, "a" * 1000, "extra")).toDF("id", "content", "wide")
+    val cur = Seq((1L, "a" * 1000, "extra")).toDF("id", "content", "wide")
+    val plan = Drift.corpusDiff(old, cur, "id", "content")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("wide"), plan)
+  }
+
   test("histogram is one pass: a single aggregate exchange, no join") {
     val df = mk(Seq((10L, "en"), (20L, "de")))
     val plan = Drift.histogram(df, specs, Map("len" -> (0L, 40L)))
