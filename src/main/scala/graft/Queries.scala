@@ -6465,6 +6465,37 @@ object Queries {
       SELECT vec_id, CAST(c AS INTEGER) AS cid FROM a2
       ORDER BY vec_id""")),
 
+    // ---- embedding-space OUTLIERS: the 20 documents whose best
+    // centroid cosine is lowest — the off-topic/garbled quality gate.
+    // The cosine is exact integers through two correctly-rounded IEEE
+    // steps, so ranking, the 1e9 quantization, and ties replay
+    // bit-for-bit. ----
+    ("kmeans_outliers_embeddings", ((s: SparkSession, dir: String) => {
+      graft.pipeline.KMeans.assignWithScore(rd(s, dir, "embeddings"),
+          "embedding", kmeansModelFor(s, dir))
+        .filter(col("score").isNotNull)
+        .orderBy(col("score"), col("vec_id")).limit(20)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"),
+          floor(col("score") * lit(1e9)).cast("long").as("cos_q"))
+        .orderBy("cos_q", "vec_id")
+    }): Q, Some(s"""$kmeansCtes,
+      outs AS (SELECT vec_id, c, cs FROM (
+        SELECT q.vec_id, i.c,
+          CASE WHEN list_inner_product(CAST(q.v AS DOUBLE[]),
+                 CAST(q.v AS DOUBLE[])) = 0 THEN NULL
+               ELSE (${kmScoreSql("q.v", "i.m")})
+                 / sqrt(list_inner_product(CAST(q.v AS DOUBLE[]),
+                     CAST(q.v AS DOUBLE[]))) END AS cs,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${kmScoreSql("q.v", "i.m")} DESC, i.c) AS rn
+        FROM vq q CROSS JOIN c2 i) WHERE rn = 1)
+      SELECT vec_id, cid, cos_q FROM (
+        SELECT vec_id, CAST(c AS INTEGER) AS cid,
+               CAST(floor(cs * 1e9) AS BIGINT) AS cos_q
+        FROM outs WHERE cs IS NOT NULL
+        ORDER BY cs, vec_id LIMIT 20)
+      ORDER BY cos_q, vec_id""")),
+
     // ---- corpus drift report: even-doc snapshot vs odd-doc snapshot
     // over one numeric (n_chars, reference-window bins), one bounded
     // categorical (lang) and one hash-bounded categorical (md5-slice

@@ -74,21 +74,34 @@ object KMeans {
       .cast("double") / lit(math.sqrt(nrm.toDouble))
   }
 
-  /** Argmax-score cluster id for a quantized vector (ties → lowest
-    * index; NULL vector → NULL). A fold of strict `greatest`-style
-    * comparisons, so the whole thing is one codegen'd expression tree —
-    * no join, no shuffle.
+  /** `(cid, score)` of the argmax-score centroid for a quantized vector
+    * (ties → lowest index; NULL vector → NULL pair). Spelled as
+    * `array_position(scores, array_max(scores))` so each centroid's
+    * score subtree appears ONCE — a `when`-chain fold references its
+    * accumulator twice per step and balloons the expression tree 2^k,
+    * which at k=5 cost ~7× in Catalyst/codegen time per job.
+    * `array_position` returns the FIRST match, which IS the
+    * lowest-index tie rule; with every centroid zero all scores are −∞
+    * and position 1 → cid 0, the same answer the fold gave. The score
+    * is `dot/√nrm` over exact integers, so it is bit-identical in any
+    * engine (the class exactness argument) — which is what lets the
+    * OUTLIER operators threshold and emit it.
     */
-  def assignColumn(vq: Column, centroids: Array[Array[Long]]): Column = {
+  def assignmentColumns(vq: Column,
+      centroids: Array[Array[Long]]): (Column, Column) = {
     require(centroids.nonEmpty, "at least one centroid")
-    val first = (lit(0), centroidScore(vq, centroids(0)))
-    val (cid, _) = centroids.zipWithIndex.tail
-      .foldLeft(first) { case ((bc, bs), (m, c)) =>
-        val s = centroidScore(vq, centroids(c))
-        (when(s > bs, lit(c)).otherwise(bc), when(s > bs, s).otherwise(bs))
-      }
-    when(vq.isNull, lit(null)).otherwise(cid)
+    val scores = array(centroids.map(m => centroidScore(vq, m)): _*)
+    val best = array_max(scores)
+    val cid = (array_position(scores, best) - lit(1L)).cast("int")
+    (when(vq.isNull, lit(null)).otherwise(cid),
+      when(vq.isNull, lit(null)).otherwise(best))
   }
+
+  /** Argmax-score cluster id for a quantized vector (ties → lowest
+    * index; NULL vector → NULL).
+    */
+  def assignColumn(vq: Column, centroids: Array[Array[Long]]): Column =
+    assignmentColumns(vq, centroids)._1
 
   /** Deterministic init: the `k` corpus vectors first in
     * `(md5(id), id)` order — [[Sampling.hashOrderKey]], the same
@@ -105,29 +118,92 @@ object KMeans {
       .map(_.getSeq[Long](0).toArray)
   }
 
+  /** Quantize + argmax-assign one raw vector in JVM code — the SAME
+    * IEEE/integer ops as the Column path ([[quantize]] /
+    * [[assignmentColumns]]), loop order included, so the two are
+    * bit-identical; KMeansSpec pins the parity. Returns the quantized
+    * vector and the winning cluster (−1 for null input).
+    */
+  private[pipeline] def quantizeAssignJ(x: Array[Float],
+      centroids: Array[Array[Long]], nrmSqrt: Array[Double],
+      scale: Int): (Array[Long], Int) = {
+    if (x == null) return (null, -1)
+    val q = new Array[Long](x.length)
+    var i = 0
+    while (i < x.length) {
+      q(i) = math.floor(x(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val m = centroids(c)
+      val n = math.min(q.length, m.length)
+      var dot = 0L
+      var j = 0
+      while (j < n) { dot += q(j) * m(j); j += 1 }
+      val s = if (nrmSqrt(c) == 0.0) Double.NegativeInfinity
+        else dot.toDouble / nrmSqrt(c)
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    (q, best)
+  }
+
   /** One Lloyd round: assign against `centroids`, then replace each
     * centroid with the floored per-cluster component mean (empty
-    * cluster → previous centroid). One scan; the only shuffle carries
-    * `k × dim` partial sums.
+    * cluster → previous centroid). One scan through a per-partition
+    * JVM kernel (quantize + argmax + accumulate — a `posexplode`
+    * spelling re-evaluated the CodegenFallback assignment per exploded
+    * row, 64× the work); each partition emits at most `k × dim`
+    * partial-sum rows, a tiny keyed aggregation finishes them, and the
+    * driver holds only the `k × dim` matrix.
     */
   def lloydRound(df: DataFrame, vecCol: String,
       centroids: Array[Array[Long]],
       scale: Int = defaultScale): Array[Array[Long]] = {
-    val vq = quantize(col(vecCol), scale)
-    val sums = df
-      .filter(col(vecCol).isNotNull)
-      .select(assignColumn(vq, centroids).as("cid"),
-        posexplode(vq).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(sum("x").as("s"), count(lit(1)).as("n"))
-      .collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = centroids.length
     val dim = centroids(0).length
-    val acc = Array.fill(centroids.length)(new Array[Long](dim))
-    val cnt = new Array[Long](centroids.length)
-    sums.foreach { r =>
+    val nrmSqrt = centroids.map { m =>
+      var n = 0L; var i = 0
+      while (i < m.length) { n += m(i) * m(i); i += 1 }
+      math.sqrt(n.toDouble)
+    }
+    val bc = spark.sparkContext.broadcast((centroids, nrmSqrt))
+    // partials: (c, dim, count) carries the cluster count on pos=dim
+    val partials = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<float>"))
+      .as[Array[Float]]
+      .mapPartitions { rows =>
+        val (cents, nrms) = bc.value
+        val acc = Array.fill(cents.length)(new Array[Long](dim))
+        val cnt = new Array[Long](cents.length)
+        rows.foreach { x =>
+          val (q, c) = quantizeAssignJ(x, cents, nrms, scale)
+          if (c >= 0) {
+            cnt(c) += 1
+            var i = 0
+            val n = math.min(dim, q.length)
+            while (i < n) { acc(c)(i) += q(i); i += 1 }
+          }
+        }
+        (0 until cents.length).iterator.flatMap { c =>
+          if (cnt(c) == 0L) Iterator.empty
+          else (0 until dim).iterator.map(p => (c, p, acc(c)(p))) ++
+            Iterator.single((c, dim, cnt(c)))
+        }
+      }
+      .groupBy("_1", "_2").agg(sum("_3").as("s"))
+      .collect()
+    val acc = Array.fill(k)(new Array[Long](dim))
+    val cnt = new Array[Long](k)
+    partials.foreach { r =>
       val c = r.getInt(0); val p = r.getInt(1)
-      acc(c)(p) = r.getLong(2)
-      cnt(c) = r.getLong(3)
+      if (p == dim) cnt(c) = r.getLong(2) else acc(c)(p) = r.getLong(2)
     }
     centroids.zipWithIndex.map { case (old, c) =>
       if (cnt(c) == 0L) old
@@ -152,6 +228,38 @@ object KMeans {
       cidCol: String = "cid"): DataFrame =
     df.withColumn(cidCol,
       assignColumn(quantize(col(vecCol), model.scale), model.centroids))
+
+  /** [[assign]] plus the winning centroid's COSINE (`scoreCol`,
+    * double) — the distance-to-corpus-structure signal: a document
+    * whose best cosine is still low sits far from every topical mass.
+    * Computed as `(dot/√nrm_m)/√nrm_v` — exact integers through two
+    * correctly-rounded IEEE steps, so the value is bit-identical in any
+    * engine and SAFE to threshold or quantize in an oracle. A zero
+    * vector has no direction: its score is NULL (cid still folds to
+    * the lowest index, as [[assignColumn]] defines).
+    */
+  def assignWithScore(df: DataFrame, vecCol: String, model: Model,
+      cidCol: String = "cid", scoreCol: String = "score"): DataFrame = {
+    val vq = quantize(col(vecCol), model.scale)
+    val (cid, raw) = assignmentColumns(vq, model.centroids)
+    val nv = graft.functions.VectorExpressions.dotLongC(vq, vq)
+      .cast("double")
+    val cosine = when(nv === lit(0.0), lit(null).cast("double"))
+      .otherwise(raw / sqrt(nv))
+    df.withColumn(cidCol, cid).withColumn(scoreCol, cosine)
+  }
+
+  /** Cluster-outlier rows: documents whose best centroid score falls
+    * BELOW `minScore` — the embedding-space quality gate (off-topic,
+    * garbled, or adversarial content sits far from every cluster).
+    * Map-only; NULL vectors are not outliers (they carry no position —
+    * route them through a null-rate check instead).
+    */
+  def outliers(df: DataFrame, vecCol: String, model: Model,
+      minScore: Double, cidCol: String = "cid",
+      scoreCol: String = "score"): DataFrame =
+    assignWithScore(df, vecCol, model, cidCol, scoreCol)
+      .filter(col(scoreCol) < minScore)
 
   /** Per-cluster population and mean vector norm proxy — the mixture
     * dashboard aggregate: `(cid, size)`.

@@ -195,6 +195,25 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("outliers: a stray direction falls out, members and zeros do not") {
+    val df = plantedGroups
+    val model = KMeans.train(df, "id", "vec", k = 3, iters = 2)
+    val stray = { val a = Array.fill(8)(0f); a(6) = 1f; a }
+    val zero = Array.fill(8)(0f)
+    val probe = df.union(Seq((100L, stray.toSeq), (101L, zero.toSeq))
+      .toDF("id", "vec"))
+    val out = KMeans.outliers(probe, "vec", model, minScore = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(100L), out.toString)
+    val scored = KMeans.assignWithScore(probe, "vec", model)
+    val zeroRow = scored.filter(col("id") === 101L).collect()(0)
+    assert(zeroRow.isNullAt(zeroRow.fieldIndex("score")))
+    // members sit near cosine 1
+    val memberMin = scored.filter(col("id") < 18L)
+      .agg(min("score")).collect()(0).getDouble(0)
+    assert(memberMin > 0.9, memberMin.toString)
+  }
+
   test("testdata embeddings: full pipeline clusters every row") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = KMeans.train(e, "vec_id", "embedding", k = 5, iters = 2)
