@@ -536,6 +536,52 @@ object Queries {
        ${kmUpdateCtes(2, "c1")},
        ${kmAssignCte("a2", "c2")}"""
 
+  /** DuckDB replay of the A-Res uniform draw: first 13 md5 hex digits
+    * of `expr` as an exact 52-bit integer (strpos hex arithmetic, the
+    * [[cmsHv]] idiom at full width).
+    */
+  private def hex13Sql(expr: String): String =
+    (1 to 13).map { i =>
+      val mult = math.pow(16.0, (13 - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  // ---- PageRank oracle: replay LinkGraph.pageRank's fixed-point
+  // integer arithmetic (r in parts-per-1e12, share = (r*850000) //
+  // (1e6*outdeg), dangling mass leaks — every step exact longs).
+
+  /** One PageRank iteration: contribs `c$i` from ranks `r${i-1}`,
+    * ranks `r$i`.
+    */
+  private def prIterCtes(i: Int): String =
+    s"""c$i AS (SELECT e.dst AS id,
+         CAST(SUM((r.r * 850000) // (1000000 * d.outdeg)) AS BIGINT)
+           AS inflow
+       FROM e JOIN r${i - 1} r ON e.src = r.id
+       JOIN deg d ON e.src = d.id GROUP BY e.dst),
+       r$i AS (SELECT nodes.id,
+         CAST(b.base + COALESCE(c$i.inflow, 0) AS BIGINT) AS r
+       FROM nodes CROSS JOIN b LEFT JOIN c$i ON nodes.id = c$i.id)"""
+
+  private val pageRankSql: String =
+    s"""WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey),
+       nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       cnt AS (SELECT COUNT(*) AS n FROM nodes),
+       deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),
+       b AS (SELECT CAST((1000000000000 * 150000) // (1000000 * n)
+           AS BIGINT) AS base FROM cnt),
+       r0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS r
+         FROM nodes CROSS JOIN cnt),
+       ${prIterCtes(1)},
+       ${prIterCtes(2)},
+       ${prIterCtes(3)}
+       SELECT id, r FROM r3 ORDER BY id"""
+
   // ---- drift oracle: replay Drift.report / Drift.reportAgainstReference
   // bucket-for-bucket. TVD legs are exact integer rationals; the bucket
   // rule is the identical IEEE expression in both engines; reference =
@@ -6530,6 +6576,43 @@ object Queries {
           col("cur_rows"), col("tvd_num"), col("tvd_den"))
         .orderBy("batch_id", "column")
     }): Q, Some(driftStreamSql)),
+
+    // ---- link-graph AUTHORITY (fixed-point PageRank over the nation
+    // trade graph, customer-nation → supplier-nation per order line):
+    // ranks in exact parts-per-1e12, every step integer arithmetic, so
+    // the oracle replays all three iterations bit-for-bit. The heavy
+    // part at scale is the edge derivation join over the fact table —
+    // which is the point. ----
+    ("pagerank_nations", ((s: SparkSession, dir: String) => {
+      val l = rd(s, dir, "lineitem")
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      val su = rd(s, dir, "supplier")
+      val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      graft.pipeline.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("id")
+    }): Q, Some(pageRankSql)),
+
+    // ---- deterministic WEIGHTED sample (Efraimidis–Spirakis A-Res):
+    // inclusion ∝ n_chars; the uniform draw is an exact 52-bit md5
+    // dyadic, so both engines rank the same ln(u)/w keys (ordering
+    // robust at ~1e8 ulp margins). ----
+    ("weighted_sample_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling.weightedSample(rd(s, dir, "documents"),
+          "doc_id", col("n_chars"), n = 50, seed = "ws1")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH u AS (SELECT doc_id, n_chars,
+          (CAST(${hex13Sql("'ws1' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+            + 1.0) / 4503599627370496.0 AS uu
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      top AS (SELECT doc_id, n_chars FROM u
+              ORDER BY ln(uu) / CAST(n_chars AS DOUBLE) DESC, doc_id
+              LIMIT 50)
+      SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
 
     // ---- row-level snapshot diff (the companion of the
     // distribution-level drift report): planted fixture — %10==0

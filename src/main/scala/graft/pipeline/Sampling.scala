@@ -233,6 +233,43 @@ object Sampling {
     Sharding.shardByTokenBudget(permuted(df, keyCol, seed), "_order",
       lit(1L), rowsPerShard, numPartitions)
 
+  /** Deterministic WEIGHTED sample without replacement: the
+    * Efraimidis–Spirakis A-Res rule (Inf. Process. Lett. 97(5), 2006 —
+    * public literature) — each row draws a reproducible uniform
+    * `u ∈ (0,1]` from its key and seed, takes rank key `ln(u)/w`, and
+    * the top-`n` rank keys win; inclusion probability is proportional
+    * to weight, and the whole draw is one top-n heap
+    * (TakeOrderedAndProject), no full sort, no count pass.
+    *
+    * Determinism/replay design: `u` is the first 13 md5 hex digits as
+    * an integer over `16^13` — a 52-bit dyadic rational, exactly
+    * representable and identical in any engine (`+1` keeps it nonzero:
+    * `ln(0)` is −∞ and would make zero-weight ties engine-ordered).
+    * `ln` itself is correctly-rounded-ish but not bit-guaranteed across
+    * engines, so the rank key may differ in the last ulp — the
+    * ORDERING, which is all the sample uses, is stable because
+    * md5-derived keys are spread (gaps ~1/n², 10^8 ulps at any
+    * realistic n); ties break by the key column. Weights must be
+    * strictly positive (zero/negative/NULL weights are refused rows —
+    * filtered out, like null ids in the pair generators).
+    *
+    * @param n     sample size (kept exactly, unless fewer rows qualify)
+    * @param seed  draw namespace — a different seed is a fresh draw
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      n: Int, seed: String = ""): DataFrame = {
+    require(n >= 1, s"sample size $n must be >= 1")
+    val u = (conv(substring(md5(concat(lit(seed),
+        coalesce(col(keyCol).cast("string"), lit("")))), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(math.pow(16.0, 13))
+    val rank = log(u) / weight.cast("double")
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("_wrank", rank)
+      .orderBy(desc("_wrank"), col(keyCol))
+      .limit(n)
+      .drop("_wrank")
+  }
+
   /** Frequency cap: keep at most `cap` rows per key, chosen as the
     * FIRST `cap` by `orderCol` ascending (ties broken by `orderCol`
     * itself, so the order column must be unique per key — a doc id

@@ -165,4 +165,40 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(Sampling.capPerKey(d, "source", "doc_id",
       cap = 100000).count() == n)
   }
+
+  test("weightedSample: deterministic, exact size, local-formula parity") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 30,
+      seed = "t1").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 30,
+      seed = "t1").select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 30)
+    // a different seed is a fresh draw
+    val c = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 30,
+      seed = "t2").select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+    // parity with the A-Res formula computed locally
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    val expected = rows.filter(_._2 > 0).map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(
+        md5hex("t1" + id.toString).take(13), 16).toDouble + 1.0) /
+        math.pow(16.0, 13)
+      (math.log(u) / w.toDouble, id)
+    }.sortBy { case (k, id) => (-k, id) }.take(30).map(_._2).toSet
+    assert(a == expected)
+  }
+
+  test("weightedSample: nonpositive and null weights are refused rows") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, Some(0L)), (3L, Some(-5L)),
+      (4L, Option.empty[Long]), (5L, Some(1L))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L))
+  }
 }
