@@ -6614,6 +6614,30 @@ object Queries {
               LIMIT 50)
       SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
 
+    // ---- weighted sample + snapshot diff reached ENTIRELY through
+    // spark.sql (both TVFs are declarative plans; same oracles as the
+    // DataFrame queries). ----
+    ("sql_weighted_sample_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "wsample") {
+        graft.functions.GraftTableFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .createOrReplaceTempView("graft_sql_docs_ws")
+      }
+      s.sql("""
+        SELECT doc_id, n_chars
+        FROM graft_weighted_sample('graft_sql_docs_ws', 'doc_id',
+                                   'n_chars', 50, 'ws1')
+        ORDER BY doc_id""")
+    }): Q, Some(s"""
+      WITH u AS (SELECT doc_id, n_chars,
+          (CAST(${hex13Sql("'ws1' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+            + 1.0) / 4503599627370496.0 AS uu
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      top AS (SELECT doc_id, n_chars FROM u
+              ORDER BY ln(uu) / CAST(n_chars AS DOUBLE) DESC, doc_id
+              LIMIT 50)
+      SELECT doc_id, n_chars FROM top ORDER BY doc_id""")),
+
     // ---- row-level snapshot diff (the companion of the
     // distribution-level drift report): planted fixture — %10==0
     // removed, %10==9 added, %10==3 changed (derived ' OLD' suffix in
@@ -6629,6 +6653,41 @@ object Queries {
         .select(col("doc_id"), col("text").as("content"))
       graft.pipeline.Drift.corpusDiff(old, cur, "doc_id", "content")
         .orderBy("id")
+    }): Q, Some("""
+      WITH old AS (SELECT doc_id AS id,
+             CASE WHEN doc_id % 10 = 3 THEN text || ' OLD' ELSE text END
+               AS content
+           FROM documents WHERE doc_id % 10 < 9),
+      cur AS (SELECT doc_id AS id, text AS content
+              FROM documents WHERE doc_id % 10 > 0),
+      j AS (SELECT COALESCE(o.id, c.id) AS id, md5(o.content) AS ho,
+                   md5(c.content) AS hn
+            FROM old o FULL OUTER JOIN cur c ON o.id = c.id)
+      SELECT id, CASE WHEN ho IS NULL THEN 'added'
+                      WHEN hn IS NULL THEN 'removed'
+                      WHEN ho = hn THEN 'unchanged'
+                      ELSE 'changed' END AS status
+      FROM j ORDER BY id""")),
+
+    ("sql_corpus_diff_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "cdiff") {
+        graft.functions.GraftTableFunctions.register(s)
+        val docs = rd(s, dir, "documents")
+        docs.filter(col("doc_id") % 10 < 9)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 3,
+              concat(col("text"), lit(" OLD")))
+              .otherwise(col("text")).as("content"))
+          .createOrReplaceTempView("graft_sql_diff_old")
+        docs.filter(col("doc_id") % 10 > 0)
+          .select(col("doc_id"), col("text").as("content"))
+          .createOrReplaceTempView("graft_sql_diff_cur")
+      }
+      s.sql("""
+        SELECT id, status
+        FROM graft_corpus_diff('graft_sql_diff_old', 'graft_sql_diff_cur',
+                               'doc_id', 'content')
+        ORDER BY id""")
     }): Q, Some("""
       WITH old AS (SELECT doc_id AS id,
              CASE WHEN doc_id % 10 = 3 THEN text || ' OLD' ELSE text END

@@ -431,8 +431,39 @@ object GraftTableFunctions {
       Seq(graft.pipeline.Drift.categorical(name, col(name))), Map.empty))
   }
 
+  /** `graft_weighted_sample(view, keyCol, weightCol, n, seed)` —
+    * deterministic Efraimidis–Spirakis weighted sample
+    * ([[graft.pipeline.Sampling.weightedSample]]): inclusion ∝ weight,
+    * one top-n heap, fully declarative.
+    */
+  private def weightedSampleBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 5,
+      "usage: graft_weighted_sample(view, keyCol, weightCol, n, seed)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Sampling.weightedSample(
+      spark.table(strLit(es(0), "view")), strLit(es(1), "key column"),
+      col(strLit(es(2), "weight column")), intLit(es(3), "n"),
+      strLit(es(4), "seed")))
+  }
+
+  /** `graft_corpus_diff(oldView, curView, idCol, contentCol)` —
+    * row-level snapshot diff ([[graft.pipeline.Drift.corpusDiff]]) as
+    * `(id, status)` with status ∈ added/removed/changed/unchanged.
+    */
+  private def corpusDiffBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 4,
+      "usage: graft_corpus_diff(oldView, curView, idCol, contentCol)")
+    val spark = SparkSession.active
+    graftshim.logicalPlan(graft.pipeline.Drift.corpusDiff(
+      spark.table(strLit(es(0), "old view")),
+      spark.table(strLit(es(1), "current view")),
+      strLit(es(2), "id column"), strLit(es(3), "content column")))
+  }
+
   /** (name, builder) for every registered table function. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_weighted_sample" -> (weightedSampleBuilder _),
+    "graft_corpus_diff" -> (corpusDiffBuilder _),
     "graft_kmeans_assign" -> (kmeansAssignBuilder _),
     "graft_drift_num" -> (driftNumBuilder _),
     "graft_drift_cat" -> (driftCatBuilder _),
