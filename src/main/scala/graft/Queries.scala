@@ -6511,6 +6511,36 @@ object Queries {
       SELECT vec_id, CAST(c AS INTEGER) AS cid FROM a2
       ORDER BY vec_id""")),
 
+    // ---- cluster-BALANCED mixture (k-means × mixture sampling
+    // composition): equal 20% target share per topical cluster within
+    // a 120-row budget — the "rebalance the corpus by topic" step;
+    // membership stays the pure content-hash predicate, so the oracle
+    // replays assignment AND the mixture cutoffs. ----
+    ("kmeans_mixture_embeddings", ((s: SparkSession, dir: String) => {
+      val a = graft.pipeline.KMeans.assign(rd(s, dir, "embeddings"),
+          "embedding", kmeansModelFor(s, dir))
+        .withColumn("k", col("vec_id").cast("string"))
+        .withColumn("cidstr", col("cid").cast("string"))
+      graft.pipeline.Sampling.mixtureSample(a, "k", "cidstr", lit(1L),
+          Map("0" -> 0.2, "1" -> 0.2, "2" -> 0.2, "3" -> 0.2,
+            "4" -> 0.2), tokenBudget = 120L)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"))
+        .orderBy("vec_id")
+    }): Q, Some(s"""$kmeansCtes,
+      avail AS (SELECT CAST(c AS VARCHAR) AS domain,
+                  CAST(COUNT(*) AS BIGINT) AS available
+                FROM a2 GROUP BY c),
+      plan AS (SELECT domain, LEAST(CAST(1.0 AS DOUBLE),
+                 CAST(0.2 AS DOUBLE) * 120 / available) AS f
+               FROM avail),
+      kept AS (SELECT d.vec_id, d.c
+               FROM a2 d JOIN plan p ON CAST(d.c AS VARCHAR) = p.domain
+               WHERE p.f >= 1 OR
+                 substr(md5(CAST(d.vec_id AS VARCHAR)), 1, 4) <
+                   printf('%04x', CAST(floor(p.f * 65536) AS BIGINT)))
+      SELECT vec_id, CAST(c AS INTEGER) AS cid FROM kept
+      ORDER BY vec_id""")),
+
     // ---- embedding-space OUTLIERS: the 20 documents whose best
     // centroid cosine is lowest — the off-topic/garbled quality gate.
     // The cosine is exact integers through two correctly-rounded IEEE
