@@ -1684,7 +1684,7 @@ object Queries {
     * singletons label themselves. Mirrors `Clustering.dupClusters` over
     * `Dedup.ngramJaccardPairs` in exact mode.
     */
-  def clustersSql(threshold: Double): String =
+  def clustersCtes(threshold: Double): String =
     s"""WITH RECURSIVE all_docs AS ($docsNearDupsSql), $shingleCteSql,
       pairs AS (${jaccardSelectSql(threshold, "a.doc_id < b.doc_id")}),
       edges AS (SELECT id_a AS s, id_b AS d FROM pairs
@@ -1694,11 +1694,18 @@ object Queries {
         UNION
         SELECT e.d AS id, reach.r AS r
         FROM reach JOIN edges e ON e.s = reach.id),
-      cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-             CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-             (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
-      FROM all_docs d LEFT JOIN cc ON d.doc_id = cc.id
+      cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      labeled AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT)
+                 AS cluster_id,
+               (coalesce(cc.cluster_id, d.doc_id) = d.doc_id)
+                 AS is_canonical
+        FROM all_docs d LEFT JOIN cc ON d.doc_id = cc.id)"""
+
+  def clustersSql(threshold: Double): String =
+    s"""${clustersCtes(threshold)}
+      SELECT doc_id, cluster_id, is_canonical FROM labeled
       ORDER BY doc_id"""
 
   /** Oracle for the incremental (batch-vs-corpus) contract: batch ids are
@@ -2436,6 +2443,27 @@ object Queries {
       graft.pipeline.Clustering.dupClusters(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }): Q, Some(clustersSql(0.8))),
+
+    // ---- LEAKAGE-SAFE train/val/test split (dup clusters × hash
+    // split composition): the split key is the CLUSTER label, so a
+    // near-dup family can never straddle train and test — the
+    // benchmark-leakage failure mode of row-hash splits. Same 0.8/0.1/
+    // 0.1 md5 rule, keyed on the cluster id string. ----
+    ("leakage_safe_split_documents", ((s: SparkSession, dir: String) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxDocFreq = 0)
+      val clustered = graft.pipeline.Clustering
+        .dupClusters(docs, "doc_id", pairs)
+      clustered.select(col("doc_id"), col("cluster_id"),
+          graft.pipeline.Sampling.hashSplitColumn(
+            col("cluster_id").cast("string"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""${clustersCtes(0.8)}
+      SELECT doc_id, cluster_id,
+             ${splitCaseSql("CAST(cluster_id AS VARCHAR)")} AS split
+      FROM labeled ORDER BY doc_id""")),
 
     // ---- PII detection + redaction over the planted-PII corpus:
     // pure codegen'd regex expressions (map-only at scale), patterns in

@@ -94,4 +94,23 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert(got == truth)
     assert(got.nonEmpty, "fixture should produce at least one pair")
   }
+
+  test("leakage-safe split: a dup cluster never straddles splits") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxDocFreq = 0)
+    val clustered = Clustering.dupClusters(docs, "doc_id", pairs)
+    val split = clustered.select(col("cluster_id"),
+      Sampling.hashSplitColumn(col("cluster_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val straddlers = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddlers == 0L)
+    // all three splits materialize on the fixture
+    assert(split.select("split").distinct().count() == 3L)
+  }
 }
