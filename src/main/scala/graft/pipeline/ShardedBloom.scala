@@ -156,10 +156,18 @@ object ShardedBloom {
   }
 
   /** Fold a new batch into the stored sidecar: per-(shard, word)
-    * bitwise OR at batch cost, swapped in atomically
-    * ([[SidecarIO.atomicOverwrite]]). Bounded collect — at most
-    * `numShards × bitsPerShard/64` rows by construction; filters past
-    * resident size should fold shard-by-shard upstream instead.
+    * bitwise OR at batch cost — FULLY DISTRIBUTED. The stored words
+    * and the batch sketch union into one `groupBy(shard, word_idx) →
+    * bit_or` (idempotent, order-insensitive), and the merged frame is
+    * swapped in by [[SidecarIO.atomicOverwriteDf]] with the same
+    * `partitionBy(shard)` layout [[writeFilter]] wrote — nothing ever
+    * lands on the driver, so the daily-ingest fold works at the tier's
+    * design point (10^10–10^11 keys ⇒ 10^9+ word rows, tens of GB):
+    * one shard exchange per fold, each shard's directory rewritten
+    * from its own partition. The tmp write materializes the merged
+    * plan in full while the live generation is still intact, so the
+    * read-modify-write cannot race itself and a crash in any window
+    * leaves a complete generation on disk.
     */
   def updateFilter(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String): Unit = {
@@ -171,9 +179,8 @@ object ShardedBloom {
         numHashes))
       .groupBy("shard", "word_idx")
       .agg(bit_or(col("bits")).as("bits"))
-    SidecarIO.atomicOverwrite(spark,
-      java.util.Arrays.asList(merged.collect(): _*), merged.schema,
-      s"$path/words")
+    SidecarIO.atomicOverwriteDf(merged, s"$path/words",
+      partitionCols = Seq("shard"))
   }
 
   /** The nothing-resident probe: prune `fact` to the rows whose key

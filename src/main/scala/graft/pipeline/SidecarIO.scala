@@ -41,17 +41,28 @@ object SidecarIO {
     * vocabulary-sized table): the tmp write MATERIALIZES the plan in
     * full while the live dir is still intact, so a plan that reads the
     * path it replaces cannot race itself, and the swap then proceeds
-    * as above.
+    * as above. With `partitionCols` the new generation keeps a
+    * `partitionBy` directory layout (one exchange on the partition
+    * keys, no driver coalesce) — the sharded-sidecar fold path, where
+    * each shard must land in its own directory and the table can be
+    * tens of GB.
     */
   def atomicOverwriteDf(df: DataFrame, dest: String,
-      files: Int = 1): Unit = {
+      files: Int = 1, partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dest + "_tmp")
     val prev = new Path(dest + "_prev")
     fs.delete(tmp, true)
-    df.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
+    val shaped =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions
+          .col): _*)
+      else df.coalesce(files)
+    val writer = shaped.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
     fs.delete(prev, true)
     if (fs.exists(destPath)) { fs.rename(destPath, prev); () }
     if (!fs.rename(tmp, destPath))

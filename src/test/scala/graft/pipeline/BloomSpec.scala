@@ -193,6 +193,50 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.filter(col("f_key").isNull).count() == 1)
   }
 
+  test("sharded fold is distributed: parity past the resident tier, " +
+      "shard-partitioned generations, crash fallback intact") {
+    // Configuration PAST the resident tier: 9 shards x 2^27 bits =
+    // 1.2e9 logical bits > 2^30 — the size at which a driver-side
+    // collect of the merged word table would be the old scale-killer.
+    // The sparse word table stays tiny (few keys), so the test is
+    // cheap; what it pins is the CODE PATH: the fold must write
+    // through the distributed partitionBy(shard) swap, never a
+    // collected single-file generation.
+    val path = java.nio.file.Files
+      .createTempDirectory("shbloom_big").toString + "/f"
+    val nShards = 9
+    val bps = 1 << 27
+    assert(nShards.toLong * bps > (1L << 30), "config must exceed 2^30")
+    ShardedBloom.writeFilter(keys(0, 300), "key", nShards, bps,
+      numHashes = 5, path)
+    ShardedBloom.updateFilter(spark, path, keys(300, 600), "key")
+    ShardedBloom.updateFilter(spark, path, keys(450, 900), "key")
+
+    // the live generation keeps the partitionBy(shard) directory
+    // layout — the unpartitioned single-file shape the old collected
+    // fold wrote would fail this (behavioral no-collect witness)
+    val wordsDir = new java.io.File(s"$path/words")
+    val shardDirs = wordsDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty, "fold lost the shard-partitioned layout")
+    assert(!new java.io.File(s"$path/words_tmp").exists())
+
+    // fold parity: incremental == one-shot sketch of the union
+    val folded = SidecarIO.readWithFallback(spark, s"$path/words")
+      .select(col("shard").cast("int"), col("word_idx"), col("bits"))
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val once = ShardedBloom.sketch(keys(0, 900), "key", nShards, bps, 5)
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(folded == once, "incremental fold != one-shot sketch")
+
+    // probe still exact at this tier (cogroup path, nothing resident)
+    val fact = keys(0, 1200).select(col("key"), lit(1).as("p"))
+    val might = ShardedBloom.pruneViaSidecar(spark, path, fact, "key")
+    assert(might.filter(col("key").isin(
+      (0 until 900).map(i => s"k$i"): _*)).count() == 900,
+      "false negative after distributed fold")
+  }
+
   test("sharded resident probe plan: map-only, no giant literal") {
     val bf = ShardedBloom.build(keys(0, 500), "key", 5, 4096, 4)
     val plan = keys(0, 100).filter(bf.mightContain(col("key")))
