@@ -592,13 +592,15 @@ object Queries {
     * prepends extra pass-through columns (e.g. `"batch, "`).
     */
   private def driftBucketsSql(src: String, lead: String = ""): String =
-    s"""SELECT $lead'n_chars' AS col, CAST(GREATEST(0, LEAST(7,
+    s"""SELECT $lead'n_chars' AS col, COALESCE(CAST(GREATEST(0, LEAST(7,
            CAST(floor(CAST(n_chars - b.lo AS DOUBLE) * 8
              / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT)))
-           AS VARCHAR) AS bucket FROM $src, b
-       UNION ALL SELECT $lead'lang' AS col, lang AS bucket FROM $src
+           AS VARCHAR), 'null') AS bucket FROM $src, b
+       UNION ALL SELECT $lead'lang' AS col,
+         COALESCE(lang, chr(0) || 'null') AS bucket FROM $src
        UNION ALL SELECT $lead'src_hash' AS col,
-         CAST(${hex4BucketSql("source", 8)} AS VARCHAR) AS bucket
+         COALESCE(CAST(${hex4BucketSql("source", 8)} AS VARCHAR),
+           chr(0) || 'null') AS bucket
          FROM $src"""
 
   /** Shared drift CTE prefix: snapshots, reference bounds, reference

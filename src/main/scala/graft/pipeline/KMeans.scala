@@ -14,8 +14,10 @@ import graft.functions.VectorExpressions
   * over the FULL corpus, because cluster populations are the product.)
   *
   * Scale design (100 TB): each Lloyd round is one corpus scan —
-  * assignment is map-only (centroids ride the plan as literals, scored by
-  * the codegen'd [[graft.functions.LongDotProduct]] kernel), and the
+  * assignment is map-only (small models inline as plan literals scored
+  * by the codegen'd [[graft.functions.LongDotProduct]] kernel; past
+  * [[literalComponentCap]] total components the matrix rides a codegen
+  * REFERENCE instead — see [[assignmentColumns]]), and the
   * centroid update reduces `(cid, pos)` partial sums map-side before one
   * tiny shuffle of `k × dim` rows; the driver holds only the `k × dim`
   * centroid matrix. No iteration ever materializes per-document state
@@ -74,27 +76,70 @@ object KMeans {
       .cast("double") / lit(math.sqrt(nrm.toDouble))
   }
 
+  /** Above this many total centroid components (k × dim) the
+    * assignment rides the matrix as a codegen REFERENCE
+    * ([[graft.functions.KMeansExpressions.assignBestC]]) instead of
+    * per-centroid `typedlit` plan literals — the
+    * [[Bloom.BloomFilter.literalWordCap]] discipline: a k=4096 ×
+    * dim=768 model as literals is ~3M elements serialized with EVERY
+    * plan. Below the cut the literal spelling stays (fully
+    * oracle-replayable SQL, zero reference objects).
+    */
+  val literalComponentCap: Int = 4096
+
   /** `(cid, score)` of the argmax-score centroid for a quantized vector
-    * (ties → lowest index; NULL vector → NULL pair). Spelled as
-    * `array_position(scores, array_max(scores))` so each centroid's
-    * score subtree appears ONCE — a `when`-chain fold references its
-    * accumulator twice per step and balloons the expression tree 2^k,
-    * which at k=5 cost ~7× in Catalyst/codegen time per job.
-    * `array_position` returns the FIRST match, which IS the
-    * lowest-index tie rule; with every centroid zero all scores are −∞
-    * and position 1 → cid 0, the same answer the fold gave. The score
-    * is `dot/√nrm` over exact integers, so it is bit-identical in any
-    * engine (the class exactness argument) — which is what lets the
-    * OUTLIER operators threshold and emit it.
+    * (ties → lowest index; NULL vector → NULL pair). Dispatches on
+    * model size: small models inline as plan literals
+    * ([[assignmentColumnsLiteral]]), large ones ride a codegen
+    * reference ([[assignmentColumnsRef]]) — KMeansSpec pins the two
+    * bit-identical. The score is `dot/√nrm` over exact integers, so it
+    * is bit-identical in any engine (the class exactness argument) —
+    * which is what lets the OUTLIER operators threshold and emit it.
     */
   def assignmentColumns(vq: Column,
       centroids: Array[Array[Long]]): (Column, Column) = {
     require(centroids.nonEmpty, "at least one centroid")
+    if (centroids.length.toLong * centroids(0).length >
+        literalComponentCap)
+      assignmentColumnsRef(vq, centroids)
+    else assignmentColumnsLiteral(vq, centroids)
+  }
+
+  /** The literal-path spelling: scores as an inline array — spelled as
+    * `array_position(scores, array_max(scores))` so each centroid's
+    * score subtree appears ONCE (a `when`-chain fold references its
+    * accumulator twice per step and balloons the expression tree 2^k,
+    * which at k=5 cost ~7× in Catalyst/codegen time per job).
+    * `array_position` returns the FIRST match, which IS the
+    * lowest-index tie rule; with every centroid zero all scores are −∞
+    * and position 1 → cid 0, the same answer the fold gave.
+    */
+  private[pipeline] def assignmentColumnsLiteral(vq: Column,
+      centroids: Array[Array[Long]]): (Column, Column) = {
     val scores = array(centroids.map(m => centroidScore(vq, m)): _*)
     val best = array_max(scores)
     val cid = (array_position(scores, best) - lit(1L)).cast("int")
     (when(vq.isNull, lit(null)).otherwise(cid),
       when(vq.isNull, lit(null)).otherwise(best))
+  }
+
+  /** The reference-path spelling: one codegen'd kernel call per row,
+    * matrix shipped once per stage. Norms precompute driver-side so
+    * per-row work is k exact dot products.
+    */
+  private[pipeline] def assignmentColumnsRef(vq: Column,
+      centroids: Array[Array[Long]]): (Column, Column) = {
+    val nrmSqrt = centroids.map { m =>
+      var n = 0L; var i = 0
+      while (i < m.length) { n += m(i) * m(i); i += 1 }
+      math.sqrt(n.toDouble)
+    }
+    val bestStruct = graft.functions.KMeansExpressions
+      .assignBestC(vq, centroids, nrmSqrt)
+    (when(vq.isNull, lit(null))
+       .otherwise(bestStruct.getField("cid")),
+      when(vq.isNull, lit(null))
+        .otherwise(bestStruct.getField("score")))
   }
 
   /** Argmax-score cluster id for a quantized vector (ties → lowest
@@ -124,14 +169,14 @@ object KMeans {
     * bit-identical; KMeansSpec pins the parity. Returns the quantized
     * vector and the winning cluster (−1 for null input).
     */
-  private[pipeline] def quantizeAssignJ(x: Array[Float],
+  private[pipeline] def quantizeAssignJ(x: Array[Double],
       centroids: Array[Array[Long]], nrmSqrt: Array[Double],
       scale: Int): (Array[Long], Int) = {
     if (x == null) return (null, -1)
     val q = new Array[Long](x.length)
     var i = 0
     while (i < x.length) {
-      q(i) = math.floor(x(i).toDouble * scale + 0.5).toLong
+      q(i) = math.floor(x(i) * scale + 0.5).toLong
       i += 1
     }
     var best = 0
@@ -174,10 +219,15 @@ object KMeans {
     }
     val bc = spark.sparkContext.broadcast((centroids, nrmSqrt))
     // partials: (c, dim, count) carries the cluster count on pos=dim
+    // array<double>, NOT array<float>: [[quantize]] and the assign
+    // paths all quantize full-precision doubles, so a double-typed
+    // embedding column must train on the same values it will be
+    // assigned with (a float round-trip here would break the
+    // bit-identity contract for double inputs; floats widen exactly)
     val partials = df
       .filter(col(vecCol).isNotNull)
-      .select(col(vecCol).cast("array<float>"))
-      .as[Array[Float]]
+      .select(col(vecCol).cast("array<double>"))
+      .as[Array[Double]]
       .mapPartitions { rows =>
         val (cents, nrms) = bc.value
         val acc = Array.fill(cents.length)(new Array[Long](dim))

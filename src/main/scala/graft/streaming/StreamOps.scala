@@ -436,17 +436,23 @@ object StreamOps {
     * the per-batch cost is the minimum any monitor could pay. Batch
     * reports are INDEPENDENT (nothing folds), so checkpoint replay
     * merely rewrites an identical report — idempotent by construction.
+    * The KB-sized reference sidecar loads ONCE at stream construction
+    * (histogram cached, bounds collected), the
+    * [[kmeansAssignStream]] discipline — per-batch driver work stays
+    * flat no matter the trigger rate.
     */
   def driftStream(stream: DataFrame, refPath: String,
       specs: Seq[graft.pipeline.Drift.Spec])(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    val ref = graft.pipeline.Drift
+      .loadReference(stream.sparkSession, refPath)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(graft.pipeline.Drift
-        .reportAgainstReference(batch, specs, refPath)
+      sink(graft.pipeline.Drift.reportAgainstLoaded(batch, specs, ref)
         .select(lit(batchId).as("batch_id"), col("*")), batchId)
     }
+  }
 
   /** Per micro-batch k-means assignment against a PERSISTED model
     * ([[graft.pipeline.KMeans.writeModel]]): each batch's vectors take

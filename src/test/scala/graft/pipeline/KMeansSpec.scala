@@ -138,6 +138,64 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("large models ride a codegen reference: literal/reference " +
+      "bit-parity, plan stays small, still map-only") {
+    // k=48 x dim=96 = 4608 components > literalComponentCap(4096):
+    // deterministic planted matrix, no training needed
+    val k = 48
+    val dim = 96
+    assert(k.toLong * dim > KMeans.literalComponentCap)
+    val cents = Array.tabulate(k, dim)((c, p) =>
+      ((c * 31L + p * 7L) % 997L) - 498L)
+    cents(5) = new Array[Long](dim) // one all-zero centroid (−∞ rule)
+    val df = spark.range(0, 200).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        p => sin(col("id") * (p + lit(1))).cast("float")).as("vec"))
+    val vq = KMeans.quantize(col("vec"))
+    val (cidL, scoreL) = KMeans.assignmentColumnsLiteral(vq, cents)
+    val (cidR, scoreR) = KMeans.assignmentColumnsRef(vq, cents)
+    val both = df.select(col("id"), cidL.as("cl"), scoreL.as("sl"),
+      cidR.as("cr"), scoreR.as("sr"))
+    assert(both.filter(col("cl") =!= col("cr") ||
+      col("sl") =!= col("sr")).count() == 0,
+      "literal and reference assignment paths diverge")
+    // scores spread across clusters (the parity is not vacuous)
+    assert(both.select(countDistinct("cr")).head().getLong(0) > 5)
+
+    // the dispatching public path picks the reference spelling: the
+    // plan must stay small and map-only (a 4608-literal plan is ~10x
+    // this bound)
+    val model = KMeans.Model(cents, KMeans.defaultScale)
+    val plan = KMeans.assign(df, "vec", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.length < 100000, s"plan blew up: ${plan.length} chars")
+  }
+
+  test("double-typed embedding column: training assigns on full " +
+      "precision (no float round-trip)") {
+    // a double just below a quantization boundary whose nearest FLOAT
+    // sits exactly ON it: x = 3276.5/65536 − 2^−30 (both terms exact
+    // in double). Double quantize: x·65536 = 3276.49994 → floor(+0.5)
+    // = 3276. Float round-trip: 2^−30 is under half a float ulp at
+    // this magnitude, so x.toFloat == 3276.5/65536 exactly → 3277.
+    val tricky = 3276.5 / 65536.0 - math.pow(2.0, -30)
+    val viaFloat =
+      math.floor(tricky.toFloat.toDouble * 65536.0 + 0.5).toLong
+    assert(viaFloat == 3277L, "fixture lost its float divergence")
+    val rows = Seq((0L, Seq(tricky, 1.0)), (1L, Seq(tricky, 1.0)))
+    val df = rows.toDF("id", "vec") // array<double> column
+    val model = KMeans.train(df, "id", "vec", k = 1, iters = 2)
+    // centroid must equal the DOUBLE quantization of the input,
+    // bit-for-bit with the Column quantize path assignment will use
+    val viaColumn = df.select(KMeans.quantize(col("vec")).as("q"))
+      .head().getSeq[Long](0)
+    assert(viaColumn(0) == 3276L)
+    assert(model.centroids(0).toSeq == viaColumn,
+      s"train saw ${model.centroids(0).toSeq}, assign sees $viaColumn" +
+        s" (a float32 round-trip would have trained $viaFloat)")
+  }
+
   test("model sidecar round-trip: centroids and scale exact") {
     val model = KMeans.train(plantedGroups, "id", "vec", k = 3, iters = 2)
     val path = java.nio.file.Files
