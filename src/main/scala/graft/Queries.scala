@@ -563,23 +563,60 @@ object Queries {
          CAST(b.base + COALESCE(c$i.inflow, 0) AS BIGINT) AS r
        FROM nodes CROSS JOIN b LEFT JOIN c$i ON nodes.id = c$i.id)"""
 
-  private val pageRankSql: String =
+  /** One redistributed-PageRank iteration: dangling mass `g$i` (ranks
+    * of nodes with no out-edges), its exact per-node integral share
+    * `x$i = (dm·850000) // (1e6·n)`, then the standard contrib/rank
+    * step with the share added to the base — LinkGraph.pageRank with
+    * `redistributeDangling = true`, term for term.
+    */
+  private def prRedistIterCtes(i: Int): String =
+    s"""g$i AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dm
+         FROM r${i - 1} r LEFT JOIN deg d ON r.id = d.id
+         WHERE d.id IS NULL),
+       x$i AS (SELECT CAST((g.dm * 850000) // (1000000 * cnt.n)
+           AS BIGINT) AS extra FROM g$i g CROSS JOIN cnt),
+       c$i AS (SELECT e.dst AS id,
+         CAST(SUM((r.r * 850000) // (1000000 * d.outdeg)) AS BIGINT)
+           AS inflow
+       FROM e JOIN r${i - 1} r ON e.src = r.id
+       JOIN deg d ON e.src = d.id GROUP BY e.dst),
+       r$i AS (SELECT nodes.id,
+         CAST(b.base + x.extra + COALESCE(c$i.inflow, 0) AS BIGINT) AS r
+       FROM nodes CROSS JOIN b CROSS JOIN x$i x
+       LEFT JOIN c$i ON nodes.id = c$i.id)"""
+
+  /** Shared PageRank CTE prefix over the nation trade graph;
+    * `edgeWhere` picks the edge subset (the redistributed variant
+    * keeps only `src < dst` so the graph HAS dangling nodes — the max
+    * nation key never appears as a source).
+    */
+  private def pageRankCtePrefix(edgeWhere: String): String =
     s"""WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
            CAST(s.s_nationkey AS BIGINT) AS dst
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         WHERE c.c_nationkey <> s.s_nationkey),
+         WHERE $edgeWhere),
        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        cnt AS (SELECT COUNT(*) AS n FROM nodes),
        deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src),
        b AS (SELECT CAST((1000000000000 * 150000) // (1000000 * n)
            AS BIGINT) AS base FROM cnt),
        r0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS r
-         FROM nodes CROSS JOIN cnt),
+         FROM nodes CROSS JOIN cnt)"""
+
+  private val pageRankSql: String =
+    s"""${pageRankCtePrefix("c.c_nationkey <> s.s_nationkey")},
        ${prIterCtes(1)},
        ${prIterCtes(2)},
        ${prIterCtes(3)}
+       SELECT id, r FROM r3 ORDER BY id"""
+
+  private val pageRankRedistSql: String =
+    s"""${pageRankCtePrefix("c.c_nationkey < s.s_nationkey")},
+       ${prRedistIterCtes(1)},
+       ${prRedistIterCtes(2)},
+       ${prRedistIterCtes(3)}
        SELECT id, r FROM r3 ORDER BY id"""
 
   // ---- drift oracle: replay Drift.report / Drift.reportAgainstReference
@@ -1383,6 +1420,26 @@ object Queries {
       ProductQuant.writeIvfPqIndex(qv, "vec_id", "qv",
         ProductQuant.plantedCoarse(16, 64),
         ProductQuant.plantedCodebook(8, 8, 16), path)
+      path
+    })
+
+  /** RESIDUAL-encoded sibling of [[ivfPqIndexFor]] (the full IVFADC
+    * shape: codes over `v − coarse(cell)`, per-cell query LUTs) — all
+    * intermediates stay exact integers (residual components ≤ 448 in
+    * magnitude), so DuckDB replays routing, residuals, codes and ADC.
+    */
+  private val ivfPqResIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def ivfPqResIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(ivfPqResIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import graft.pipeline.ProductQuant
+      val path = indexTmpPath("ivfpqres", d)
+      val qv = rd(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.writeIvfPqIndex(qv, "vec_id", "qv",
+        ProductQuant.plantedCoarse(16, 64),
+        ProductQuant.plantedCodebook(8, 8, 16), path, residuals = true)
       path
     })
 
@@ -4171,6 +4228,77 @@ object Queries {
       SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- IVF-PQ with RESIDUAL encoding (the full FAISS IVFADC shape,
+    // Jégou et al. 2011): codes over v − coarse(cell), each query's
+    // LUT built in its probed cell's residual space. Residual
+    // components stay exact integers (|v| ≤ 256, |coarse| ≤ 192), so
+    // DuckDB replays routing, residuals, codes AND the per-cell ADC
+    // bit-for-bit — same exactness argument as ivf_pq_topk. ----
+    ("ivf_pq_residual_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val path = ivfPqResIndexFor(s, dir)
+      val queries = rd(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.ivfPqTopKFromIndex(s, path, queries, "qid", "qv",
+          k = 3, nProbe = 1)
+        .select(col("query_id"), col("id"),
+          col("adc").cast("long").as("adc_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      cd AS (
+        SELECT e.vec_id, c.g AS cell,
+               list_sum(list_transform(range(0, 64), j ->
+                 (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+                 * (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+               )) AS dist
+        FROM e, range(0,16) c(g)),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM cd) WHERE rn = 1),
+      r AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(0, 64), j ->
+                 e.v[CAST(j + 1 AS INTEGER)]
+                 - CAST(((a.cell*11 + j*3) % 16) - 8 AS DOUBLE)*24) AS rv
+        FROM assign a JOIN e ON e.vec_id = a.vec_id),
+      d AS (
+        SELECT r.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (rv[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (rv[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM r, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS query_id, code.vec_id AS id,
+               CAST(SUM(qd.dist) AS BIGINT) AS adc_int
+        FROM code
+        JOIN assign ca ON ca.vec_id = code.vec_id
+        JOIN assign qa ON qa.cell = ca.cell AND qa.vec_id < 5
+        JOIN d qd ON qd.vec_id = qa.vec_id AND qd.s = code.s
+                 AND qd.c = code.code
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, id, adc_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_int, id) AS rank FROM adc)
+      SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- multimodal AUDIO with a REAL header decode: every doc plants
     // an in-memory PCM RIFF/WAVE stream whose rate/channels/frames
     // derive from doc_id; the zero-dependency chunk-walk parse
@@ -6655,6 +6783,25 @@ object Queries {
       graft.pipeline.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
         .orderBy("id")
     }): Q, Some(pageRankSql)),
+
+    // ---- standard-PageRank variant: dangling mass redistributed as an
+    // exact integral share each round (mass conserved up to div
+    // remainders). Edges keep only src < dst so the graph HAS dangling
+    // nodes — the redistribution term is exercised, not vacuous. ----
+    ("pagerank_redistributed_nations", ((s: SparkSession, dir: String) => {
+      val l = rd(s, dir, "lineitem")
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      val su = rd(s, dir, "supplier")
+      val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        .filter(col("src") < col("dst"))
+      graft.pipeline.LinkGraph.pageRank(edges, "src", "dst", iters = 3,
+          redistributeDangling = true)
+        .orderBy("id")
+    }): Q, Some(pageRankRedistSql)),
 
     // ---- deterministic WEIGHTED sample (Efraimidis–Spirakis A-Res):
     // inclusion ∝ n_chars; the uniform draw is an exact 52-bit md5

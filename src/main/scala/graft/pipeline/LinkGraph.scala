@@ -22,13 +22,18 @@ import org.apache.spark.sql.graftshim
   *    self-loops are dropped; rows with a NULL endpoint are ignored
   *    (the pair-generator null rule);
   *  - the node set is every id mentioned on either side;
-  *  - DANGLING nodes (no out-edges) leak their damped mass — the
-  *    simple-sink variant: total mass is NOT conserved, which biases
-  *    absolute ranks low but preserves the authority ORDER, and keeps
-  *    every step one join away from the edge list (redistributing sink
-  *    mass needs a per-iteration global sum; callers who need
-  *    conservation can add the constant back from the iteration's
-  *    mass-loss aggregate).
+  *  - DANGLING nodes (no out-edges): two pinned variants.
+  *    `redistributeDangling = false` (default) leaks their damped mass
+  *    — the simple-sink shape: total mass is NOT conserved, which
+  *    biases absolute ranks low but preserves the authority ORDER and
+  *    costs nothing extra. `redistributeDangling = true` is standard
+  *    PageRank: each round pays ONE extra aggregate (the dangling
+  *    ranks' sum `D` — a single long to the driver) and every node
+  *    gains the exact integral share `(D·d_micro) div (1e6·n)`; only
+  *    the div remainders leak (< 1 part-per-1e12 per share/base/extra
+  *    term), so mass is conserved up to `edges + 2n` parts per round —
+  *    the bound LinkGraphSpec pins. Absolute ranks are then comparable
+  *    across snapshots with different dangling fractions.
   *
   * Scale design (100 TB): no driver-side graph state — each iteration
   * is `edges ⋈ ranks` (shuffle on src), a `groupBy(dst)` partial-sum
@@ -54,6 +59,7 @@ object LinkGraph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampingMicro: Int = dampingMicroDefault,
+      redistributeDangling: Boolean = false,
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampingMicro >= 0 && dampingMicro <= 1000000,
@@ -76,6 +82,17 @@ object LinkGraph {
     val base = (massTotal * (1000000L - dampingMicro)) / (1000000L * n)
     var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
     for (_ <- 1 to iters) {
+      // exact dangling redistribution: one aggregate of the dangling
+      // ranks (a single long crosses to the driver), every node gains
+      // (D·d_micro) div (1e6·n) — magnitude D·d_micro ≤ 8.5e17 < 2^63
+      val extra =
+        if (!redistributeDangling) 0L
+        else {
+          val d = ranks.join(outDeg, Seq("id"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).as("d"))
+            .head().getLong(0)
+          (d * dampingMicro) / (1000000L * n)
+        }
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(outDeg.withColumnRenamed("id", "src"), Seq("src"))
@@ -85,7 +102,7 @@ object LinkGraph {
         .groupBy("id").agg(sum("share").as("inflow"))
       val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+          (lit(base + extra) + coalesce(col("inflow"), lit(0L))).as("r"))
         .localCheckpoint()
       ranks.unpersist()
       ranks = next

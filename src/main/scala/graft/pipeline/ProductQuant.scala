@@ -519,9 +519,18 @@ object ProductQuant {
   // vector to a cell (one parquet partition per cell — a query reads
   // only its probed cells via partition pruning) and PQ codes stand in
   // for the floats inside each cell (the 32× byte cut) — pruning ×
-  // compression, the FAISS IVFADC shape minus residual encoding
-  // (codes are over raw vectors here, so a cell's codes and a flat PQ
-  // index's codes agree bit-for-bit and the same codebook serves both).
+  // compression. Two encodings, both pinned:
+  //  - `residuals = false`: codes over RAW vectors — a cell's codes and
+  //    a flat PQ index's codes agree bit-for-bit and the same codebook
+  //    serves both (the cross-index oracle property).
+  //  - `residuals = true`: the full FAISS IVFADC shape (Jégou et al.
+  //    2011) — each vector encodes `v − coarse(cell(v))`, and a query's
+  //    ADC LUT is built against the residual space of EACH probed cell
+  //    (`q − coarse(cell)`, one LUT per (query, probed cell)). The
+  //    codebook then only has to span the within-cell spread instead of
+  //    the whole space, which is what makes IVFADC's recall/byte
+  //    competitive; ProductQuantSpec measures residual ≥ raw recall on
+  //    the trained fixture.
 
   /** L2-argmin cell for one vector (ties → lowest cell id) — PQ world
     * routes by the metric ADC approximates, unlike the cosine routing
@@ -556,14 +565,26 @@ object ProductQuant {
     Array.tabulate(numCells)(c => Array.tabulate(dim)(j =>
       ((((c * 11 + j * 3) % 16) - 8) * 24).toFloat))
 
+  /** `v − c` elementwise in float (exact for the integer-valued oracle
+    * inputs; the engine-replay argument of the class doc).
+    */
+  private[pipeline] def residualJ(v: Array[Float],
+      c: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var j = 0
+    while (j < v.length) { out(j) = v(j) - c(j); j += 1 }
+    out
+  }
+
   /** Persist the IVF-PQ index: one broadcast map assigns cells and
-    * encodes codes, rows land `partitionBy("cid")` (probed-cell reads
-    * touch only their directories), and one self-describing sidecar
-    * carries coarse + codebook + identity.
+    * encodes codes (`residuals = true` encodes `v − coarse(cell)`,
+    * see the section doc), rows land `partitionBy("cid")` (probed-cell
+    * reads touch only their directories), and one self-describing
+    * sidecar carries coarse + codebook + encoding + identity.
     */
   def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Float]], cb: PqCodebook,
-      path: String): Unit = {
+      path: String, residuals: Boolean = false): Unit = {
     require(cb.codesPerSubspace <= 256,
       "one-byte packing requires <= 256 codes per subspace")
     require(coarse.nonEmpty && coarse.forall(_.length == cb.dim),
@@ -575,30 +596,39 @@ object ProductQuant {
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        (id, encodeJ(v, bcCb.value).map(c => (c & 0xFF).toByte),
-          nearestCellL2(v, bcCoarse.value))
+        val cid = nearestCellL2(v, bcCoarse.value)
+        val enc =
+          if (residuals) residualJ(v, bcCoarse.value(cid)) else v
+        (id, encodeJ(enc, bcCb.value).map(c => (c & 0xFF).toByte), cid)
       }
       .toDF("id", "codes", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     Seq((coarse.map(_.toSeq).toSeq,
         cb.centroids.map(_.map(_.toSeq).toSeq).toSeq, cb.subDim,
         cb.numSubspaces, cb.codesPerSubspace, cb.dim, coarse.length,
-        "l2"))
+        "l2", residuals))
       .toDF("coarse", "centroids", "subDim", "numSubspaces",
-        "codesPerSubspace", "dim", "numCells", "metric").coalesce(1)
+        "codesPerSubspace", "dim", "numCells", "metric", "residuals")
+      .coalesce(1)
       .write.mode("overwrite").json(s"$path.meta")
   }
 
-  /** Reload (coarse, codebook) written by [[writeIvfPqIndex]]. */
-  def readIvfPqSidecar(spark: SparkSession,
-      path: String): (Array[Array[Float]], PqCodebook) = {
+  /** Reload (coarse, codebook, residuals) written by
+    * [[writeIvfPqIndex]] (pre-residual sidecars read as `false`).
+    */
+  def readIvfPqSidecar(spark: SparkSession, path: String)
+      : (Array[Array[Float]], PqCodebook, Boolean) = {
     import spark.implicits._
-    val row = spark.read.json(s"$path.meta")
+    val meta = spark.read.json(s"$path.meta")
+    val row = meta
       .select(col("coarse"), col("centroids"), col("subDim"))
       .as[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Long)].head()
+    val residuals = meta.columns.contains("residuals") &&
+      meta.select(col("residuals")).as[Boolean].head()
     (row._1.map(_.map(_.toFloat).toArray).toArray,
       PqCodebook(row._3.toInt,
-        row._2.map(_.map(_.map(_.toFloat).toArray).toArray).toArray))
+        row._2.map(_.map(_.map(_.toFloat).toArray).toArray).toArray),
+      residuals)
   }
 
   /** ADC top-`k` against a persisted IVF-PQ index: each query probes
@@ -613,17 +643,30 @@ object ProductQuant {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 1): DataFrame = {
     import spark.implicits._
-    val (coarse, cb) = readIvfPqSidecar(spark, path)
-    // one LUT + probe set per query; null query vectors probe nothing
-    val qRows: Array[(Long, Array[Int], Array[Array[Double]])] = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
-      .filter(col(qVecCol).isNotNull)
-      .as[(Long, Array[Float])].collect()
-      .map { case (qid, qv) =>
-        require(qv.length == cb.dim,
-          s"query dim ${qv.length} != index dim ${cb.dim}")
-        (qid, probeCellsL2(qv, coarse, nProbe), lutJ(qv, cb))
-      }
+    val (coarse, cb, residuals) = readIvfPqSidecar(spark, path)
+    // per query: probe set + one LUT PER PROBED CELL (residual space
+    // shifts with the cell; the raw encoding shares one LUT across
+    // cells). LUT volume stays queries × nProbe × subspaces × codes
+    // doubles — broadcast-sized. Null query vectors probe nothing.
+    val qRows: Array[(Long, Array[Int], Array[Array[Array[Double]]])] =
+      queries
+        .select(col(qIdCol).cast("long"),
+          col(qVecCol).cast("array<float>"))
+        .filter(col(qVecCol).isNotNull)
+        .as[(Long, Array[Float])].collect()
+        .map { case (qid, qv) =>
+          require(qv.length == cb.dim,
+            s"query dim ${qv.length} != index dim ${cb.dim}")
+          val probes = probeCellsL2(qv, coarse, nProbe)
+          val luts =
+            if (residuals)
+              probes.map(c => lutJ(residualJ(qv, coarse(c)), cb))
+            else {
+              val shared = lutJ(qv, cb)
+              probes.map(_ => shared)
+            }
+          (qid, probes, luts)
+        }
     val probed = qRows.flatMap(_._2).distinct.toSeq
     val bc = spark.sparkContext.broadcast(qRows)
     val pruned = spark.read.parquet(path)
@@ -634,7 +677,8 @@ object ProductQuant {
       .as[(Long, Array[Byte], Int)]
     val partial = pruned.mapPartitions { it =>
       val qs = bc.value
-      val probeSets = qs.map(_._2.toSet)
+      // cid -> LUT index, one map per query (probe sets are tiny)
+      val lutIdx = qs.map(_._2.zipWithIndex.toMap)
       val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
         case (d, id) => (d, id)
       }
@@ -644,8 +688,9 @@ object ProductQuant {
       it.foreach { case (id, bs, cid) =>
         var qi = 0
         while (qi < qs.length) {
-          if (probeSets(qi).contains(cid)) {
-            val lut = qs(qi)._3
+          val li = lutIdx(qi).getOrElse(cid, -1)
+          if (li >= 0) {
+            val lut = qs(qi)._3(li)
             var acc = 0.0
             var s = 0
             while (s < bs.length) {

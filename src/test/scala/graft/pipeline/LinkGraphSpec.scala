@@ -48,6 +48,56 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got == ranks(base, 2))
   }
 
+  test("redistributeDangling: exact hand replay, mass conserved up to " +
+      "div remainders, beats the leaking variant") {
+    // 1→2, 1→3, 2→3; node 3 dangles. Replay the integer arithmetic
+    // in plain Scala maps and require exact equality.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val outdeg = Map(1L -> 2L, 2L -> 1L)
+    val n = 3L
+    val d = 850000L
+    val base = (LinkGraph.massTotal * (1000000L - d)) / (1000000L * n)
+    var r = Map(1L -> LinkGraph.massTotal / n,
+      2L -> LinkGraph.massTotal / n, 3L -> LinkGraph.massTotal / n)
+    val iters = 3
+    for (_ <- 1 to iters) {
+      val dangling = r.keys.filterNot(outdeg.contains).map(r).sum
+      val extra = (dangling * d) / (1000000L * n)
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          (r(src) * d) / (1000000L * outdeg(src))
+        }.sum
+      }
+      r = r.keys.map(id =>
+        id -> (base + extra + inflow.getOrElse(id, 0L))).toMap
+    }
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r, s"engine $got != replay $r")
+    // conservation up to div remainders: per round each share, base,
+    // and extra term floors away < 1 part — slack ≤ (edges + 2n)·iters
+    val slack = (edges.size + 2 * n) * iters
+    assert(got.values.sum >= LinkGraph.massTotal - slack,
+      s"mass ${got.values.sum} leaked past the remainder bound")
+    assert(got.values.sum <= LinkGraph.massTotal)
+    // strictly more mass than the leaking variant on a dangling graph
+    val leaky = ranks(edges, iters)
+    assert(got.values.sum > leaky.values.sum)
+    // and the authority ORDER is preserved between the variants
+    def order(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (id, rk) => (-rk, id) }.map(_._1)
+    assert(order(got) == order(leaky))
+  }
+
+  test("redistributeDangling on a dangling-free graph is a no-op") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      3, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ranks(edges, 3))
+  }
+
   test("topAuthorities: the sink of a star graph ranks first") {
     // 2..6 all point at 1
     val edges = (2L to 6L).map(i => (i, 1L))

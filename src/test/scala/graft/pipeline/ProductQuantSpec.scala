@@ -149,6 +149,79 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
       s"cid filter must prune partitions:\n$plan")
   }
 
+  test("ivf-pq residual encoding: flag round-trips, recall beats the " +
+      "raw encoding when clusters exceed the code budget") {
+    // 8 clusters but only 4 codes per subspace: raw codes must spread
+    // over 8 distinct subvector groups, residual codes only over the
+    // +-0.1 within-cluster jitter — the FAISS IVFADC advantage.
+    val bases = Array.tabulate(8)(c =>
+      Array.tabulate(dim)(j => (math.sin(c * 2.1 + j) * 10).toFloat))
+    val rows = (0 until 96).map { i =>
+      val b = bases(i % 8)
+      (i.toLong, b.zipWithIndex.map { case (x, j) =>
+        x + ((i * 31 + j * 7) % 5 - 2) * 0.05f
+      }.toSeq)
+    }
+    val corpus = rows.toDF("id", "v").select(col("id"),
+      col("v").cast("array<float>").as("v"))
+    // the true bases as coarse centroids (a trained coarse quantizer
+    // can merge clusters under unlucky init; this test isolates the
+    // ENCODING comparison, not coarse training quality)
+    val coarse = bases
+    // each encoding trains ITS OWN codebook (the honest comparison):
+    // raw on the vectors, residual on the residuals
+    val cbRaw = trainCodebook(corpus, "id", "v", sub, 4,
+      sampleN = 96, iters = 8)
+    val raws = rows.map { case (id, v) =>
+      val vf = v.toArray
+      (id, residualJ(vf, coarse(nearestCellL2(vf, coarse))).toSeq)
+    }
+    val resDf = raws.toDF("id", "v").select(col("id"),
+      col("v").cast("array<float>").as("v"))
+    val cbRes = trainCodebook(resDf, "id", "v", sub, 4,
+      sampleN = 96, iters = 8)
+    val dirBase = java.nio.file.Files
+      .createTempDirectory("ivfpqres").toString
+    val pRes = dirBase + "/res"
+    val pRaw = dirBase + "/raw"
+    writeIvfPqIndex(corpus, "id", "v", coarse, cbRes, pRes,
+      residuals = true)
+    writeIvfPqIndex(corpus, "id", "v", coarse, cbRaw, pRaw)
+    assert(readIvfPqSidecar(spark, pRes)._3 === true)
+    assert(readIvfPqSidecar(spark, pRaw)._3 === false)
+
+    val nQ = 8
+    val queries = corpus.filter(col("id") < nQ)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val vecs = rows.map { case (id, v) => id -> v.toArray }.toMap
+    val truth = (0L until nQ.toLong).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.map { case (id, v) =>
+        (id, v.zip(qv).map { case (a, b) =>
+          (a.toDouble - b) * (a.toDouble - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(path: String): Double = {
+      // full probe isolates the ENCODING (no pruning effects)
+      val got = ivfPqTopKFromIndex(spark, path, queries, "qid", "qv",
+        k = 5, nProbe = coarse.length)
+        .select("query_id", "id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        got(q).intersect(t).size.toDouble / t.size }.sum / truth.size
+    }
+    val (rRes, rRaw) = (recall(pRes), recall(pRaw))
+    // within-cluster top-5 ordering rides on +-0.1 jitter, so neither
+    // encoding is perfect — the pinned property is the IVFADC claim:
+    // residual encoding strictly dominates when clusters outnumber
+    // codes, and stays high in absolute terms
+    assert(rRes > rRaw,
+      s"residual recall $rRes does not beat raw recall $rRaw")
+    assert(rRes >= 0.8, s"residual recall $rRes unexpectedly low " +
+      s"(raw $rRaw)")
+  }
+
   test("rerank with corpus-wide shortlist equals exact L2 top-k") {
     val corpus = clustered()
     val cb = trainCodebook(corpus, "id", "v", sub, 8,
