@@ -2099,7 +2099,8 @@ object Queries {
       baseSql: String, minLmScore: Option[Double] = None,
       lmVocabSize: Int = 20,
       modelGate: Option[(graft.pipeline.QualityModel.LinearModel, Long)]
-        = None): String = {
+        = None,
+      capPerKey: Option[(String, Int)] = None): String = {
     // single-pass: drop the higher id of each pair; transitive: drop
     // every non-minimum member of each pair-graph component (recursive
     // reachability closure, min reachable id = cluster label)
@@ -2175,20 +2176,39 @@ object Queries {
       s" AND mq >= $t" }.getOrElse("")
     val mCase = modelGate.map { case (_, t) =>
       s"WHEN s.mq < $t THEN 'model_filtered' " }.getOrElse("")
+    // optional per-key cap: rank filter survivors per key in id order
+    // (the unsalted window — Curation delegates to Sampling.capPerKey,
+    // whose spec pins equality with exactly this window) and reject
+    // ranks past the cap BEFORE the exact-dedup stage sees them
+    val capSel = capPerKey.map { case (k, _) => s", $k AS capk" }
+      .getOrElse("")
+    val capCtes = capPerKey.map { case (_, cap) =>
+      s"""capr AS (SELECT doc_id, row_number() OVER (
+            PARTITION BY capk ORDER BY doc_id) AS crn FROM lq),
+          lq2 AS (SELECT lq.doc_id, lq.text FROM lq
+                  JOIN capr USING (doc_id) WHERE capr.crn <= $cap), """
+    }.getOrElse("")
+    val rankedSrc = if (capPerKey.isDefined) "lq2" else "lq"
+    val capJoin = capPerKey.map(_ =>
+      " LEFT JOIN capr cr ON s.doc_id = cr.doc_id").getOrElse("")
+    val capCase = capPerKey.map { case (_, cap) =>
+      s"WHEN cr.crn > $cap THEN 'cap_filtered' " }.getOrElse("")
     s"""WITH ${if (transitive) "RECURSIVE " else ""}base AS ($baseSql),
       $tmaxCte $lmCtes
       staged AS (
         SELECT doc_id, text,
                ${langIdSql("text")} AS lang_d,
                ${qualityScoreSql("text")} AS q
-               $mSel $piiSel $repSel $lmSel
+               $capSel $mSel $piiSel $repSel $lmSel
         $stagedFrom $lmFrom),
-      lq AS (SELECT doc_id, text FROM staged
+      lq AS (SELECT doc_id, text
+               ${if (capPerKey.isDefined) ", capk" else ""} FROM staged
              WHERE lang_d = '$keepLang' AND q >= $minQuality
                $mCond $piiCond $repCond $lmCond),
+      $capCtes
       ranked AS (
         SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
-          ORDER BY doc_id) AS rn FROM lq),
+          ORDER BY doc_id) AS rn FROM $rankedSrc),
       all_docs AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
       $shingleCteSql,
       pairs AS (${jaccardSelectSql(threshold, "a.doc_id < b.doc_id")}),
@@ -2197,13 +2217,13 @@ object Queries {
         SELECT s.doc_id, s.text,
                CASE WHEN s.lang_d <> '$keepLang' THEN 'lang_filtered'
                     WHEN s.q < $minQuality THEN 'quality_filtered'
-                    $mCase$piiCase$repCase$lmCase
+                    $mCase$piiCase$repCase$lmCase$capCase
                     WHEN r.rn > 1 THEN 'exact_dup'
                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
                     ELSE 'kept' END AS status
         FROM staged s
         LEFT JOIN ranked r ON s.doc_id = r.doc_id
-        LEFT JOIN nd ON s.doc_id = nd.doc_id)
+        LEFT JOIN nd ON s.doc_id = nd.doc_id$capJoin)
       SELECT doc_id, status,
              CASE WHEN status = 'kept' THEN ${splitCaseSql("text")}
              END AS split
@@ -4664,6 +4684,27 @@ object Queries {
       baseSql = docsCurationSql,
       modelGate = Some((graft.pipeline.QualityModel.default,
         1800000L))))),
+
+    // ---- curation with the OPT-IN per-key frequency cap (the
+    // C4/RefinedWeb domain-diversity gate): after every filter and
+    // before exact dedup, each source keeps only its 8 lowest-id
+    // surviving documents — the rest reject as `cap_filtered`. The
+    // engine runs the skew-safe salted two-phase window
+    // (Sampling.capPerKey); the oracle replays the equivalent naive
+    // per-key window (the equality capPerKey's spec pins). ----
+    ("curate_capped_documents", ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curation.curate(
+        rd(s, dir, "documents").select("doc_id", "text", "source"),
+        "doc_id", "text",
+        graft.pipeline.Curation.Config(
+          nearDup = graft.pipeline.Curation.NearDupStrategy.Ngram(
+            maxDocFreq = 0),
+          maxPerKey = Some(("source", 8))))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSqlFull("en", 40, 0.8, transitive = false,
+      maxPiiHits = None, maxTokenRunPct = None,
+      baseSql = "SELECT doc_id, text, source FROM documents",
+      capPerKey = Some(("source", 8))))),
 
     // ---- curation with TRANSITIVE near-dup removal: the same composed
     // pipeline, near-dup drop set = every non-minimum member of each

@@ -32,6 +32,7 @@ object Curation {
   val PiiFiltered = "pii_filtered"
   val RepetitionFiltered = "repetition_filtered"
   val LmFiltered = "lm_filtered"
+  val CapFiltered = "cap_filtered"
   val ExactDup = "exact_dup"
   val NearDup = "near_dup"
   val Kept = "kept"
@@ -74,9 +75,16 @@ object Curation {
     * exact dedup, and `minLmScore` (with `lmModel`/`lmVocabSize`) an
     * optional bigram-LM reference-likeness stage after them; `modelGate`
     * (+`minModelLogitQ`) inserts the trainable-classifier gate
-    * ([[QualityModel]]) right after the heuristic quality stage:
-    * language → quality → model → pii → repetition → lm → exact →
-    * near-dup → split.
+    * ([[QualityModel]]) right after the heuristic quality stage;
+    * `maxPerKey = Some((keyCol, cap))` inserts the per-key frequency
+    * cap (the C4/RefinedWeb domain-diversity gate — no single domain
+    * may contribute more than `cap` surviving documents) AFTER every
+    * filter and BEFORE exact dedup, keeping the `cap` lowest-id filter
+    * survivors per key via the skew-safe two-phase salted window
+    * ([[Sampling.capPerKey]] — provably equal to the naive per-key
+    * window). Full stage order:
+    * language → quality → model → pii → repetition → lm → cap →
+    * exact → near-dup → split.
     */
   final case class Config(
       keepLangs: Seq[String] = Seq("en"),
@@ -93,7 +101,8 @@ object Curation {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       modelGate: Option[QualityModel.LinearModel] = None,
-      minModelLogitQ: Long = 0L)
+      minModelLogitQ: Long = 0L,
+      maxPerKey: Option[(String, Int)] = None)
 
   /** Per-document curation audit: `(id, status, split)` for EVERY input
     * row, where `status` is the first stage that rejected the document
@@ -199,19 +208,41 @@ object Curation {
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(cfg.keepLangs.nonEmpty, "keepLangs must be non-empty")
     val sc = CacheScope.resolve(scope, docs.sparkSession)
-    val staged = stageFlags(docs, idCol, textCol, cfg, sc)
+    val staged0 = stageFlags(docs, idCol, textCol, cfg, sc)
     val filtersOk = col("_lang_ok") && col("_q_ok") && col("_m_ok") &&
       col("_pii_ok") && col("_rep_ok") && col("_lm_ok")
-    // exact-dedup rank among filter survivors only; rejected rows get a
-    // unique synthetic key (rank 1 in a singleton window partition — no
-    // all-rejects-in-one-partition skew, and their rank is never read)
-    val pkey = when(filtersOk, md5(col("text")))
+    // optional per-key frequency cap among filter survivors: the cap
+    // key joins back from the input by id (hash-width), survivors rank
+    // per key in id order through the skew-safe salted two-phase
+    // window, and rows past the cap take `_cap_ok = false`. Rows a
+    // filter already rejected keep `_cap_ok = true` (the status chain
+    // reports the FIRST rejecting stage, and the cap never saw them).
+    val staged = cfg.maxPerKey match {
+      case None => staged0.withColumn("_cap_ok", lit(true))
+      case Some((key, cap)) =>
+        val keyed = staged0.join(
+          docs.select(col(idCol).as("id"), col(key).as("_capkey")),
+          Seq("id"))
+        val survivors = keyed.filter(filtersOk)
+          .select(col("id"), col("_capkey"))
+        val kept = Sampling.capPerKey(survivors, "_capkey", "id", cap)
+          .select(col("id"), lit(true).as("_cap_keep"))
+        keyed.join(kept, Seq("id"), "left")
+          .withColumn("_cap_ok",
+            !filtersOk || coalesce(col("_cap_keep"), lit(false)))
+          .drop("_capkey", "_cap_keep")
+    }
+    // exact-dedup rank among filter+cap survivors only; rejected rows
+    // get a unique synthetic key (rank 1 in a singleton window
+    // partition — no all-rejects-in-one-partition skew, and their rank
+    // is never read)
+    val pkey = when(filtersOk && col("_cap_ok"), md5(col("text")))
       .otherwise(concat(lit("r:"), col("id").cast("string")))
     val ranked = sc.persist(staged.withColumn("_rn",
       row_number().over(Window.partitionBy(pkey).orderBy(col("id")))))
 
     val exactKept = ranked
-      .filter(filtersOk && col("_rn") === 1)
+      .filter(filtersOk && col("_cap_ok") && col("_rn") === 1)
       .select("id", "text")
     val pairs = cfg.nearDup match {
       case NearDupStrategy.Ngram(maxDocFreq) =>
@@ -242,6 +273,7 @@ object Curation {
       .when(!col("_pii_ok"), lit(PiiFiltered))
       .when(!col("_rep_ok"), lit(RepetitionFiltered))
       .when(!col("_lm_ok"), lit(LmFiltered))
+      .when(!col("_cap_ok"), lit(CapFiltered))
       .when(col("_rn") > 1, lit(ExactDup))
       .when(col("_near_dup"), lit(NearDup))
       .otherwise(lit(Kept))

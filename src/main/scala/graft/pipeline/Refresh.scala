@@ -113,6 +113,10 @@ object Refresh {
       "refresh with an LM stage needs the persisted reference model " +
         "(cfg.lmModel): self-training on a delta diverges from the " +
         "corpus-trained scores the old audit used")
+    require(cfg.maxPerKey.isEmpty,
+      "maxPerKey is a whole-corpus stage: a delta alone cannot " +
+        "evaluate a global per-key cap — cap in the batch curate, or " +
+        "re-run the cap over old-kept + delta upstream")
 
     val diff = sc.persist(snapshotDiff(oldSnap, newSnap, idCol, textCol))
     val audit = oldAudit.select(col(idCol).cast("long").as("id"),

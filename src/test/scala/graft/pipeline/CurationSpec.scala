@@ -172,6 +172,45 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       off(3L) != Curation.RepetitionFiltered)
   }
 
+  test("per-key cap sits between filters and exact dedup: filtered " +
+      "rows never consume slots, capped dups are cap_filtered") {
+    val ok = "a perfectly ordinary sentence about nothing much at all"
+    val docs = Seq(
+      (1L, ok + " one", "d1"),
+      (2L, "write only to spam@junk.example please thanks", "d1"),
+                                      // pii-filtered: no cap slot
+      (3L, ok + " three", "d1"),      // 2nd survivor of d1 -> kept
+      (4L, ok + " four", "d1"),       // 3rd survivor, cap=2 -> capped
+      (5L, ok + " one", "d1"),        // dup of 1 BUT past the cap:
+                                      //   cap_filtered, NOT exact_dup
+      (6L, ok + " six", "d2"),        // other key unaffected
+      (7L, ok + " three", "d2"))      // dup of 3 (in-cap) -> exact_dup
+      .toDF("doc_id", "text", "source")
+    val cfg = Curation.Config(minQuality = 0,
+      keepLangs = Seq("en", "und"), maxPiiHits = 0,
+      nearDup = Curation.NearDupStrategy.Ngram(maxDocFreq = 0),
+      maxPerKey = Some(("source", 2)))
+    val m = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text", cfg, scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(m(1L) == Curation.Kept)
+    assert(m(2L) == Curation.PiiFiltered) // not cap_filtered
+    assert(m(3L) == Curation.Kept) // slot NOT eaten by filtered row 2
+    assert(m(4L) == Curation.CapFiltered)
+    assert(m(5L) == Curation.CapFiltered) // cap decides before dedup
+    assert(m(6L) == Curation.Kept)
+    assert(m(7L) == Curation.ExactDup) // dup of an in-cap survivor
+    // stage off: same input, no cap_filtered at all
+    val off = CacheScope.withScope { scope =>
+      Curation.curate(docs, "doc_id", "text",
+          cfg.copy(maxPerKey = None), scope)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(!off.values.toSet.contains(Curation.CapFiltered))
+    assert(off(4L) == Curation.Kept && off(5L) == Curation.ExactDup)
+  }
+
   test("model gate sits between quality and pii; quantized threshold") {
     val docs = Seq(
       (1L, "a perfectly ordinary sentence about nothing much at all"),
