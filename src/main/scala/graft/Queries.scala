@@ -258,13 +258,18 @@ object Queries {
 
   /** Drift specs shared by the drift queries: one numeric metric
     * (n_chars, 8 bins over the reference window), one bounded
-    * categorical (lang), one hash-bounded categorical (source through
-    * the 4-hex md5 slice mod 8 — the unbounded-domain posture).
+    * categorical (lang — with 'de' mapped to NULL so the dedicated
+    * NULL bucket carries real mass on BOTH snapshots: the lang-id-
+    * failure shape every live feed has, and the leg that pins the
+    * oracle's chr(0)-marker NULL-bucket join), one hash-bounded
+    * categorical (source through the 4-hex md5 slice mod 8 — the
+    * unbounded-domain posture).
     */
   def driftSpecs: Seq[graft.pipeline.Drift.Spec] = {
     import graft.pipeline.Drift
     Seq(Drift.numeric("n_chars", col("n_chars"), bins = 8),
-      Drift.categorical("lang", col("lang")),
+      Drift.categorical("lang",
+        when(col("lang") === "de", lit(null)).otherwise(col("lang"))),
       Drift.categorical("src_hash", Drift.hashedBucket(col("source"), 8)))
   }
 
@@ -634,7 +639,8 @@ object Queries {
              / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT)))
            AS VARCHAR), 'null') AS bucket FROM $src, b
        UNION ALL SELECT $lead'lang' AS col,
-         COALESCE(lang, chr(0) || 'null') AS bucket FROM $src
+         COALESCE(NULLIF(lang, 'de'), chr(0) || 'null') AS bucket
+         FROM $src
        UNION ALL SELECT $lead'src_hash' AS col,
          COALESCE(CAST(${hex4BucketSql("source", 8)} AS VARCHAR),
            chr(0) || 'null') AS bucket
@@ -3563,8 +3569,14 @@ object Queries {
         .union(d.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 95000).as("doc_id"),
             concat(col("text"), lit(" unseen tail marker")).as("text")))
+        // +95001, NOT +96000: the batch-internal dup pair must be two
+        // DISTINCT ids — constant offsets 95000/96000 collide whenever
+        // base ids b and b+1000 are both ≡ 0 (mod 25) (any base range
+        // past 1000), planting duplicate delta ids that violate the
+        // dedup family's id-uniqueness contract; adjacent offsets can
+        // never both hit the mod-25 grid
         .union(d.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 96000).as("doc_id"),
+          .select((col("doc_id") + 95001).as("doc_id"),
             concat(col("text"), lit(" unseen tail marker")).as("text")))
       graft.pipeline.Refresh.curateRefresh(d, newSnap, "doc_id", "text",
         s.read.parquet(pAudit), pEx,
@@ -3592,7 +3604,7 @@ object Queries {
         FROM documents WHERE doc_id % 20 = 0
         UNION ALL SELECT doc_id+95000, text || ' unseen tail marker'
         FROM documents WHERE doc_id % 25 = 0
-        UNION ALL SELECT doc_id+96000, text || ' unseen tail marker'
+        UNION ALL SELECT doc_id+95001, text || ' unseen tail marker'
         FROM documents WHERE doc_id % 25 = 0),
       diffc AS (
         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -6979,7 +6991,11 @@ object Queries {
     ("sql_drift_documents", ((s: SparkSession, dir: String) => {
       sqlSurfaceOnce(s, dir, "drift") {
         graft.functions.GraftTableFunctions.register(s)
-        val docs = rd(s, dir, "documents")
+        // 'de' mapped to NULL on both snapshots (the driftSpecs rule):
+        // the TVF's categorical leg must carry real NULL-bucket mass so
+        // the dedicated marker bucket is exercised through SQL too
+        val docs = rd(s, dir, "documents").withColumn("lang",
+          when(col("lang") === "de", lit(null)).otherwise(col("lang")))
         docs.filter(col("doc_id") % 2 === 0)
           .createOrReplaceTempView("graft_sql_drift_ref")
         docs.filter(col("doc_id") % 2 === 1)

@@ -82,8 +82,15 @@ private[pipeline] trait NgramDedupOps extends Serializable { this: Dedup.type =>
         col("n_b") >= lit(threshold) * col("n_a"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
+      // a legitimate group has inter ≤ min(n_a, n_b), so the union
+      // denominator is ≥ max(n_a, n_b) ≥ 1; a zero denominator is only
+      // producible by CONTRACT-VIOLATING input (duplicate ids inflating
+      // inter past the set bound) — such groups take a NULL jaccard and
+      // drop at the threshold filter instead of killing the whole job
+      // with an ANSI DIVIDE_BY_ZERO
+      .withColumn("_den", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard", when(col("_den") > 0,
+        col("inter").cast("double") / col("_den")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -212,8 +219,15 @@ private[pipeline] trait NgramDedupOps extends Serializable { this: Dedup.type =>
         col("n_b") >= lit(threshold) * col("n_a"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
+      // a legitimate group has inter ≤ min(n_a, n_b), so the union
+      // denominator is ≥ max(n_a, n_b) ≥ 1; a zero denominator is only
+      // producible by CONTRACT-VIOLATING input (duplicate ids inflating
+      // inter past the set bound) — such groups take a NULL jaccard and
+      // drop at the threshold filter instead of killing the whole job
+      // with an ANSI DIVIDE_BY_ZERO
+      .withColumn("_den", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard", when(col("_den") > 0,
+        col("inter").cast("double") / col("_den")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
