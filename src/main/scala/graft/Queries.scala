@@ -6416,6 +6416,42 @@ object Queries {
     // slice pays the exact left_anti that removes true members and
     // revives false positives. Bit-identical to a plain left_anti, so
     // the oracle is NOT EXISTS. ----
+    // ---- SHARDED-bloom sidecar maintained FROM A STREAM (the
+    // daily-ingest shape of the 10^10-key tier, now that the fold is
+    // fully distributed): seed filter = every 100th BUILDING key
+    // (an empty partitionBy sidecar has no readable schema), three
+    // micro-batches stream in ALL the keys (the seed replays — OR is
+    // idempotent, a bit-level no-op), then the NOTHING-resident
+    // cogroup probe prunes the orders join. Oracle = the exact join
+    // (no false negatives; false positives die in the join). ----
+    ("bloom_sharded_stream_orders", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ShardedBloom
+      val dimKeys = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val inDir = streamInputFor(s, dir, "shbloomdim", 3)(dimKeys)
+      val path = freshSidecarPath("shbloomstream")
+      ShardedBloom.writeFilter(
+        dimKeys.filter(col("c_custkey") % 100 === 0), "c_custkey",
+        numShards = 8, bitsPerShard = 8192, numHashes = 5, path)
+      drainStream(s) {
+        graft.streaming.StreamOps.shardedBloomUpdateStream(
+          s.readStream.schema(s.read.parquet(inDir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir),
+          path, "c_custkey")
+      }
+      ShardedBloom.prunedJoinViaSidecar(s, path,
+          rd(s, dir, "orders"), dimKeys, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .orderBy("o_orderkey")
+    }): Q, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")),
+
     ("bloom_sharded_antijoin_orders", ((s: SparkSession, dir: String) => {
       import graft.pipeline.ShardedBloom
       val dim = rd(s, dir, "customer")

@@ -381,6 +381,26 @@ object StreamOps {
           batch, keyCol)
     }
 
+  /** [[bloomUpdateStream]] for the prefix-SHARDED tier
+    * ([[graft.pipeline.ShardedBloom]]) — the daily-ingest stream of
+    * the 10^10–10^11-key filter: each micro-batch folds through the
+    * fully-distributed per-(shard, word) `bit_or` merge and the
+    * partitioned atomic swap (nothing driver-resident at any size).
+    * Same idempotent-OR replay argument as the flat tier: a
+    * checkpoint-replayed batch is a bit-level no-op, and the
+    * maintained sidecar equals the build-at-once filter over the
+    * whole stream regardless of micro-batch placement.
+    */
+  def shardedBloomUpdateStream(stream: DataFrame, path: String,
+      keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.pipeline.ShardedBloom.updateFilter(batch.sparkSession,
+          path, batch, keyCol)
+    }
+
   /** Sidecar maintenance for the [[graft.pipeline.Search]] BM25
     * inverted index — the one persisted retrieval sidecar that
     * previously had a serving stream but no update stream: each

@@ -749,6 +749,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       .filter(!folded.mightContain(col("key"))).count() == 0)
   }
 
+  test("stream-maintained SHARDED bloom == build-at-once filter, " +
+      "replayed batch a no-op, generations stay shard-partitioned") {
+    import graft.pipeline.ShardedBloom
+    val path = java.nio.file.Files
+      .createTempDirectory("shbloomstream").toString + "/f"
+    val all = (0L until 600L).map(i => "k" + i)
+    // seed with a nonzero subset (an empty partitionBy sidecar has no
+    // readable schema); the subset replays through the stream — OR is
+    // idempotent, so the final filter is the one-shot build regardless
+    ShardedBloom.writeFilter(all.take(50).toDF("key"), "key",
+      numShards = 7, bitsPerShard = 4096, numHashes = 5, path)
+    val input = MemoryStream[String](spark)
+    val q = StreamOps.shardedBloomUpdateStream(
+      input.toDF().toDF("key"), path, "key").start()
+    input.addData(all.take(200)); q.processAllAvailable()
+    input.addData(all.slice(200, 400)); q.processAllAvailable()
+    input.addData(all.drop(400)); q.processAllAvailable()
+    // explicit replay of the middle batch: bit-level no-op
+    input.addData(all.slice(200, 400)); q.processAllAvailable()
+    q.stop()
+    val folded = ShardedBloom.readFilter(spark, path)
+    val once = ShardedBloom.build(all.toDF("key"), "key", 7, 4096, 5)
+    assert(folded.words.map(_.toSeq).toSeq ==
+      once.words.map(_.toSeq).toSeq)
+    // the maintained generation keeps the distributed-fold layout
+    val shardDirs = new java.io.File(s"$path/words").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty, "stream fold lost the shard layout")
+  }
+
   test("stream-maintained count-min grid == build-at-once sketch") {
     import graft.pipeline.CountMin
     val path = java.nio.file.Files
