@@ -4331,6 +4331,89 @@ object Queries {
       SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- IVF-PQ shortlist + EXACT rerank FROM the persisted residual
+    // index (IVFADC+R, the refine stage over the composed index): the
+    // partition-pruned residual-ADC scan nominates 10 per query, exact
+    // squared-L2 on raw vectors re-ranks only those. Both stages
+    // integer-exact, so DuckDB replays routing, residual codes, the
+    // nomination AND the rerank. ----
+    ("ivf_pq_rerank_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val path = ivfPqResIndexFor(s, dir)
+      val corpus = rd(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv"))
+      ProductQuant.ivfPqRerankTopK(s, path, corpus, "vec_id", "qv",
+          queries, "qid", "qv", k = 3, shortlist = 10, nProbe = 1)
+        .select(col("query_id"), col("id"),
+          col("l2").cast("long").as("l2_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      cd AS (
+        SELECT e.vec_id, c.g AS cell,
+               list_sum(list_transform(range(0, 64), j ->
+                 (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+                 * (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+               )) AS dist
+        FROM e, range(0,16) c(g)),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM cd) WHERE rn = 1),
+      r AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(0, 64), j ->
+                 e.v[CAST(j + 1 AS INTEGER)]
+                 - CAST(((a.cell*11 + j*3) % 16) - 8 AS DOUBLE)*24) AS rv
+        FROM assign a JOIN e ON e.vec_id = a.vec_id),
+      d AS (
+        SELECT r.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (rv[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (rv[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM r, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS query_id, code.vec_id AS id,
+               SUM(qd.dist) AS adc
+        FROM code
+        JOIN assign ca ON ca.vec_id = code.vec_id
+        JOIN assign qa ON qa.cell = ca.cell AND qa.vec_id < 5
+        JOIN d qd ON qd.vec_id = qa.vec_id AND qd.s = code.s
+                 AND qd.c = code.code
+        GROUP BY 1, 2),
+      short AS (
+        SELECT query_id, id FROM (
+          SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 10),
+      exact AS (
+        SELECT s.query_id, s.id,
+               CAST(list_sum(list_transform(range(0, 64), j ->
+                 (ev.v[CAST(j+1 AS INTEGER)] - qe.v[CAST(j+1 AS INTEGER)])
+                 * (ev.v[CAST(j+1 AS INTEGER)] - qe.v[CAST(j+1 AS INTEGER)])
+               )) AS BIGINT) AS l2_int
+        FROM short s JOIN e ev ON ev.vec_id = s.id
+                     JOIN e qe ON qe.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, id, l2_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY l2_int, id) AS rank FROM exact)
+      SELECT query_id, id, l2_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- multimodal AUDIO with a REAL header decode: every doc plants
     // an in-memory PCM RIFF/WAVE stream whose rate/channels/frames
     // derive from doc_id; the zero-dependency chunk-walk parse

@@ -718,4 +718,44 @@ object ProductQuant {
       .filter(col("rank") <= k)
       .select("query_id", "id", "adc", "rank")
   }
+
+  /** ADC shortlist FROM A PERSISTED IVF-PQ INDEX + exact rerank — the
+    * IVFADC+R serving path (Jégou et al. 2011's refinement stage over
+    * the composed index; [[pqRerankTopK]] is the flat-index sibling
+    * that re-encodes the corpus per call): the partition-pruned cell
+    * scan nominates `shortlist` candidates per query
+    * ([[ivfPqTopKFromIndex]] — residual or raw encoding per the
+    * sidecar), then exact squared-L2 on RAW vectors re-ranks only the
+    * queries × shortlist sliver (broadcast joins — the exact metric
+    * never touches the corpus at large, and the corpus frame is read
+    * ONLY for the nominated ids). Ties: lowest l2, then lowest id. On
+    * integer-valued inputs both stages replay in any engine.
+    */
+  def ivfPqRerankTopK(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, shortlist: Int, nProbe: Int = 1): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val nominated = ivfPqTopKFromIndex(spark, path, queries, qIdCol,
+        qVecCol, k = shortlist, nProbe = nProbe)
+      .select(col("query_id"), col("id"))
+    val qv = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<float>").as("_qv"))
+    val cand = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("_v"))
+      .join(broadcast(nominated), "id")
+      .join(broadcast(qv), "query_id")
+    val l2 = aggregate(
+      zip_with(col("_v"), col("_qv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2"), col("id"))
+    cand.select(col("query_id"), col("id"), l2.as("l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "l2", "rank")
+  }
 }

@@ -246,6 +246,37 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
     assert(reranked == truth)
   }
 
+  test("ivf-pq rerank from index: corpus-wide shortlist at full probe " +
+      "equals exact L2 top-k (residual index)") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val coarse = trainCodebook(corpus, "id", "v", 1, 3,
+      sampleN = 90, iters = 6).centroids(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpqrr").toString + "/idx"
+    writeIvfPqIndex(corpus, "id", "v", coarse, cb, path,
+      residuals = true)
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val reranked = ivfPqRerankTopK(spark, path, corpus, "id", "v",
+      queries, "qid", "qv", k = 4, shortlist = 90,
+      nProbe = coarse.length)
+      .select("query_id", "id", "rank").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val truth = (0L until 3L).flatMap { q =>
+      val qv = rows.find(_._1 == q).get._2
+      rows.map { case (id, v) =>
+        val d = v.zip(qv).map { case (a, b) =>
+          (a.toDouble - b) * (a.toDouble - b) }.sum
+        (q, id, d)
+      }.sortBy { case (_, id, d) => (d, id) }.take(4).zipWithIndex
+        .map { case ((qq, id, _), i) => Seq[Any](qq, id, i + 1) }
+    }.sortBy(_.toString).toSeq
+    assert(reranked == truth)
+  }
+
   test("ivf-pq routing: L2 argmin with lowest-cell tie-break") {
     val coarse = Array(Array(0f, 0f), Array(1f, 1f), Array(0f, 0f))
     assert(nearestCellL2(Array(0.1f, -0.1f), coarse) == 0) // dup tie -> 0
