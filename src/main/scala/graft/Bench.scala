@@ -511,7 +511,23 @@ object Bench {
     // the final report (the r13 deadline cut dropped 23 entries yet
     // stamped partial:false, so a consumer had no signal the heavy tier
     // was absent)
-    if (emit) { println(contractLine); System.err.println(contractLine) }
+    //
+    // The FULL line first, then a COMPACT terminal line with no queries
+    // dict (< 300 bytes): at 182 entries the queries dict alone
+    // overflows a ~2 KB line-capture window (BENCH_r15.json parsed:null
+    // with the line cut mid-dict), so a consumer that keeps only the
+    // last parseable JSON line always gets the totals; BENCH_RESULT.json
+    // carries the per-query data either way.
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""planned":$planned,"completed":${results.size},""" +
+        s""""partial":$partial,"failures":$failures,""" +
+        s""""elapsed_sec":${(System.nanoTime() - processStartNanos) / 1000000000L},""" +
+        s""""sf":"$sfDir"}"""
+    if (emit) {
+      println(contractLine); System.err.println(contractLine)
+      println(compactLine); System.err.println(compactLine)
+    }
     Files.writeString(Paths.get("BENCH_RESULT.json"), fullJson + "\n")
   }
 

@@ -1518,6 +1518,57 @@ object Queries {
       path
     })
 
+  /** Real WET web-archive files for `warc_ingest_documents`, WRITTEN
+    * ONCE per (session, dir): the documents table serialized as one
+    * `conversion` record per row ([[graft.sources.WarcFiles]]'s input
+    * contract — the Common Crawl WET shape) into one file per
+    * partition on the EXECUTORS, alternating plain `.wet` and
+    * per-record-gzip-member `.wet.gz` so the oracle query exercises
+    * BOTH decode paths. The query then runs the whole source path:
+    * binaryFile scan → record splitter → text view.
+    */
+  private val warcFileCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def warcFilesFor(s: SparkSession, dir: String): String =
+    sweepStopped(warcFileCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("warcfiles", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      import s.implicits._
+      rdPar(s, d, "documents")
+        .select(col("doc_id").cast("long"), col("source").cast("string"),
+          col("text").cast("string"))
+        .as[(Long, String, String)]
+        .repartition(8)
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          val rows = it.toArray
+          if (rows.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val gz = pid % 2 == 1
+            val name = f"part-$pid%05d.wet" + (if (gz) ".gz" else "")
+            val out = new java.io.FileOutputStream(
+              new java.io.File(path, name))
+            try rows.foreach { case (id, src, text) =>
+              val payload = Option(text).getOrElse("")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val head = ("WARC/1.0\r\n" +
+                "WARC-Type: conversion\r\n" +
+                s"WARC-Target-URI: http://docs.example/$src/$id\r\n" +
+                "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+                s"WARC-Record-ID: <urn:graft:doc:$id>\r\n" +
+                "Content-Type: text/plain\r\n" +
+                s"Content-Length: ${payload.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val rec = head ++ payload ++ "\r\n\r\n".getBytes
+              if (gz) {
+                val g = new java.util.zip.GZIPOutputStream(out)
+                g.write(rec); g.finish() // one member per record
+              } else out.write(rec)
+            } finally out.close()
+          }
+        }
+      path
+    })
+
   /** Parquet input directory for the STREAMING queries, written ONCE
     * per (session, dir, name): `df` landed as `nFiles` parquet files so
     * a `readStream` file source replays it as deterministic
@@ -2395,6 +2446,30 @@ object Queries {
     }): Q, Some("""
       SELECT event_id, event_type AS etype, value, 'stream' AS source
       FROM events ORDER BY event_id""")),
+
+    // ---- WARC/WET ingestion: the Common Crawl arrival format of the
+    // curation stack's input. The fixture serializes documents as WET
+    // conversion records (half the files plain, half gzipped one member
+    // per record); the query runs the full source path — binaryFile
+    // scan → Content-Length record splitter → UTF-8 text view — and
+    // DuckDB replays the expected frame from the parquet truth. ----
+    ("warc_ingest_documents", ((s: SparkSession, dir: String) => {
+      val path = warcFilesFor(s, dir)
+      graft.sources.WarcFiles.read(s, path)
+        .select(
+          regexp_extract(col("url"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("record_type"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      SELECT doc_id,
+        'http://docs.example/' || source || '/' || doc_id AS url,
+        'conversion' AS record_type,
+        octet_length(encode(text)) AS n_bytes,
+        text
+      FROM documents ORDER BY doc_id""")),
 
     // ---- schema toolbox: flat-order names/types (literal oracle) ----
     ("get_names_types", ((s: SparkSession, dir: String) => {

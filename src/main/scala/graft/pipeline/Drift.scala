@@ -253,11 +253,15 @@ object Drift {
 
   /** Load a persisted reference sidecar once ([[writeReference]]'s
     * layout) for any number of [[reportAgainstLoaded]] probes.
+    * `cache = false` skips pinning the histogram frame — the one-shot
+    * shape ([[reportAgainstReference]]) uses it so repeated day-2 calls
+    * don't accumulate cached KB frames for the session.
     */
   def loadReference(spark: org.apache.spark.sql.SparkSession,
-      path: String): Reference = {
-    val rh = spark.read.parquet(path + "/hist")
-      .withColumnsRenamed(Map("cnt" -> "rc")).cache()
+      path: String, cache: Boolean = true): Reference = {
+    val rh0 = spark.read.parquet(path + "/hist")
+      .withColumnsRenamed(Map("cnt" -> "rc"))
+    val rh = if (cache) rh0.cache() else rh0
     val boundRows = spark.read.parquet(path + "/bounds").collect()
     Reference(rh,
       boundRows.map(r => r.getString(0) ->
@@ -289,5 +293,5 @@ object Drift {
   def reportAgainstReference(cur: DataFrame, specs: Seq[Spec],
       path: String): DataFrame =
     reportAgainstLoaded(cur, specs,
-      loadReference(cur.sparkSession, path))
+      loadReference(cur.sparkSession, path, cache = false))
 }

@@ -123,19 +123,32 @@ object KMeans {
       when(vq.isNull, lit(null)).otherwise(best))
   }
 
-  /** The reference-path spelling: one codegen'd kernel call per row,
-    * matrix shipped once per stage. Norms precompute driver-side so
-    * per-row work is k exact dot products.
+  /** The reference-path kernel as ONE struct-valued column
+    * (`struct(cid int, score double)`, NULL in → NULL struct): norms
+    * precompute driver-side so per-row work is k exact dot products,
+    * and a caller that needs BOTH fields stages this as a single
+    * intermediate column and extracts fields from the attribute — the
+    * kernel then runs once per row by construction instead of relying
+    * on codegen subexpression elimination (off under interpreted
+    * projection) to dedupe two embedded copies.
     */
-  private[pipeline] def assignmentColumnsRef(vq: Column,
-      centroids: Array[Array[Long]]): (Column, Column) = {
+  private[pipeline] def bestStructRef(vq: Column,
+      centroids: Array[Array[Long]]): Column = {
     val nrmSqrt = centroids.map { m =>
       var n = 0L; var i = 0
       while (i < m.length) { n += m(i) * m(i); i += 1 }
       math.sqrt(n.toDouble)
     }
-    val bestStruct = graft.functions.KMeansExpressions
-      .assignBestC(vq, centroids, nrmSqrt)
+    graft.functions.KMeansExpressions.assignBestC(vq, centroids, nrmSqrt)
+  }
+
+  /** The reference-path spelling of [[assignmentColumns]]'s contract
+    * (two independent columns — each embeds its own kernel call; use
+    * [[bestStructRef]] staged as a column when both are consumed).
+    */
+  private[pipeline] def assignmentColumnsRef(vq: Column,
+      centroids: Array[Array[Long]]): (Column, Column) = {
+    val bestStruct = bestStructRef(vq, centroids)
     (when(vq.isNull, lit(null))
        .otherwise(bestStruct.getField("cid")),
       when(vq.isNull, lit(null))
@@ -291,12 +304,34 @@ object KMeans {
   def assignWithScore(df: DataFrame, vecCol: String, model: Model,
       cidCol: String = "cid", scoreCol: String = "score"): DataFrame = {
     val vq = quantize(col(vecCol), model.scale)
-    val (cid, raw) = assignmentColumns(vq, model.centroids)
+    // Both output columns consume the same argmax computation. Past the
+    // literal cap, stage the kernel's struct as ONE intermediate column
+    // and extract fields from the attribute — the k×dim kernel then
+    // runs once per row by construction, not by hoping codegen
+    // subexpression elimination dedupes two embedded copies (CSE is off
+    // under interpreted projection). The staged Project survives
+    // CollapseProject because the non-cheap producer is referenced more
+    // than once. Below the cap the literal spelling stays inline (its
+    // score array is plan literals; duplication there is bounded by
+    // [[literalComponentCap]]).
+    val best = "_graft_best"
+    val large = model.centroids.length.toLong *
+      model.centroids(0).length > literalComponentCap
+    val staged =
+      if (large) df.withColumn(best, bestStructRef(vq, model.centroids))
+      else {
+        val (cid, raw) = assignmentColumnsLiteral(vq, model.centroids)
+        df.withColumn(best,
+          when(vq.isNull, lit(null))
+            .otherwise(struct(cid.as("cid"), raw.as("score"))))
+      }
     val nv = graft.functions.VectorExpressions.dotLongC(vq, vq)
       .cast("double")
     val cosine = when(nv === lit(0.0), lit(null).cast("double"))
-      .otherwise(raw / sqrt(nv))
-    df.withColumn(cidCol, cid).withColumn(scoreCol, cosine)
+      .otherwise(col(s"$best.score") / sqrt(nv))
+    staged.withColumn(cidCol, col(s"$best.cid"))
+      .withColumn(scoreCol, cosine)
+      .drop(best)
   }
 
   /** Cluster-outlier rows: documents whose best centroid score falls

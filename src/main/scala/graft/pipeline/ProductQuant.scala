@@ -508,7 +508,11 @@ object ProductQuant {
       lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy("query_id")
       .orderBy(col("l2"), col("id"))
+    // a NULL/dim-mismatched corpus vector yields NULL l2 (zip_with pads
+    // with null) — exclude it rather than let nulls-first ascending rank
+    // a malformed row ahead of every genuine neighbor
     cand.select(col("query_id"), col("id"), l2.as("l2"))
+      .filter(col("l2").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "id", "l2", "rank")
@@ -582,13 +586,13 @@ object ProductQuant {
     * reads touch only their directories), and one self-describing
     * sidecar carries coarse + codebook + encoding + identity.
     */
-  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+  /** Route + encode a frame with GIVEN index parameters — the one
+    * encode map both the full build and the incremental append run:
+    * `(id, packed byte codes, cid)`.
+    */
+  private def encodedRows(df: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Float]], cb: PqCodebook,
-      path: String, residuals: Boolean = false): Unit = {
-    require(cb.codesPerSubspace <= 256,
-      "one-byte packing requires <= 256 codes per subspace")
-    require(coarse.nonEmpty && coarse.forall(_.length == cb.dim),
-      "coarse centroids must match the codebook dim")
+      residuals: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bcCoarse = spark.sparkContext.broadcast(coarse)
@@ -602,6 +606,18 @@ object ProductQuant {
         (id, encodeJ(enc, bcCb.value).map(c => (c & 0xFF).toByte), cid)
       }
       .toDF("id", "codes", "cid")
+  }
+
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], cb: PqCodebook,
+      path: String, residuals: Boolean = false): Unit = {
+    require(cb.codesPerSubspace <= 256,
+      "one-byte packing requires <= 256 codes per subspace")
+    require(coarse.nonEmpty && coarse.forall(_.length == cb.dim),
+      "coarse centroids must match the codebook dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    encodedRows(df, idCol, vecCol, coarse, cb, residuals)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     Seq((coarse.map(_.toSeq).toSeq,
         cb.centroids.map(_.map(_.toSeq).toSeq).toSeq, cb.subDim,
@@ -753,7 +769,9 @@ object ProductQuant {
       lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy("query_id")
       .orderBy(col("l2"), col("id"))
+    // same malformed-row exclusion as [[pqRerankTopK]]
     cand.select(col("query_id"), col("id"), l2.as("l2"))
+      .filter(col("l2").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "id", "l2", "rank")

@@ -456,17 +456,19 @@ object StreamOps {
     * the per-batch cost is the minimum any monitor could pay. Batch
     * reports are INDEPENDENT (nothing folds), so checkpoint replay
     * merely rewrites an identical report — idempotent by construction.
-    * The KB-sized reference sidecar loads ONCE at stream construction
-    * (histogram cached, bounds collected), the
-    * [[kmeansAssignStream]] discipline — per-batch driver work stays
-    * flat no matter the trigger rate.
+    * The KB-sized reference sidecar loads ONCE, lazily at the FIRST
+    * batch (histogram cached, bounds collected) — constructing the
+    * writer runs no Spark jobs and requires no sidecar to exist yet, and
+    * nothing is cached for a stream that never starts; after first touch
+    * the [[kmeansAssignStream]] discipline holds: per-batch driver work
+    * stays flat no matter the trigger rate.
     */
   def driftStream(stream: DataFrame, refPath: String,
       specs: Seq[graft.pipeline.Drift.Spec])(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
-    val ref = graft.pipeline.Drift
+    lazy val ref = graft.pipeline.Drift
       .loadReference(stream.sparkSession, refPath)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.pipeline.Drift.reportAgainstLoaded(batch, specs, ref)
