@@ -1429,6 +1429,34 @@ object Queries {
       path
     })
 
+  /** Incrementally-FOLDED sibling of [[ivfPqIndexFor]]: base build over
+    * `vec_id % 4 < 2`, then the remaining two quarters appended as
+    * batch-stamped deltas with the STORED sidecar — so the oracle can
+    * replay the index as if built at once (the append bit-parity
+    * contract [[graft.pipeline.ProductQuant.appendToIvfPqIndex]]
+    * guarantees and ProductQuantSpec pins).
+    */
+  private val ivfPqAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def ivfPqAppendIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(ivfPqAppendIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import graft.pipeline.ProductQuant
+      val path = indexTmpPath("ivfpqapp", d)
+      val qv = rd(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.writeIvfPqIndex(qv.filter(col("vec_id") % 4 < 2),
+        "vec_id", "qv", ProductQuant.plantedCoarse(16, 64),
+        ProductQuant.plantedCodebook(8, 8, 16), path)
+      ProductQuant.appendToIvfPqIndex(s, path,
+        qv.filter(col("vec_id") % 4 === 2), "vec_id", "qv",
+        batchId = Some(0L))
+      ProductQuant.appendToIvfPqIndex(s, path,
+        qv.filter(col("vec_id") % 4 === 3), "vec_id", "qv",
+        batchId = Some(1L))
+      path
+    })
+
   /** RESIDUAL-encoded sibling of [[ivfPqIndexFor]] (the full IVFADC
     * shape: codes over `v − coarse(cell)`, per-cell query LUTs) — all
     * intermediates stay exact integers (residual components ≤ 448 in
@@ -4326,6 +4354,77 @@ object Queries {
         JOIN assign ca ON ca.vec_id = code.vec_id
         JOIN assign qa ON qa.cell = ca.cell AND qa.vec_id < 5
         JOIN d qd ON qd.vec_id = qa.vec_id AND qd.s = code.s
+                 AND qd.c = code.code
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, id, adc_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_int, id) AS rank FROM adc)
+      SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- IVF-PQ incremental append: the index is built on half the
+    // corpus and the rest folds in as batch-stamped deltas encoded with
+    // the STORED sidecar; serving unions base + deltas under the same
+    // cid pruning, so DuckDB replays it as a build-at-once index over
+    // ALL embeddings. nProbe=2 — each query scans its TWO L2-nearest
+    // cells (the raw encoding shares one LUT across cells, so the
+    // oracle only widens the probe join). ----
+    ("ivf_pq_append_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val path = ivfPqAppendIndexFor(s, dir)
+      val queries = rd(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.ivfPqTopKFromIndex(s, path, queries, "qid", "qv",
+          k = 3, nProbe = 2)
+        .select(col("query_id"), col("id"),
+          col("adc").cast("long").as("adc_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      cd AS (
+        SELECT e.vec_id, c.g AS cell,
+               list_sum(list_transform(range(0, 64), j ->
+                 (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+                 * (v[CAST(j + 1 AS INTEGER)]
+                    - CAST(((c.g*11 + j*3) % 16) - 8 AS DOUBLE)*24)
+               )) AS dist
+        FROM e, range(0,16) c(g)),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM cd) WHERE rn = 1),
+      probe AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM cd WHERE vec_id < 5)
+        WHERE rn <= 2),
+      d AS (
+        SELECT e.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM e, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT p.vec_id AS query_id, code.vec_id AS id,
+               CAST(SUM(qd.dist) AS BIGINT) AS adc_int
+        FROM code
+        JOIN assign ca ON ca.vec_id = code.vec_id
+        JOIN probe p ON p.cell = ca.cell
+        JOIN d qd ON qd.vec_id = p.vec_id AND qd.s = code.s
                  AND qd.c = code.code
         GROUP BY 1, 2),
       ranked AS (

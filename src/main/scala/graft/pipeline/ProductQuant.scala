@@ -617,6 +617,12 @@ object ProductQuant {
       "coarse centroids must match the codebook dim")
     val spark = df.sparkSession
     import spark.implicits._
+    // a REBUILD replaces the whole index: stale append deltas from a
+    // previous build at this path must not survive into the new one
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path.delta")
+    val fs = deltaRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(deltaRoot, true)
     encodedRows(df, idCol, vecCol, coarse, cb, residuals)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     Seq((coarse.map(_.toSeq).toSeq,
@@ -627,6 +633,150 @@ object ProductQuant {
         "codesPerSubspace", "dim", "numCells", "metric", "residuals")
       .coalesce(1)
       .write.mode("overwrite").json(s"$path.meta")
+  }
+
+  /** Fold a batch of NEW vectors into a persisted IVF-PQ index at
+    * batch cost — the daily-ingest path (no full re-encode): the batch
+    * is routed + encoded with the STORED sidecar (coarse, codebook,
+    * residual flag — so appended codes are bit-identical to a full
+    * rebuild's), and lands in its own cid-partitioned DELTA directory
+    * `<path>.delta/batch=<id>` which readers union with the base.
+    *
+    * Exactly-once under at-least-once replay BY CONSTRUCTION: the
+    * delta directory is the ONLY state this fold touches and a
+    * replayed `batchId` OVERWRITES its own directory — nothing is
+    * additive, so no replay guard is needed (simpler than
+    * [[Search.updateIndex]], whose df sidecar merges additively).
+    * Without an explicit `batchId` (one-shot folds) the next free
+    * delta id is used.
+    *
+    * Contract (the incremental-index discipline shared with the BM25
+    * fold): batches carry ids not already indexed — removals route
+    * through the tombstone machinery, not here. Query-time dim
+    * mismatches still fail per-row in the encode kernel.
+    */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Option[Long] = None): Unit = {
+    val (coarse, cb, residuals) = readIvfPqSidecar(spark, path)
+    val effId = batchId.getOrElse(nextAppendId(spark, path))
+    encodedRows(batch, idCol, vecCol, coarse, cb, residuals)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path.delta/batch=$effId")
+  }
+
+  /** Existing delta batch ids under `<path>.delta`. */
+  private def deltaIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLongOption.getOrElse(-1L) }
+      .filter(_ >= 0)
+
+  /** Compaction floor recorded in the base generation (underscore-
+    * prefixed so parquet discovery ignores it): delta ids at or below
+    * it are already folded into the base — readers skip them, and new
+    * un-id'd folds allocate past it.
+    */
+  private val FloorMarker = "_folded_floor"
+
+  private def readFloor(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val m = new org.apache.hadoop.fs.Path(s"$path/$FloorMarker")
+    if (!fs.exists(m)) -1L
+    else {
+      val in = fs.open(m)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Next unused delta id for un-id'd folds: past every live delta AND
+    * the compaction floor (a reused id at or below the floor would be
+    * ignored by readers).
+    */
+  private def nextAppendId(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$path.delta")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (deltaIds(fs, root) :+ readFloor(fs, path)).max + 1L
+  }
+
+  /** The stored rows of an IVF-PQ index: base build plus any appended
+    * delta batches PAST the compaction floor, one frame. `cid` is a
+    * PARTITION column in both layouts, so a probed-cell `isin` filter
+    * prunes directories on both sides of the union — append never
+    * weakens the pruning story.
+    */
+  private def ivfPqRows(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path.delta")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the one crash window of [[compactIvfPqIndex]]'s swap leaves only
+    // the _prev generation on disk — serve it (the SidecarIO fallback
+    // discipline); its floor marker keeps the delta skip-set consistent
+    val livePath =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(path + "_prev")))
+        path + "_prev"
+      else path
+    val base = spark.read.parquet(livePath)
+      .select(col("id").cast("long"), col("codes"),
+        col("cid").cast("int"))
+    val floor = readFloor(fs, livePath)
+    val live = deltaIds(fs, root).filter(_ > floor).sorted
+    if (live.isEmpty) base
+    else base.unionAll(
+      spark.read.option("basePath", s"$path.delta")
+        .parquet(live.map(id => s"$path.delta/batch=$id"): _*)
+        .select(col("id").cast("long"), col("codes"),
+          col("cid").cast("int")))
+  }
+
+  /** Fold the live deltas into a fresh base generation — the file-count
+    * hygiene step of the daily-append lifecycle (a year of daily folds
+    * is 365 delta directories of small files; compaction restores the
+    * one-dir-per-cell layout without changing a single served result).
+    * Crash-safe at every window: the new generation (base + deltas,
+    * stamped with a [[FloorMarker]] naming the highest folded id) is
+    * MATERIALIZED to a tmp sibling while the live layout is intact,
+    * swapped in via the rename discipline of [[SidecarIO]], and only
+    * then are folded delta dirs dropped — a crash between swap and
+    * cleanup leaves stale deltas that readers IGNORE via the marker.
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path.delta")
+    val oldFloor = readFloor(fs, path)
+    val live = deltaIds(fs, deltaRoot).filter(_ > oldFloor)
+    if (live.isEmpty) return // nothing to fold
+    val floor = live.max
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val prev = new org.apache.hadoop.fs.Path(path + "_prev")
+    fs.delete(tmp, true)
+    // materialize the union while the live layout is still intact
+    ivfPqRows(spark, path)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$tmp/$FloorMarker"), true)
+    try out.write(floor.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(prev, true)
+    if (fs.exists(destPath)) { fs.rename(destPath, prev); () }
+    if (!fs.rename(tmp, destPath))
+      sys.error(s"index swap failed: could not rename $tmp to $path")
+    fs.delete(prev, true)
+    // cleanup (idempotent; readers already ignore ids <= floor)
+    live.foreach(id => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path.delta/batch=$id"), true))
+    if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).isEmpty) {
+      fs.delete(deltaRoot, true); ()
+    }
   }
 
   /** Reload (coarse, codebook, residuals) written by
@@ -685,11 +835,9 @@ object ProductQuant {
         }
     val probed = qRows.flatMap(_._2).distinct.toSeq
     val bc = spark.sparkContext.broadcast(qRows)
-    val pruned = spark.read.parquet(path)
+    val pruned = ivfPqRows(spark, path) // base + appended deltas
       .filter(if (probed.isEmpty) lit(false)
         else col("cid").isin(probed: _*)) // partition pruning
-      .select(col("id").cast("long"), col("codes"),
-        col("cid").cast("int"))
       .as[(Long, Array[Byte], Int)]
     val partial = pruned.mapPartitions { it =>
       val qs = bc.value

@@ -423,6 +423,30 @@ object StreamOps {
           batch, idCol, textCol, batchId = Some(batchId))
     }
 
+  /** Index maintenance for a persisted [[graft.pipeline.ProductQuant]]
+    * IVF-PQ index — the daily-ingest stream of the vector-serving
+    * tier: each micro-batch of NEW vectors routes + encodes with the
+    * STORED sidecar (coarse, codebook, residual flag) and lands as a
+    * cid-partitioned delta ([[graft.pipeline.ProductQuant
+    * .appendToIvfPqIndex]]), so the maintained index serves ADC
+    * results BIT-IDENTICAL to a full rebuild over the same corpus
+    * (appended codes use the exact build-time quantizers; readers
+    * union base + deltas under the same partition pruning). The
+    * foreachBatch batch id stamps the delta directory: a
+    * checkpoint-replayed batch OVERWRITES its own delta — exactly-once
+    * with no guard, because the delta dir is the fold's only state.
+    */
+  def ivfPqAppendStream(stream: DataFrame, path: String,
+      idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.ProductQuant.appendToIvfPqIndex(
+          batch.sparkSession, path, batch, idCol, vecCol,
+          batchId = Some(batchId))
+    }
+
   /** Sidecar maintenance for the [[graft.pipeline.CountMin]] frequency
     * grid: each micro-batch folds in by cellwise ADDITION, so the
     * maintained grid equals the build-at-once sketch over the whole

@@ -222,6 +222,92 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
       s"(raw $rRaw)")
   }
 
+  test("incremental append: folded halves serve bit-identical to a " +
+      "build-at-once index; replayed batch is a no-op") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val coarse = trainCodebook(corpus, "id", "v", 1, 3,
+      sampleN = 90, iters = 6).centroids(0)
+    val dirBase = java.nio.file.Files
+      .createTempDirectory("ivfpqapp").toString
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    for (residuals <- Seq(false, true)) {
+      val pFull = dirBase + s"/full_$residuals"
+      val pInc = dirBase + s"/inc_$residuals"
+      writeIvfPqIndex(corpus, "id", "v", coarse, cb, pFull,
+        residuals = residuals)
+      // build on the first half, fold the rest in two stamped batches
+      writeIvfPqIndex(corpus.filter(col("id") < 30), "id", "v", coarse,
+        cb, pInc, residuals = residuals)
+      appendToIvfPqIndex(spark, pInc,
+        corpus.filter(col("id") >= 30 && col("id") < 60), "id", "v",
+        batchId = Some(0L))
+      appendToIvfPqIndex(spark, pInc, corpus.filter(col("id") >= 60),
+        "id", "v", batchId = Some(1L))
+      def serve(path: String) =
+        ivfPqTopKFromIndex(spark, path, queries, "qid", "qv",
+          k = 5, nProbe = coarse.length)
+          .select("query_id", "id", "adc", "rank").collect()
+          .map(_.toSeq).sortBy(_.toString).toSeq
+      val full = serve(pFull)
+      assert(serve(pInc) == full,
+        s"residuals=$residuals: folded index diverges from rebuild")
+      // at-least-once replay: the same batch id overwrites its own
+      // delta — rows are not duplicated, results unchanged
+      appendToIvfPqIndex(spark, pInc, corpus.filter(col("id") >= 60),
+        "id", "v", batchId = Some(1L))
+      assert(serve(pInc) == full,
+        s"residuals=$residuals: replayed batch changed the index")
+      // un-id'd folds allocate past existing deltas (no clobber):
+      // appending a disjoint sliver only ADDS rows
+      appendToIvfPqIndex(spark, pInc,
+        corpus.limit(0), "id", "v") // empty fold is harmless too
+      assert(serve(pInc) == full)
+    }
+    // the delta read keeps cid partition pruning: nProbe=1 plan over a
+    // folded index still prunes
+    val pInc = dirBase + "/inc_false"
+    val one = ivfPqTopKFromIndex(spark, pInc, queries, "qid", "qv",
+      k = 5, nProbe = 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r
+      .findAllIn(plan).size >= 2, // base scan AND delta scan both prune
+      s"cid filter must prune both base and delta scans:\n$plan")
+
+    // COMPACTION: deltas fold into a fresh base generation; served
+    // results unchanged, delta dirs gone, floor marker present
+    def serveInc() =
+      ivfPqTopKFromIndex(spark, pInc, queries, "qid", "qv",
+        k = 5, nProbe = coarse.length)
+        .select("query_id", "id", "adc", "rank").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+    val before = serveInc()
+    compactIvfPqIndex(spark, pInc)
+    assert(serveInc() == before, "compaction changed served results")
+    val fs = new org.apache.hadoop.fs.Path(pInc).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pInc.delta")),
+      "folded delta dirs must be cleaned up")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$pInc/_folded_floor")), "compacted base must carry the floor")
+    // a STALE delta at or below the floor (the swap/cleanup crash
+    // window) is ignored by readers
+    appendToIvfPqIndex(spark, pInc, corpus.filter(col("id") < 30),
+      "id", "v", batchId = Some(1L)) // id 1 <= floor: dead on arrival
+    assert(serveInc() == before, "reader must skip deltas <= floor")
+    // a post-compaction UN-ID'D fold allocates past the floor and
+    // serves (disjoint ids keep the corpus contract)
+    val extra = clustered().select(col("id") + 1000, col("v"))
+      .toDF("id", "v").filter(col("id") === 1000)
+    appendToIvfPqIndex(spark, pInc, extra, "id", "v")
+    val all = ivfPqTopKFromIndex(spark, pInc, queries, "qid", "qv",
+      k = 91, nProbe = coarse.length) // corpus-wide: the fold must serve
+    assert(all.filter(col("id") === 1000).count() > 0,
+      "post-compaction un-id'd fold must allocate past the floor and serve")
+  }
+
   test("rerank with corpus-wide shortlist equals exact L2 top-k") {
     val corpus = clustered()
     val cb = trainCodebook(corpus, "id", "v", sub, 8,

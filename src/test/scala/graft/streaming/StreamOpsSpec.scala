@@ -670,6 +670,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       grid(BottomK.sketch(docs, "doc_id", "n_chars", k = 50)))
   }
 
+  test("stream-maintained ivf-pq index serves bit-identical to a " +
+      "build-at-once index") {
+    import graft.pipeline.ProductQuant
+    val dirBase = java.nio.file.Files
+      .createTempDirectory("ivfpqstream").toString
+    val coarse = ProductQuant.plantedCoarse(4, 8)
+    val cb = ProductQuant.plantedCodebook(2, 4, 8)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        (((i * 13 + j * 7) % 32) - 16).toFloat))
+    }
+    val corpus = rows.toDF("id", "v")
+      .select($"id", $"v".cast("array<float>").as("v"))
+    val queries = corpus.filter($"id" < 3)
+      .select($"id".as("qid"), $"v".as("qv"))
+    def serve(path: String) =
+      ProductQuant.ivfPqTopKFromIndex(spark, path, queries, "qid", "qv",
+        k = 5, nProbe = 4)
+        .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+
+    val once = dirBase + "/once"
+    ProductQuant.writeIvfPqIndex(corpus, "id", "v", coarse, cb, once,
+      residuals = true)
+
+    val maintained = dirBase + "/maintained"
+    ProductQuant.writeIvfPqIndex(corpus.filter($"id" < 20), "id", "v",
+      coarse, cb, maintained, residuals = true)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamOps.ivfPqAppendStream(
+      input.toDF().toDF("id", "v"), maintained, "id", "v").start()
+    Seq(rows.slice(20, 40), rows.drop(40)).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    q.stop()
+    assert(serve(maintained) == serve(once),
+      "stream-maintained index diverges from build-at-once")
+  }
+
   test("stream-maintained hll sidecar == direct fold; replay no-op; " +
       "estimates near truth") {
     import graft.pipeline.Sketches
