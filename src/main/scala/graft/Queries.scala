@@ -876,6 +876,112 @@ object Queries {
                    LATERAL unnest(range(1, len(f.ps)+1)) AS t(i))"""
   }
 
+  // -------------------------------------------------- unigram fixture
+
+  /** Planted unigram-LM piece costs (micro-nats, exact longs): every
+    * corpus character EXCEPT `v`/`w` (those exercise the unknown
+    * fallback on real data — both occur in the corpus), plus multi-char
+    * pieces that actually win parses. One source of truth for the model
+    * AND the oracle VALUES/MAP (the bpeFixtureMerges discipline).
+    */
+  val unigramFixtureCosts: Seq[(String, Long)] = {
+    val singles = ("_" -> 4000000L) +:
+      ('a' to 'z').filterNot(c => c == 'v' || c == 'w')
+        .map(c => c.toString -> (3000000L + (c - 'a') * 7000L))
+    val multis = Seq(
+      "_the" -> 5500000L, "_t" -> 4500000L, "th" -> 4400000L,
+      "he" -> 4300000L, "an" -> 2500000L, "ar" -> 2600000L,
+      "ro" -> 2700000L, "st" -> 2800000L, "or" -> 2650000L,
+      "le" -> 2550000L, "ta" -> 2900000L, "lu" -> 2950000L,
+      "_par" -> 6200000L, "_val" -> 6300000L, "_s" -> 4600000L,
+      "_f" -> 4650000L, "_p" -> 4550000L)
+    singles ++ multis
+  }
+
+  private val unigramUnkCost = 9000000L
+
+  /** The fixture model: marker `_` (absent from the corpus alphabet),
+    * ids derived (cost asc, piece asc) like [[graft.pipeline.Unigram
+    * .train]], max piece length 4 (the oracle DP's lookback).
+    */
+  lazy val unigramFixtureModel: graft.pipeline.UnigramModel = {
+    val costs = unigramFixtureCosts.toMap
+    graft.pipeline.UnigramModel(costs,
+      graft.pipeline.Unigram.deriveIds(costs), marker = "_",
+      unkCost = unigramUnkCost)
+  }
+
+  /** Shared recursive-CTE skeleton replaying the unigram VITERBI in
+    * DuckDB: per DISTINCT word, one recursion step per character of the
+    * marker-prefixed word, each row carrying the last four dp values
+    * and best-segmentation strings (max piece length 4 bounds the
+    * lookback). Candidates — the four vocab lookups (inline MAP
+    * literal; a scalar subquery would block DuckDB's alias reuse) plus
+    * the unknown single-char fallback — sort by
+    * `(cost, −length, vocab-before-unk)`, the EXACT tie rule of
+    * [[graft.pipeline.UnigramKernel.pieces]]. `utoks` ends one row per
+    * (doc, piece) with a dense global index; join `uvocab` for ids.
+    */
+  private lazy val unigramCteSql: String = {
+    val vvals = unigramFixtureCosts.map { case (p, c) =>
+      s"('$p',$c,${unigramFixtureModel.ids(p)})" }.mkString(",")
+    val mv = unigramFixtureCosts.sortBy(_._1)
+      .map { case (p, c) => s"'$p': $c" }.mkString("MAP {", ",", "}")
+    def look(start: String, l: Int): String =
+      s"map_extract($mv, substr(s.w, $start, $l))[1]"
+    s"""
+    uvocab(piece, cost, tid) AS (VALUES $vvals),
+    uw0 AS (SELECT doc_id, string_split(trim(COALESCE(text,'')), ' ')
+                     AS toks
+            FROM documents
+            WHERE length(trim(COALESCE(text,''))) > 0),
+    uexp AS (SELECT doc_id, i AS widx, toks[i] AS word
+             FROM uw0, LATERAL unnest(range(1, len(toks)+1)) AS g(i)
+             WHERE length(toks[i]) > 0),
+    udist AS (SELECT DISTINCT word FROM uexp),
+    usteps AS (
+      SELECT word, '_' || word AS w, 0 AS i,
+             CAST(NULL AS STRUCT(cost BIGINT, nl INTEGER, k INTEGER,
+                                 l INTEGER, pc VARCHAR)) AS b_prev,
+             CAST(0 AS BIGINT) AS dp0, CAST(NULL AS BIGINT) AS dp1,
+             CAST(NULL AS BIGINT) AS dp2, CAST(NULL AS BIGINT) AS dp3,
+             '' AS seg0, CAST(NULL AS VARCHAR) AS seg1,
+             CAST(NULL AS VARCHAR) AS seg2, CAST(NULL AS VARCHAR) AS seg3
+      FROM udist
+      UNION ALL
+      SELECT s.word, s.w, s.i + 1 AS i,
+        list_sort(list_filter([
+          struct_pack(cost := s.dp3 + ${look("s.i - 2", 4)},
+            nl := -4, k := 0, l := 4, pc := substr(s.w, s.i - 2, 4)),
+          struct_pack(cost := s.dp2 + ${look("s.i - 1", 3)},
+            nl := -3, k := 0, l := 3, pc := substr(s.w, s.i - 1, 3)),
+          struct_pack(cost := s.dp1 + ${look("s.i", 2)},
+            nl := -2, k := 0, l := 2, pc := substr(s.w, s.i, 2)),
+          struct_pack(cost := s.dp0 + ${look("s.i + 1", 1)},
+            nl := -1, k := 0, l := 1, pc := substr(s.w, s.i + 1, 1)),
+          struct_pack(cost := s.dp0 + $unigramUnkCost,
+            nl := -1, k := 1, l := 1, pc := substr(s.w, s.i + 1, 1))
+        ], x -> struct_extract(x, 'cost') IS NOT NULL))[1] AS ubest,
+        struct_extract(ubest, 'cost') AS dp0,
+        s.dp0 AS dp1, s.dp1 AS dp2, s.dp2 AS dp3,
+        CASE struct_extract(ubest, 'l')
+          WHEN 1 THEN s.seg0 WHEN 2 THEN s.seg1
+          WHEN 3 THEN s.seg2 ELSE s.seg3 END
+          || CASE WHEN s.i + 1 = struct_extract(ubest, 'l') THEN ''
+                  ELSE '~~' END
+          || struct_extract(ubest, 'pc') AS seg0,
+        s.seg0 AS seg1, s.seg1 AS seg2, s.seg2 AS seg3
+      FROM usteps s WHERE s.i < length(s.w)),
+    ufinal AS (
+      SELECT word, dp0 AS wcost, string_split(seg0, '~~') AS ps
+      FROM usteps WHERE i = length(w)),
+    utoks AS (SELECT e.doc_id, e.widx, t.i AS tidx, f.ps[t.i] AS piece,
+                     row_number() OVER (PARTITION BY e.doc_id
+                       ORDER BY e.widx, t.i) - 1 AS gidx
+              FROM uexp e JOIN ufinal f ON e.word = f.word,
+                   LATERAL unnest(range(1, len(f.ps)+1)) AS t(i))"""
+  }
+
   /** DuckDB replay of the video-fingerprint oracle — identical CTE
     * shape to the audio queries: planted md5 frame envelopes → scaled
     * amps → relative-energy bits → full Hamming per pair; `select`
@@ -6228,6 +6334,73 @@ object Queries {
         SELECT doc_id, count(*) AS n,
                string_agg(piece, ' ' ORDER BY gidx) AS pieces
         FROM btoks GROUP BY doc_id) t ON d.doc_id = t.doc_id
+      ORDER BY d.doc_id""")),
+
+    // ---- UNIGRAM-LM (SentencePiece) tokenizer: Viterbi min-cost
+    // segmentation over quantized-long piece costs (exact integer
+    // sums), marker-prefixed words, unknown single-char fallback
+    // ('v'/'w' are deliberately absent from the planted vocab and occur
+    // in the corpus). The oracle replays the DP as a recursive CTE
+    // carrying the 4-deep dp/segmentation window, the same
+    // (cost, longest, vocab-first) tie rule. ----
+    ("unigram_encode_documents", ((s: SparkSession, dir: String) => {
+      import graft.functions.UnigramExpressions._
+      val m = unigramFixtureModel
+      val t = coalesce(col("text"), lit(""))
+      rd(s, dir, "documents").select(col("doc_id"),
+          unigramCountC(t, m).as("n_tokens"),
+          concat_ws(" ", unigramPiecesC(t, m)).as("pieces"),
+          array_join(transform(unigramEncodeC(t, m),
+            e => e.cast("string")), " ").as("ids"),
+          unigramScoreC(t, m).as("cost_micro"))
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH RECURSIVE $unigramCteSql
+      SELECT d.doc_id,
+             CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens,
+             COALESCE(t.pieces, '') AS pieces,
+             COALESCE(t.ids, '') AS ids,
+             CAST(COALESCE(t.cost, 0) AS BIGINT) AS cost_micro
+      FROM documents d LEFT JOIN (
+        SELECT b.doc_id, count(*) AS n,
+               string_agg(b.piece, ' ' ORDER BY b.gidx) AS pieces,
+               string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ' '
+                 ORDER BY b.gidx) AS ids,
+               CAST(SUM(COALESCE(v.cost, $unigramUnkCost)) AS BIGINT)
+                 AS cost
+        FROM utoks b LEFT JOIN uvocab v ON v.piece = b.piece
+        GROUP BY b.doc_id) t ON d.doc_id = t.doc_id
+      ORDER BY d.doc_id""")),
+
+    // ---- the unigram tokenizer reached ENTIRELY through spark.sql
+    // (graft_unigram_count / graft_unigram_score resolve the registered
+    // model at analysis time) — the sql_bpe_documents discipline. ----
+    ("sql_unigram_documents", ((s: SparkSession, dir: String) => {
+      sqlSurfaceOnce(s, dir, "unigram") {
+        graft.pipeline.Unigram.registerModel("fixture_uni",
+          unigramFixtureModel)
+        graft.functions.GraftFunctions.register(s)
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("graft_sql_docs_unigram")
+      }
+      s.sql("""
+        SELECT doc_id,
+               graft_unigram_count(coalesce(text, ''), 'fixture_uni')
+                 AS n_tokens,
+               graft_unigram_score(coalesce(text, ''), 'fixture_uni')
+                 AS cost_micro
+        FROM graft_sql_docs_unigram ORDER BY doc_id""")
+    }): Q, Some(s"""
+      WITH RECURSIVE $unigramCteSql
+      SELECT d.doc_id,
+             CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens,
+             CAST(COALESCE(t.cost, 0) AS BIGINT) AS cost_micro
+      FROM documents d LEFT JOIN (
+        SELECT b.doc_id, count(*) AS n,
+               CAST(SUM(COALESCE(v.cost, $unigramUnkCost)) AS BIGINT)
+                 AS cost
+        FROM utoks b LEFT JOIN uvocab v ON v.piece = b.piece
+        GROUP BY b.doc_id) t ON d.doc_id = t.doc_id
       ORDER BY d.doc_id""")),
 
     // ---- bottom-k hash-sample quantiles: the mergeable QUANTILES

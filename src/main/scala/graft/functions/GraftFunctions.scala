@@ -129,6 +129,29 @@ object GraftFunctions {
       require(es.length == 2, s"expected 2 arguments, got ${es.length}")
       BpeEncodeExpr(es(0), graft.pipeline.Bpe.model(
         strLit(es(1), "bpe model name")))
+    },
+    // unigram-LM (SentencePiece) tokenizer: graft_unigram_*(text,
+    // 'model_name') — same literal-name resolution against
+    // Unigram.registerModel
+    "graft_unigram_count" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      UnigramCountExpr(es(0), graft.pipeline.Unigram.model(
+        strLit(es(1), "unigram model name")))
+    },
+    "graft_unigram_pieces" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      UnigramPiecesExpr(es(0), graft.pipeline.Unigram.model(
+        strLit(es(1), "unigram model name")))
+    },
+    "graft_unigram_encode" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      UnigramEncodeExpr(es(0), graft.pipeline.Unigram.model(
+        strLit(es(1), "unigram model name")))
+    },
+    "graft_unigram_score" -> { es =>
+      require(es.length == 2, s"expected 2 arguments, got ${es.length}")
+      UnigramScoreExpr(es(0), graft.pipeline.Unigram.model(
+        strLit(es(1), "unigram model name")))
     })
 
   /** Register every function on an existing session. Idempotent. */

@@ -76,17 +76,38 @@ object Chunking {
     */
   def chunkDocumentsBpe(docs: DataFrame, idCol: String, textCol: String,
       model: BpeModel, size: Int, overlap: Int = 0): DataFrame = {
-    require(size >= 1, s"chunk size $size must be >= 1")
-    require(overlap >= 0 && overlap < size,
-      s"overlap $overlap must be in [0, size)")
     // decoded chunk text below is pure Column arithmetic (join+replace);
     // a byte-level model's pieces need the kernel's byte unmapping too
     require(!model.byteLevel,
       "chunkDocumentsBpe decodes chunk text with Column ops; use a " +
         "char-level model (byte-level windows need BpeKernel.decodePieces)")
+    chunkOverPieces(docs, idCol,
+      graft.functions.BpeExpressions.bpePiecesC(
+        coalesce(col(textCol), lit("")), model),
+      model.marker, size, overlap)
+  }
+
+  /** [[chunkDocumentsBpe]] over a UNIGRAM-LM model's Viterbi pieces —
+    * the SentencePiece-family sibling; same window rule, same decoded
+    * chunk text (pieces concatenated, marker → space).
+    */
+  def chunkDocumentsUnigram(docs: DataFrame, idCol: String,
+      textCol: String, model: UnigramModel, size: Int,
+      overlap: Int = 0): DataFrame =
+    chunkOverPieces(docs, idCol,
+      graft.functions.UnigramExpressions.unigramPiecesC(
+        coalesce(col(textCol), lit("")), model),
+      model.marker, size, overlap)
+
+  /** The shared token-window body: slide `size`/`overlap` over a piece
+    * array and decode each window with Column ops.
+    */
+  private def chunkOverPieces(docs: DataFrame, idCol: String,
+      t: Column, marker: String, size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"chunk size $size must be >= 1")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size)")
     val stride = size - overlap
-    val t = graft.functions.BpeExpressions.bpePiecesC(
-      coalesce(col(textCol), lit("")), model)
     val n = org.apache.spark.sql.functions.size(t)
     val nChunks = when(n <= size, lit(1))
       .otherwise(floor((n - size + stride - 1) / lit(stride))
@@ -104,7 +125,7 @@ object Chunking {
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
         org.apache.spark.sql.functions.size(col("_win")).as("n_tok"),
         trim(replace(array_join(col("_win"), ""),
-          lit(model.marker), lit(" "))).as("chunk"))
+          lit(marker), lit(" "))).as("chunk"))
   }
 
   /** Sentence-BOUNDARY chunking — the retrieval-prep variant that never

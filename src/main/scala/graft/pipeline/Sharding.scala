@@ -159,6 +159,28 @@ object Sharding {
         coalesce(col(textCol), lit("")), model),
       maxLen, numPartitions)
 
+  /** [[shardByTokenBudget]] counting REAL tokens under a unigram-LM
+    * model — the [[shardDocumentsByBpeBudget]] sibling for
+    * SentencePiece-family tokenizers; same map-only codegen'd kernel
+    * folded into the prefix-sum's first pass.
+    */
+  def shardDocumentsByUnigramBudget(docs: DataFrame, idCol: String,
+      textCol: String, model: UnigramModel, budget: Long,
+      numPartitions: Int = 0): DataFrame =
+    shardByTokenBudget(docs, idCol,
+      graft.functions.UnigramExpressions.unigramCountC(
+        coalesce(col(textCol), lit("")), model),
+      budget, numPartitions)
+
+  /** [[packSequences]] counting REAL tokens under a unigram-LM model. */
+  def packDocumentSequencesUnigram(docs: DataFrame, idCol: String,
+      textCol: String, model: UnigramModel, maxLen: Long,
+      numPartitions: Int = 0): DataFrame =
+    packSequences(docs, idCol,
+      graft.functions.UnigramExpressions.unigramCountC(
+        coalesce(col(textCol), lit("")), model),
+      maxLen, numPartitions)
+
   /** Per-shard packing summary (shard, n_docs, shard_tokens) — the
     * manifest a training job reads; cheap aggregate over the assignment.
     */
