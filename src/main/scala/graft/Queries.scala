@@ -177,6 +177,57 @@ object Queries {
       path
     })
 
+  /** Incrementally-FOLDED sibling of [[ivfIndexFor]]: base build over
+    * `vec_id % 3 = 0`, the other two thirds appended as batch-stamped
+    * deltas assigned with the STORED centroids — so the reader serves
+    * exactly what a build-at-once index would ([[graft.pipeline
+    * .Similarity.appendToIvfIndex]]'s bit-parity contract, pinned in
+    * IvfProbeSpec).
+    */
+  private val ivfAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def ivfAppendIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(ivfAppendIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("ivfapp", d)
+      val e = rd(s, d, "embeddings")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", ivfCentroidsFor(s, d), path,
+        recallSampleN = 0)
+      Similarity.appendToIvfIndex(s, path,
+        e.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+        batchId = Some(0L))
+      Similarity.appendToIvfIndex(s, path,
+        e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+        batchId = Some(1L))
+      path
+    })
+
+  /** Incrementally-FOLDED flat PQ index (planted codebook over the
+    * floor(x*256)-quantized embeddings): built on `vec_id % 3 = 0`,
+    * the rest appended with the STORED codebook — the
+    * [[ivfPqAppendIndexFor]] discipline for the unpartitioned layout.
+    */
+  private val pqAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def pqAppendIndexFor(s: SparkSession, dir: String): String =
+    sweepStopped(pqAppendIndexCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import graft.pipeline.ProductQuant
+      val path = indexTmpPath("pqapp", d)
+      val qv = rd(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.writePqIndex(qv.filter(col("vec_id") % 3 === 0),
+        "vec_id", "qv", ProductQuant.plantedCodebook(8, 8, 16), path,
+        recallSampleN = 0)
+      ProductQuant.appendToPqIndex(s, path,
+        qv.filter(col("vec_id") % 3 === 1), "vec_id", "qv",
+        batchId = Some(0L))
+      ProductQuant.appendToPqIndex(s, path,
+        qv.filter(col("vec_id") % 3 === 2), "vec_id", "qv",
+        batchId = Some(1L))
+      path
+    })
+
   /** Persisted MinHash text index for a testdata dir, WRITTEN ONCE per
     * (session, dir): the offline corpus-index build of
     * [[Dedup.writeMinhashIndex]]. The `dedup_index_documents` query then
@@ -4191,6 +4242,39 @@ object Queries {
       SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
       WHERE rank <= 1 ORDER BY query_id, rank""")),
 
+    // ---- ANN against the INCREMENTALLY-FOLDED IVF index: base built
+    // on a third of the corpus, two thirds appended with the stored
+    // centroids; the reader unions base + deltas under the same cid
+    // pruning, so the brute-force oracle over ALL embeddings is exact
+    // (same scaled-self top-1 guarantee as similarity_ivf_index_topk).
+    ("ivf_append_topk", ((s: SparkSession, dir: String) => {
+      val path = ivfAppendIndexFor(s, dir)
+      val e = rd(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") >= 15 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x * lit(1.25f)).as("qv"))
+      Similarity.ivfTopKFromIndex(s, path, queries, "qid", "qv",
+        k = 1, nProbe = 1)
+        .select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH q AS (SELECT vec_id AS query_id,
+                        CAST(list_transform(embedding,
+                          x -> x * CAST(1.25 AS FLOAT)) AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id >= 15 AND vec_id < 20),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 AS cosine
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, id, CAST(rank AS INTEGER) AS rank FROM ranked
+      WHERE rank <= 1 ORDER BY query_id, rank""")),
+
     // ---- int8 embedding quantization, BIT-LEVEL oracle: the floor-
     // based rule (pinned double-op order, no `round` — half-away vs
     // half-even varies across engines) is replayed code-for-code in
@@ -4312,6 +4396,55 @@ object Queries {
         .select(col("vec_id").as("qid"), col("qv"))
       ProductQuant.pqTopK(e, "vec_id", "qv", queries, "qid", "qv",
           cb, k = 3)
+        .select(col("query_id"), col("id"),
+          col("adc").cast("long").as("adc_int"), col("rank"))
+        .orderBy("query_id", "rank")
+    }): Q, Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 256)) AS v
+                 FROM embeddings),
+      d AS (
+        SELECT e.vec_id, s.g AS s, c.g AS c,
+               list_sum(list_transform(range(0, 8), j ->
+                 (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+                 * (v[CAST(s.g*8 + j + 1 AS INTEGER)]
+                    - CAST(((c.g*7 + s.g*3 + j*5) % 16) - 8 AS DOUBLE)*32)
+               )) AS dist
+        FROM e, range(0,8) s(g), range(0,16) c(g)),
+      code AS (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      adc AS (
+        SELECT qd.vec_id AS query_id, code.vec_id AS id,
+               CAST(SUM(qd.dist) AS BIGINT) AS adc_int
+        FROM code JOIN d qd ON qd.s = code.s AND qd.c = code.code
+        WHERE qd.vec_id < 5
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, id, adc_int,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_int, id) AS rank FROM adc)
+      SELECT query_id, id, adc_int, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- PQ ADC against the INCREMENTALLY-FOLDED persisted flat
+    // index: built on a third, the rest appended with the STORED
+    // codebook (byte-packed codes bit-identical to a rebuild's), the
+    // reader unions base + deltas — so the full-corpus ADC replay of
+    // pq_adc_topk is exact over the folded index too. Also the first
+    // oracle through adcTopKFromIndex (the persisted flat serve path).
+    ("pq_append_topk", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.ProductQuant
+      val path = pqAppendIndexFor(s, dir)
+      val queries = rd(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 256).cast("float")).as("qv"))
+      ProductQuant.adcTopKFromIndex(s, path, queries, "qid", "qv",
+          k = 3)
         .select(col("query_id"), col("id"),
           col("adc").cast("long").as("adc_int"), col("rank"))
         .orderBy("query_id", "rank")

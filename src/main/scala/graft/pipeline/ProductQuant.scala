@@ -304,6 +304,8 @@ object ProductQuant {
         pqShortlistCurve(df, idCol, vecCol, cb, recallK,
           recallSampleN), recallTarget))
     val bc = spark.sparkContext.broadcast(cb)
+    // rebuild: stale append deltas must not survive into the new index
+    IndexDeltas.clearDeltas(spark, path)
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -320,6 +322,39 @@ object ProductQuant {
       .coalesce(1)
       .write.mode("overwrite").json(s"$path.codebook")
   }
+
+  /** Fold a batch of NEW vectors into a persisted flat PQ index at
+    * batch cost: encoded with the STORED codebook (bit-identical to a
+    * rebuild's codes) into its own delta under `<path>.delta`
+    * ([[IndexDeltas]] — exactly-once under replay because
+    * overwrite-by-batch-id is the fold's only state). The sidecar's
+    * measured shortlist point is NOT re-derived per fold (recall over
+    * appended mass drifts only as fast as the corpus distribution —
+    * re-measure at compaction cadence via [[writePqIndex]] if needed).
+    */
+  def appendToPqIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val cb = readPqCodebook(spark, path)
+    val bc = spark.sparkContext.broadcast(cb)
+    val rows = batch
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, encodeJ(v, bc.value).map(c => (c & 0xFF).toByte))
+      }
+      .toDF("id", "codes")
+    IndexDeltas.writeDelta(rows, path,
+      batchId.getOrElse(IndexDeltas.nextAppendId(spark, path)),
+      partitionCols = Nil)
+  }
+
+  /** Fold the live flat-PQ deltas into a fresh base generation —
+    * served results unchanged; crash-safety: [[IndexDeltas.compact]].
+    */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    IndexDeltas.compact(spark, path, partitionCols = Nil)
 
   /** Reload the codebook sidecar written by [[writePqIndex]]
     * (JSON numbers arrive as doubles; float→double→float is exact).
@@ -346,8 +381,9 @@ object ProductQuant {
       .as[Array[Float]].head().length
     require(qDim == cb.dim,
       s"query dim $qDim != index dim ${cb.dim}")
-    // packed codes land as BINARY; widen each byte back to [0,256)
-    val codes = spark.read.parquet(path)
+    // packed codes land as BINARY; widen each byte back to [0,256).
+    // Base plus appended deltas ([[appendToPqIndex]]).
+    val codes = IndexDeltas.rows(spark, path)
       .select(col("id").cast("long"), col("codes"))
       .as[(Long, Array[Byte])]
       .map { case (id, bs) => (id, bs.map(b => b & 0xFF)) }
@@ -619,10 +655,7 @@ object ProductQuant {
     import spark.implicits._
     // a REBUILD replaces the whole index: stale append deltas from a
     // previous build at this path must not survive into the new one
-    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path.delta")
-    val fs = deltaRoot.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(deltaRoot, true)
+    IndexDeltas.clearDeltas(spark, path)
     encodedRows(df, idCol, vecCol, coarse, cb, residuals)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     Seq((coarse.map(_.toSeq).toSeq,
@@ -659,125 +692,31 @@ object ProductQuant {
       batch: DataFrame, idCol: String, vecCol: String,
       batchId: Option[Long] = None): Unit = {
     val (coarse, cb, residuals) = readIvfPqSidecar(spark, path)
-    val effId = batchId.getOrElse(nextAppendId(spark, path))
-    encodedRows(batch, idCol, vecCol, coarse, cb, residuals)
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$path.delta/batch=$effId")
-  }
-
-  /** Existing delta batch ids under `<path>.delta`. */
-  private def deltaIds(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[Long] =
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch=") =>
-        n.stripPrefix("batch=").toLongOption.getOrElse(-1L) }
-      .filter(_ >= 0)
-
-  /** Compaction floor recorded in the base generation (underscore-
-    * prefixed so parquet discovery ignores it): delta ids at or below
-    * it are already folded into the base — readers skip them, and new
-    * un-id'd folds allocate past it.
-    */
-  private val FloorMarker = "_folded_floor"
-
-  private def readFloor(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Long = {
-    val m = new org.apache.hadoop.fs.Path(s"$path/$FloorMarker")
-    if (!fs.exists(m)) -1L
-    else {
-      val in = fs.open(m)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
-
-  /** Next unused delta id for un-id'd folds: past every live delta AND
-    * the compaction floor (a reused id at or below the floor would be
-    * ignored by readers).
-    */
-  private def nextAppendId(spark: SparkSession, path: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(s"$path.delta")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (deltaIds(fs, root) :+ readFloor(fs, path)).max + 1L
+    IndexDeltas.writeDelta(
+      encodedRows(batch, idCol, vecCol, coarse, cb, residuals),
+      path, batchId.getOrElse(IndexDeltas.nextAppendId(spark, path)),
+      partitionCols = Seq("cid"))
   }
 
   /** The stored rows of an IVF-PQ index: base build plus any appended
-    * delta batches PAST the compaction floor, one frame. `cid` is a
-    * PARTITION column in both layouts, so a probed-cell `isin` filter
-    * prunes directories on both sides of the union — append never
-    * weakens the pruning story.
+    * delta batches past the compaction floor ([[IndexDeltas.rows]]).
+    * `cid` is a PARTITION column in both layouts, so a probed-cell
+    * `isin` filter prunes directories on both sides of the union —
+    * append never weakens the pruning story.
     */
-  private def ivfPqRows(spark: SparkSession, path: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$path.delta")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the one crash window of [[compactIvfPqIndex]]'s swap leaves only
-    // the _prev generation on disk — serve it (the SidecarIO fallback
-    // discipline); its floor marker keeps the delta skip-set consistent
-    val livePath =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path)) &&
-          fs.exists(new org.apache.hadoop.fs.Path(path + "_prev")))
-        path + "_prev"
-      else path
-    val base = spark.read.parquet(livePath)
+  private def ivfPqRows(spark: SparkSession, path: String): DataFrame =
+    IndexDeltas.rows(spark, path)
       .select(col("id").cast("long"), col("codes"),
         col("cid").cast("int"))
-    val floor = readFloor(fs, livePath)
-    val live = deltaIds(fs, root).filter(_ > floor).sorted
-    if (live.isEmpty) base
-    else base.unionAll(
-      spark.read.option("basePath", s"$path.delta")
-        .parquet(live.map(id => s"$path.delta/batch=$id"): _*)
-        .select(col("id").cast("long"), col("codes"),
-          col("cid").cast("int")))
-  }
 
   /** Fold the live deltas into a fresh base generation — the file-count
     * hygiene step of the daily-append lifecycle (a year of daily folds
     * is 365 delta directories of small files; compaction restores the
     * one-dir-per-cell layout without changing a single served result).
-    * Crash-safe at every window: the new generation (base + deltas,
-    * stamped with a [[FloorMarker]] naming the highest folded id) is
-    * MATERIALIZED to a tmp sibling while the live layout is intact,
-    * swapped in via the rename discipline of [[SidecarIO]], and only
-    * then are folded delta dirs dropped — a crash between swap and
-    * cleanup leaves stale deltas that readers IGNORE via the marker.
+    * Crash-safety: [[IndexDeltas.compact]].
     */
-  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path.delta")
-    val oldFloor = readFloor(fs, path)
-    val live = deltaIds(fs, deltaRoot).filter(_ > oldFloor)
-    if (live.isEmpty) return // nothing to fold
-    val floor = live.max
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    val prev = new org.apache.hadoop.fs.Path(path + "_prev")
-    fs.delete(tmp, true)
-    // materialize the union while the live layout is still intact
-    ivfPqRows(spark, path)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$tmp/$FloorMarker"), true)
-    try out.write(floor.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(prev, true)
-    if (fs.exists(destPath)) { fs.rename(destPath, prev); () }
-    if (!fs.rename(tmp, destPath))
-      sys.error(s"index swap failed: could not rename $tmp to $path")
-    fs.delete(prev, true)
-    // cleanup (idempotent; readers already ignore ids <= floor)
-    live.foreach(id => fs.delete(
-      new org.apache.hadoop.fs.Path(s"$path.delta/batch=$id"), true))
-    if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).isEmpty) {
-      fs.delete(deltaRoot, true); ()
-    }
-  }
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    IndexDeltas.compact(spark, path, partitionCols = Seq("cid"))
 
   /** Reload (coarse, codebook, residuals) written by
     * [[writeIvfPqIndex]] (pre-residual sidecars read as `false`).

@@ -537,6 +537,9 @@ object Similarity {
         val (mn, mx, codes) = quantizeCodesJ(v)
         (id, mn, mx, packCodesJ(codes), cid)
       }.toDF("id", "mn", "mx", "qv", "cid")
+    // a REBUILD replaces the whole index: stale append deltas from a
+    // previous build at this path must not survive into the new one
+    IndexDeltas.clearDeltas(spark, path)
     stored.write.mode("overwrite").partitionBy("cid").parquet(path)
     // self-describing sidecar: dim/k/metric/quantized (+ the derived
     // probe point) ride with the centroids so a reader can VALIDATE a
@@ -549,6 +552,43 @@ object Similarity {
         "nProbe", "nProbeRecall", "recallK").coalesce(1)
       .write.mode("overwrite").json(s"$path.centroids")
   }
+
+  /** Fold a batch of NEW vectors into a persisted IVF index at batch
+    * cost — the daily-ingest path (no full re-encode): the batch is
+    * assigned + (when the index is quantized) coded with the STORED
+    * sidecar, so appended rows are bit-identical to a rebuild's, and
+    * lands in its own cid-partitioned delta under `<path>.delta`
+    * ([[IndexDeltas]] — exactly-once under replay because
+    * overwrite-by-batch-id is the fold's only state). Batches carry ids
+    * not already indexed (the incremental-index discipline); removals
+    * route through the tombstone machinery.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val sideRow = spark.read.json(s"$path.centroids").head()
+    val quantized = sideRow.schema.fieldNames.contains("quantized") &&
+      sideRow.getAs[Boolean]("quantized")
+    val centroids = readIvfCentroids(spark, path)
+    val assigned = ivfAssignDf(batch, idCol, vecCol, centroids)
+    val stored =
+      if (!quantized) assigned
+      else assigned.as[(Long, Array[Float], Int)].map { case (id, v, cid) =>
+        val (mn, mx, codes) = quantizeCodesJ(v)
+        (id, mn, mx, packCodesJ(codes), cid)
+      }.toDF("id", "mn", "mx", "qv", "cid")
+    IndexDeltas.writeDelta(stored, path,
+      batchId.getOrElse(IndexDeltas.nextAppendId(spark, path)),
+      partitionCols = Seq("cid"))
+  }
+
+  /** Fold the live IVF deltas into a fresh base generation — served
+    * results unchanged; crash-safety: [[IndexDeltas.compact]].
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    IndexDeltas.compact(spark, path, partitionCols = Seq("cid"))
 
   /** Reload the centroid matrix written by [[writeIvfIndex]]. */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -615,8 +655,9 @@ object Similarity {
     val probedCells = qProbes.select("cid").distinct()
       .as[Int].collect().toSeq
     // empty batch -> no probes: keep the plan shape (and result schema)
-    // with an always-false filter instead of an empty isin
-    val pruned = spark.read.parquet(path)
+    // with an always-false filter instead of an empty isin; base plus
+    // appended deltas, cid pruning on both scans
+    val pruned = IndexDeltas.rows(spark, path)
       .filter(if (probedCells.isEmpty) lit(false)
         else col("cid").isin(probedCells: _*)) // partition pruning
     // a quantized index dequantizes AFTER the partition filter, so the

@@ -447,6 +447,36 @@ object StreamOps {
           batchId = Some(batchId))
     }
 
+  /** [[ivfPqAppendStream]] for the cosine IVF index
+    * ([[graft.pipeline.Similarity.appendToIvfIndex]] — raw or
+    * quantized per the stored sidecar); same exactly-once argument.
+    */
+  def ivfAppendStream(stream: DataFrame, path: String,
+      idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Similarity.appendToIvfIndex(
+          batch.sparkSession, path, batch, idCol, vecCol,
+          batchId = Some(batchId))
+    }
+
+  /** [[ivfPqAppendStream]] for the flat PQ index
+    * ([[graft.pipeline.ProductQuant.appendToPqIndex]]); same
+    * exactly-once argument.
+    */
+  def pqAppendStream(stream: DataFrame, path: String,
+      idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.ProductQuant.appendToPqIndex(
+          batch.sparkSession, path, batch, idCol, vecCol,
+          batchId = Some(batchId))
+    }
+
   /** Sidecar maintenance for the [[graft.pipeline.CountMin]] frequency
     * grid: each micro-batch folds in by cellwise ADDITION, so the
     * maintained grid equals the build-at-once sketch over the whole

@@ -96,4 +96,45 @@ class IvfProbeSpec extends AnyFunSuite with SparkTestBase {
       s"sample must reach the upper id range, got max=${ids.max} of $n")
     assert(ids.min < n / 2)
   }
+
+  test("incremental append: folded IVF index serves identical to a " +
+      "rebuild (raw and quantized); compaction preserves results") {
+    val centroids = Similarity.trainIvfCentroids(embs, "vec_id",
+      "embedding", k = 4, sampleN = 100)
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    for (quantize <- Seq(false, true)) {
+      val pFull = tmp(s"ivfapp_full_$quantize")
+      val pInc = tmp(s"ivfapp_inc_$quantize")
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids,
+        pFull, quantize = quantize, recallSampleN = 0)
+      Similarity.writeIvfIndex(embs.filter($"vec_id" % 3 === 0),
+        "vec_id", "embedding", centroids, pInc, quantize = quantize,
+        recallSampleN = 0)
+      Similarity.appendToIvfIndex(spark, pInc,
+        embs.filter($"vec_id" % 3 === 1), "vec_id", "embedding",
+        batchId = Some(0L))
+      Similarity.appendToIvfIndex(spark, pInc,
+        embs.filter($"vec_id" % 3 === 2), "vec_id", "embedding",
+        batchId = Some(1L))
+      def serve(p: String) = Similarity
+        .ivfTopKFromIndex(spark, p, queries, "qid", "qv", k = 5,
+          nProbe = centroids.length)
+        .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+      val full = serve(pFull)
+      assert(serve(pInc) == full,
+        s"quantize=$quantize: folded index diverges from rebuild")
+      // replayed batch id: overwrite, not duplicate
+      Similarity.appendToIvfIndex(spark, pInc,
+        embs.filter($"vec_id" % 3 === 2), "vec_id", "embedding",
+        batchId = Some(1L))
+      assert(serve(pInc) == full)
+      Similarity.compactIvfIndex(spark, pInc)
+      assert(serve(pInc) == full,
+        s"quantize=$quantize: compaction changed served results")
+      val fs = new org.apache.hadoop.fs.Path(pInc).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pInc.delta")))
+    }
+  }
 }

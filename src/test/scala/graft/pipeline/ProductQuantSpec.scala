@@ -308,6 +308,37 @@ class ProductQuantSpec extends AnyFunSuite with SparkTestBase {
       "post-compaction un-id'd fold must allocate past the floor and serve")
   }
 
+  test("flat PQ append: folded halves serve identical to a rebuild; " +
+      "compaction preserves results") {
+    val corpus = clustered()
+    val cb = trainCodebook(corpus, "id", "v", sub, 8,
+      sampleN = 90, iters = 6)
+    val dirBase = java.nio.file.Files
+      .createTempDirectory("pqapp").toString
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val pFull = dirBase + "/full"
+    val pInc = dirBase + "/inc"
+    writePqIndex(corpus, "id", "v", cb, pFull, recallSampleN = 0)
+    writePqIndex(corpus.filter(col("id") < 45), "id", "v", cb, pInc,
+      recallSampleN = 0)
+    appendToPqIndex(spark, pInc, corpus.filter(col("id") >= 45),
+      "id", "v", batchId = Some(0L))
+    def serve(p: String) =
+      adcTopKFromIndex(spark, p, queries, "qid", "qv", k = 5)
+        .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val full = serve(pFull)
+    assert(serve(pInc) == full, "folded flat index diverges from rebuild")
+    appendToPqIndex(spark, pInc, corpus.filter(col("id") >= 45),
+      "id", "v", batchId = Some(0L)) // replay: overwrite, not duplicate
+    assert(serve(pInc) == full)
+    compactPqIndex(spark, pInc)
+    assert(serve(pInc) == full, "compaction changed served results")
+    val fs = new org.apache.hadoop.fs.Path(pInc).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pInc.delta")))
+  }
+
   test("rerank with corpus-wide shortlist equals exact L2 top-k") {
     val corpus = clustered()
     val cb = trainCodebook(corpus, "id", "v", sub, 8,
