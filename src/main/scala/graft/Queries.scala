@@ -2656,6 +2656,27 @@ object Queries {
         text
       FROM documents ORDER BY doc_id""")),
 
+    // ---- the END-TO-END crawl path: WET files → record splitter →
+    // text view → the FULL curation pipeline (language → quality →
+    // exact dedup → near-dup → split). The WET fixture carries the
+    // documents rows verbatim, so the oracle is the curation replay
+    // over the parquet truth — proving the source composes with the
+    // curation stack without any intermediate materialization. ----
+    ("warc_curate_documents", ((s: SparkSession, dir: String) => {
+      val path = warcFilesFor(s, dir)
+      val docs = graft.sources.WarcFiles.readText(s, path)
+        .select(
+          regexp_extract(col("url"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("text"))
+      graft.pipeline.Curation.curate(docs, "doc_id", "text",
+        graft.pipeline.Curation.Config(nearDup =
+          graft.pipeline.Curation.NearDupStrategy.Ngram(maxDocFreq = 0)))
+        .orderBy("doc_id")
+    }): Q, Some(curationOracleSqlFull("en", 40, 0.8, transitive = false,
+      maxPiiHits = None, maxTokenRunPct = None,
+      baseSql = "SELECT doc_id, text FROM documents"))),
+
     // ---- schema toolbox: flat-order names/types (literal oracle) ----
     ("get_names_types", ((s: SparkSession, dir: String) => {
       val x = Avro.create("""{"type":"record","name":"X","fields":[

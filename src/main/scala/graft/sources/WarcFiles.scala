@@ -204,6 +204,21 @@ object WarcFiles {
       .select(col("url"), col("warc_date"),
         decodeUtf8(col("payload")).as("text"))
 
+  /** The RESPONSE-record text view — raw WARC (not WET) captures carry
+    * the full HTTP exchange in the block: drop the HTTP header section
+    * (everything through the first blank line) and decode the body
+    * UTF-8 as `(url, warc_date, body)`. Compose with
+    * [[graft.pipeline.TextAnalysis.stripMarkup]] for HTML bodies — the
+    * raw-crawl leg of the ingest path (WET already ships extracted
+    * text). Column-only (codegen'd regexp), no UDFs.
+    */
+  def responseText(records: DataFrame): DataFrame =
+    records
+      .filter(col("record_type") === "response")
+      .select(col("url"), col("warc_date"),
+        regexp_replace(decodeUtf8(col("payload")),
+          "(?s)^.*?\r\n\r\n", "").as("body"))
+
   private def decodeUtf8(payload: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.decode(payload, "UTF-8")
 }

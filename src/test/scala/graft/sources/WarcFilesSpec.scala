@@ -126,6 +126,30 @@ class WarcFilesSpec extends AnyFunSuite with SparkTestBase {
         e2.getCause.getMessage.contains("Content-Length")))
   }
 
+  test("responseText strips the HTTP header block and composes with " +
+      "markup strip") {
+    val dir = java.nio.file.Files.createTempDirectory("warcresp")
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Hdr: v\r\n\r\n<html><body>Hello <b>crawl</b></body></html>"
+    write(dir, "r.warc",
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://r.example/page",
+        "Content-Type" -> "application/http; msgtype=response"),
+        http.getBytes("UTF-8")) ++
+        conversion("http://r.example/wet", "2024-01-01T00:00:00Z",
+          "already text")) // conversion records are NOT response rows
+    val resp = WarcFiles.responseText(
+      WarcFiles.read(spark, dir.toString)).collect()
+    assert(resp.length == 1)
+    assert(resp.head.getAs[String]("body") ==
+      "<html><body>Hello <b>crawl</b></body></html>")
+    val text = WarcFiles.responseText(WarcFiles.read(spark, dir.toString))
+      .select(graft.pipeline.TextAnalysis.stripMarkup(
+        org.apache.spark.sql.functions.col("body")).as("t"))
+      .collect().head.getString(0)
+    assert(text == "Hello crawl", s"got '$text'")
+  }
+
   test("streaming read: segments arriving in waves equal batch read") {
     val dir = java.nio.file.Files.createTempDirectory("warcstream")
     val q = WarcFiles.readTextStream(spark, dir.toString)
