@@ -2656,6 +2656,31 @@ object Queries {
         text
       FROM documents ORDER BY doc_id""")),
 
+    // ---- STREAMING WARC ingest: the same WET fixture consumed through
+    // the binaryFile FILE-STREAM source (segments arriving as
+    // micro-batches), each batch's records decoded by the identical
+    // splitter and appended to the sink. Record parsing is stateless
+    // per file, so the accumulated result is batching-independent BY
+    // CONSTRUCTION and the batch oracle is exact. ----
+    ("warc_stream_documents", ((s: SparkSession, dir: String) => {
+      val path = warcFilesFor(s, dir)
+      collectStream(s) { outDir =>
+        graft.sources.WarcFiles.readTextStream(s, path)
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+          }
+      }.select(
+          regexp_extract(col("url"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      SELECT doc_id,
+        'http://docs.example/' || source || '/' || doc_id AS url,
+        text
+      FROM documents ORDER BY doc_id""")),
+
     // ---- the END-TO-END crawl path: WET files → record splitter →
     // text view → the FULL curation pipeline (language → quality →
     // exact dedup → near-dup → split). The WET fixture carries the
