@@ -2652,8 +2652,8 @@ object Queries {
       SELECT doc_id,
         'http://docs.example/' || source || '/' || doc_id AS url,
         'conversion' AS record_type,
-        octet_length(encode(text)) AS n_bytes,
-        text
+        octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+        COALESCE(text, '') AS text
       FROM documents ORDER BY doc_id""")),
 
     // ---- STREAMING WARC ingest: the same WET fixture consumed through
@@ -2678,7 +2678,7 @@ object Queries {
     }): Q, Some("""
       SELECT doc_id,
         'http://docs.example/' || source || '/' || doc_id AS url,
-        text
+        COALESCE(text, '') AS text
       FROM documents ORDER BY doc_id""")),
 
     // ---- the END-TO-END crawl path: WET files → record splitter →

@@ -65,13 +65,26 @@ private[pipeline] object IndexDeltas {
 
   /** Land `batch` (already encoded to the index's row layout) as the
     * idempotent delta `<path>.delta/batch=<id>`, partitioned like the
-    * base when `partitionCols` is non-empty.
+    * base when `partitionCols` is non-empty. The batch materializes to
+    * an underscore-prefixed tmp sibling (invisible to [[deltaIds]] and
+    * parquet discovery alike) and RENAMES into place, so a concurrent
+    * reader listing the delta root never unions a partially-written
+    * directory — during a replay's delete+rename window the reader
+    * simply serves the pre-replay state (same rows: replays are
+    * byte-idempotent by contract).
     */
   def writeDelta(batch: DataFrame, path: String, batchId: Long,
       partitionCols: Seq[String]): Unit = {
+    val f = fs(batch.sparkSession, path)
+    val tmp = new Path(s"$path.delta/_tmp_batch=$batchId")
+    val dst = new Path(s"$path.delta/batch=$batchId")
+    f.delete(tmp, true)
     val w = batch.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$path.delta/batch=$batchId")
+      .parquet(tmp.toString)
+    f.delete(dst, true)
+    if (!f.rename(tmp, dst))
+      sys.error(s"delta swap failed: could not rename $tmp to $dst")
   }
 
   /** A rebuild replaces the whole index: stale deltas from a previous
@@ -133,8 +146,15 @@ private[pipeline] object IndexDeltas {
     try out.write(floor.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(prev, true)
-    if (f.exists(new Path(path))) { f.rename(new Path(path), prev); () }
+    // In the crash-recovery flow (base absent, readers serving from
+    // `_prev`) `_prev` IS the live base: deleting it before the tmp
+    // rename would leave neither generation if we crash in between.
+    // Only clear/rotate `_prev` when a live base occupies `path`; the
+    // recovery flow defers the `_prev` delete until after the swap.
+    if (f.exists(new Path(path))) {
+      f.delete(prev, true)
+      f.rename(new Path(path), prev); ()
+    }
     if (!f.rename(tmp, new Path(path)))
       sys.error(s"index swap failed: could not rename $tmp to $path")
     f.delete(prev, true)

@@ -314,7 +314,10 @@ object KMeans {
     // than once. Below the cap the literal spelling stays inline (its
     // score array is plan literals; duplication there is bounded by
     // [[literalComponentCap]]).
-    val best = "_graft_best"
+    // collision-free staging name: an input that already carries
+    // `_graft_best` must not be silently overwritten and dropped
+    val best = Iterator.iterate("_graft_best")(_ + "_")
+      .dropWhile(df.columns.contains).next()
     val large = model.centroids.length.toLong *
       model.centroids(0).length > literalComponentCap
     val staged =

@@ -197,149 +197,220 @@ object Unigram {
     costs.toSeq.sortBy { case (p, c) => (c, p) }
       .zipWithIndex.map { case ((p, _), i) => p -> i }.toMap
 
+  /** Split a string into code-point strings (shared by the seed kernel
+    * and the lattice E-step).
+    */
+  private[pipeline] def codePointsOf(w: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      buf += w.substring(i, i + n)
+      i += n
+    }
+    buf.toArray
+  }
+
+  /** Expected-count quantum: one MICRO-count. Per-word posterior masses
+    * quantize to micro-count longs before summation, so the E-step
+    * total is an exact integer sum — order-independent, hence
+    * bit-identical whether the per-word lattices run on the driver or
+    * across executor partitions (the parity contract between [[train]]
+    * modes). Envelope: long micro-counts saturate past ~9.2e12 tokens
+    * of expected mass in the dict — train on a sample past that.
+    */
+  private val CountMicro = 1e6
+
+  private def logsumexp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(-math.abs(a - b))) }
+
+  /** One word's E-step: forward–backward over the segmentation lattice
+    * (lookback `maxPieceLen`), each arc's freq-weighted posterior mass
+    * quantized to micro-counts and added into `acc`. Pure per-word
+    * arithmetic — the unit both the driver loop and the distributed
+    * `mapPartitions` E-step call, so the two modes agree exactly.
+    */
+  private[pipeline] def accumulateExpected(
+      logp: collection.Map[String, Double], cps: Array[String], f: Long,
+      maxPieceLen: Int,
+      acc: scala.collection.mutable.HashMap[String, Long]): Unit = {
+    val n = cps.length
+    def arc(j: Int, i: Int): Double = {
+      val piece = if (i - j == 1) cps(j) else cps.slice(j, i).mkString
+      logp.getOrElse(piece, Double.NegativeInfinity)
+    }
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        val a = alpha(i - l)
+        if (a != Double.NegativeInfinity) {
+          val lp = arc(i - l, i)
+          if (lp != Double.NegativeInfinity)
+            alpha(i) = logsumexp(alpha(i), a + lp)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val z = alpha(n) // finite: single chars always carry mass
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    beta(n) = 0.0
+    var j = n - 1
+    while (j >= 0) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, n - j)) {
+        val b = beta(j + l)
+        if (b != Double.NegativeInfinity) {
+          val lp = arc(j, j + l)
+          if (lp != Double.NegativeInfinity)
+            beta(j) = logsumexp(beta(j), lp + b)
+        }
+        l += 1
+      }
+      j -= 1
+    }
+    // posterior mass of each arc, freq-weighted, micro-quantized
+    j = 0
+    while (j < n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, n - j)) {
+        val lp = arc(j, j + l)
+        if (lp != Double.NegativeInfinity &&
+            alpha(j) != Double.NegativeInfinity &&
+            beta(j + l) != Double.NegativeInfinity) {
+          val post = math.exp(alpha(j) + lp + beta(j + l) - z)
+          val q = math.rint(f * post * CountMicro).toLong
+          if (q > 0L) {
+            val piece =
+              if (l == 1) cps(j) else cps.slice(j, j + l).mkString
+            acc(piece) = acc.getOrElse(piece, 0L) + q
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+  }
+
   /** Train a unigram model — the published EM shape (Kudo 2018, §3.2):
     *
     *  1. ONE distributed aggregation → the bounded word-frequency
-    *     table (top `maxWords` by count); everything after runs
-    *     driver-side over that dict, like [[Bpe.train]].
+    *     table (top `maxWords` by count, words past `maxWordLen` code
+    *     points dropped — a megabyte "word" is corpus noise, and the
+    *     cap bounds every later lattice).
     *  2. Seed vocabulary: every substring of the marker-prefixed words
-    *     up to `maxPieceLen`, scored by freq × length; top `seedSize`
-    *     survive. Single characters always stay (the parse-exists
-    *     invariant — every word has a path with no unknown arcs).
-    *  3. `iters` EM rounds: the E-step runs FORWARD–BACKWARD over each
-    *     word's segmentation lattice (soft counts — every parse
-    *     contributes its posterior mass, not just the Viterbi one; the
-    *     lookback is `maxPieceLen`, the lattice is words × arcs —
-    *     bounded), the M-step re-estimates each piece's probability
-    *     from its expected-count share and drops multi-char pieces
-    *     with no mass.
+    *     up to `maxPieceLen`, scored by freq × length; counted
+    *     DISTRIBUTEDLY (explode → sum → top `seedSize`), so the driver
+    *     never materializes the raw substring universe — it collects
+    *     exactly `seedSize` pieces plus the alphabet. Single characters
+    *     always stay (the parse-exists invariant — every word has a
+    *     path with no unknown arcs).
+    *  3. `iters` soft-EM rounds: the E-step runs FORWARD–BACKWARD over
+    *     each word's segmentation lattice (soft counts — every parse
+    *     contributes its posterior mass, not just the Viterbi one),
+    *     per-arc mass quantized to micro-counts so totals are exact
+    *     integer sums; the M-step re-estimates each piece's probability
+    *     from its expected-count share and drops multi-char pieces with
+    *     no mass. With `distributedE = true` the lattices run in
+    *     `mapPartitions` over the word-frequency frame (model broadcast
+    *     per round, expected counts reduced through one keyed agg — the
+    *     KMeans Lloyd discipline), lifting the driver-side dict bound;
+    *     micro-count quantization makes the two modes BIT-IDENTICAL.
     *  4. Prune to `vocabSize` by expected count (single chars kept).
     *
-    * Deterministic: fixed word order, fixed arc order, sorted-key
-    * reductions — training twice yields the identical model.
+    * Deterministic: fixed word order, fixed arc order, integer count
+    * reductions, sorted-key M-step — training twice (in either mode)
+    * yields the identical model.
     */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
       marker: String = "▁", maxPieceLen: Int = 8,
       seedSize: Int = 1 << 16, iters: Int = 4,
-      maxWords: Int = 1 << 20): UnigramModel = {
+      maxWords: Int = 1 << 20, maxWordLen: Int = 1 << 10,
+      distributedE: Boolean = false): UnigramModel = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
-    val wc = docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 1. the bounded word-frequency frame — consumed by the seed agg,
+    // the driver dict, and (distributed mode) every E-step round
+    val wcDs = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("w"))
       .limit(maxWords)
-      .collect()
-      .map(r => (marker + r.getString(0), r.getLong(1)))
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // pre-split each dict word into code points once
-    val words: Array[(Array[String], Long)] = wc.map { case (w, f) =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        val n = Character.charCount(cp)
-        buf += w.substring(i, i + n)
-        i += n
+    // 2. seed: substring scores (freq × length) counted distributedly;
+    // the driver collects top-seedSize plus the (bounded) alphabet
+    val mk = marker
+    val mpl = maxPieceLen
+    val subScores = wcDs.mapPartitions { it =>
+      it.flatMap { case (w0, f) =>
+        val cps = codePointsOf(mk + w0)
+        val n = cps.length
+        (0 until n).iterator.flatMap { s =>
+          ((s + 1) to math.min(n, s + mpl)).iterator.map { e =>
+            (cps.slice(s, e).mkString, e - s, f * (e - s))
+          }
+        }
       }
-      (buf.toArray, f)
-    }
-
-    // 2. seed: substring counts (freq × length score)
-    val subScore = scala.collection.mutable.HashMap.empty[String, Long]
-    val chars = scala.collection.mutable.LinkedHashSet.empty[String]
-    words.foreach { case (cps, f) =>
-      cps.foreach(chars += _)
-      for (s <- cps.indices; e <- (s + 1) to
-          math.min(cps.length, s + maxPieceLen)) {
-        val piece = cps.slice(s, e).mkString
-        subScore(piece) = subScore.getOrElse(piece, 0L) +
-          f * (e - s)
-      }
-    }
-    val seed = (subScore.toSeq
-      .sortBy { case (p, sc) => (-sc, p) }.take(seedSize).map(_._1) ++
-      chars).distinct
+    }.toDF("piece", "ncps", "score")
+      .groupBy("piece").agg(max("ncps").as("ncps"),
+        sum("score").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars: Seq[String] = subScores.filter(col("ncps") === 1)
+      .select("piece").as[String].collect().toSeq.sorted
+    val seedTop = subScores
+      .orderBy(desc("score"), asc("piece"))
+      .limit(seedSize)
+      .select("piece").as[String].collect().toSeq
+    subScores.unpersist()
+    val seed = (seedTop ++ chars).distinct
     // initial probabilities: uniform over the seed
     var logp: Map[String, Double] =
       seed.map(_ -> -math.log(seed.size.toDouble)).toMap
 
-    def logsumexp(a: Double, b: Double): Double =
-      if (a == Double.NegativeInfinity) b
-      else if (b == Double.NegativeInfinity) a
-      else { val m = math.max(a, b); m + math.log1p(math.exp(-math.abs(a - b))) }
+    // driver dict (only the driver-mode E-step walks it; sorted for a
+    // stable iteration order, though integer count sums no longer
+    // depend on it)
+    val words: Array[(Array[String], Long)] =
+      if (distributedE) Array.empty
+      else wcDs.collect().sortBy { case (w, f) => (-f, w) }
+        .map { case (w, f) => (codePointsOf(marker + w), f) }
 
     // 3. soft-EM rounds: forward–backward expected counts per word
     for (_ <- 1 to iters) {
-      val expected =
-        scala.collection.mutable.HashMap.empty[String, Double]
-      words.foreach { case (cps, f) =>
-        val n = cps.length
-        // arc cache: (j, i) -> logp(piece j..i) for pieces in vocab
-        def arc(j: Int, i: Int): Double = {
-          val piece =
-            if (i - j == 1) cps(j) else cps.slice(j, i).mkString
-          logp.getOrElse(piece, Double.NegativeInfinity)
-        }
-        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
-        alpha(0) = 0.0
-        var i = 1
-        while (i <= n) {
-          var l = 1
-          while (l <= math.min(maxPieceLen, i)) {
-            val a = alpha(i - l)
-            if (a != Double.NegativeInfinity) {
-              val lp = arc(i - l, i)
-              if (lp != Double.NegativeInfinity)
-                alpha(i) = logsumexp(alpha(i), a + lp)
-            }
-            l += 1
+      val expected = scala.collection.mutable.HashMap.empty[String, Long]
+      if (distributedE) {
+        val bLogp = spark.sparkContext.broadcast(logp)
+        val partial = wcDs.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { case (w0, f) =>
+            accumulateExpected(bLogp.value, codePointsOf(mk + w0), f,
+              mpl, acc)
           }
-          i += 1
-        }
-        val z = alpha(n) // finite: single chars always carry mass
-        val beta = Array.fill(n + 1)(Double.NegativeInfinity)
-        beta(n) = 0.0
-        var j = n - 1
-        while (j >= 0) {
-          var l = 1
-          while (l <= math.min(maxPieceLen, n - j)) {
-            val b = beta(j + l)
-            if (b != Double.NegativeInfinity) {
-              val lp = arc(j, j + l)
-              if (lp != Double.NegativeInfinity)
-                beta(j) = logsumexp(beta(j), lp + b)
-            }
-            l += 1
-          }
-          j -= 1
-        }
-        // posterior mass of each arc, freq-weighted
-        j = 0
-        while (j < n) {
-          var l = 1
-          while (l <= math.min(maxPieceLen, n - j)) {
-            val lp = arc(j, j + l)
-            if (lp != Double.NegativeInfinity &&
-                alpha(j) != Double.NegativeInfinity &&
-                beta(j + l) != Double.NegativeInfinity) {
-              val post = math.exp(alpha(j) + lp + beta(j + l) - z)
-              if (post > 0.0) {
-                val piece =
-                  if (l == 1) cps(j) else cps.slice(j, j + l).mkString
-                expected(piece) =
-                  expected.getOrElse(piece, 0.0) + f * post
-              }
-            }
-            l += 1
-          }
-          j += 1
+          acc.iterator
+        }.toDF("piece", "c")
+          .groupBy("piece").agg(sum("c").as("c"))
+          .as[(String, Long)].collect()
+        bLogp.destroy()
+        partial.foreach { case (p, c) => expected(p) = c }
+      } else {
+        words.foreach { case (cps, f) =>
+          accumulateExpected(logp, cps, f, maxPieceLen, expected)
         }
       }
       // M-step over SORTED keys (deterministic FP reduction); chars
       // keep a floor so the parse-exists invariant survives
       val kept = logp.keysIterator.toSeq.sorted.flatMap { p =>
-        val c = expected.getOrElse(p, 0.0)
+        val c = expected.getOrElse(p, 0L).toDouble / CountMicro
         if (c > 0.0) Some(p -> c)
         else if (p.codePointCount(0, p.length) == 1) Some(p -> 1e-9)
         else None
@@ -347,6 +418,7 @@ object Unigram {
       val total = kept.map(_._2).sum
       logp = kept.map { case (p, c) => p -> math.log(c / total) }.toMap
     }
+    wcDs.unpersist()
 
     // 4. prune to vocabSize by expected share (chars always kept)
     val ranked = logp.toSeq

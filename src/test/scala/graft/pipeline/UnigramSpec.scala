@@ -106,6 +106,21 @@ class UnigramSpec extends AnyFunSuite with SparkTestBase {
       !m1.costs.contains("_zq"))
   }
 
+  test("trainer: distributed E-step is bit-identical to the driver " +
+      "E-step (micro-count quantization makes sums order-independent)") {
+    val corpus = Seq.fill(50)("the table") ++ Seq.fill(30)("fast sort") ++
+      Seq.fill(7)("tablet the") ++ Seq.fill(5)("zq")
+    // many partitions: the distributed reduce must not depend on
+    // partition order or count
+    val df = corpus.toDF("text").repartition(7)
+    val md = Unigram.train(df, "text", vocabSize = 40, marker = "_",
+      maxPieceLen = 6)
+    val mx = Unigram.train(df, "text", vocabSize = 40, marker = "_",
+      maxPieceLen = 6, distributedE = true)
+    assert(md.costs == mx.costs, "distributed E-step diverged from driver")
+    assert(md.ids == mx.ids)
+  }
+
   test("token-budget integrations: sharding and chunking ride the kernel") {
     val m = model()
     val docs = Seq((0L, "the an"), (1L, "the the the"), (2L, "qz an"))
