@@ -1040,7 +1040,8 @@ object Queries {
     * the ham pair columns to x/y for the new-vs-corpus split).
     */
   private def videoDedupSql(select: String,
-      incremental: Boolean = false): String = {
+      incremental: Boolean = false, cells: Int = 64,
+      pertCells: Int = 4): String = {
     val (ca, cb) = if (incremental) ("x", "y") else ("id_a", "id_b")
     s"""
       WITH clips AS (
@@ -1055,14 +1056,54 @@ object Queries {
                CAST(((CAST(('0x' || left(md5(CAST(src AS VARCHAR)
                         || ':' || CAST(c AS VARCHAR)), 4)) AS INTEGER)
                       % 96) * 2 +
-                     CASE WHEN pert = 1 AND c < 4 THEN 60 ELSE 0 END)
+                     CASE WHEN pert = 1 AND c < $pertCells THEN 60
+                          ELSE 0 END)
                     // scale AS BIGINT) AS amp
-        FROM (SELECT doc_id, src, pert, scale, unnest(range(0, 64)) AS c
+        FROM (SELECT doc_id, src, pert, scale,
+                     unnest(range(0, $cells)) AS c
               FROM clips)),
       tot AS (SELECT doc_id, SUM(amp) AS total FROM cells
               GROUP BY doc_id),
       bits AS (SELECT c.doc_id, c.c,
-                      CASE WHEN c.amp * 64 > t.total THEN 1 ELSE 0 END
+                      CASE WHEN c.amp * $cells > t.total THEN 1 ELSE 0 END
+                        AS b
+               FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+      ham AS (SELECT a.doc_id AS $ca, b.doc_id AS $cb,
+                     SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+                       AS hamming
+              FROM bits a JOIN bits b
+                ON a.c = b.c AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      $select"""
+  }
+
+  /** DuckDB replay of the WIDE (256-cell) image-fingerprint oracle —
+    * the `image_dedup_pairs` CTE at the 16×16 grid: planted lumas →
+    * `lum * 256 > total` bits → full Hamming per pair; `select`
+    * supplies the final projection (`incremental` switches the ham
+    * pair columns to x/y for the new-vs-corpus split).
+    */
+  private def imageWideDedupSql(select: String,
+      incremental: Boolean = false): String = {
+    val (ca, cb) = if (incremental) ("x", "y") else ("id_a", "id_b")
+    s"""
+      WITH imgs AS (
+        SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+        UNION ALL SELECT doc_id + 50000, doc_id, 0 FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 60000, doc_id, 1 FROM documents
+        WHERE doc_id % 15 = 0),
+      cells AS (
+        SELECT doc_id, c,
+               CAST(CASE WHEN pert = 1 AND c < 4
+                    THEN (src*7 + c*11 + 3) % 256
+                    ELSE (src*7 + c*11) % 256 END AS BIGINT) AS lum
+        FROM (SELECT doc_id, src, pert, unnest(range(0, 256)) AS c
+              FROM imgs)),
+      tot AS (SELECT doc_id, SUM(lum) AS total FROM cells
+              GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, c.c,
+                      CASE WHEN c.lum * 256 > t.total THEN 1 ELSE 0 END
                         AS b
                FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
       ham AS (SELECT a.doc_id AS $ca, b.doc_id AS $cb,
@@ -1419,6 +1460,59 @@ object Queries {
       path
     })
 
+  /** Planted WIDE image-DEDUP fixture — [[dedupGridBlobsFor]] at the
+    * 256-bit operating point: 16×16 constant-cell grids with lumas
+    * `(doc_id*7 + c*11) % 256` over c ∈ [0,256); re-encodes (+50000:
+    * other container, other resolution) and near-dups (+60000: first
+    * four cells +3). Same arithmetic oracle discipline — every one of
+    * the 256 bits replays exactly.
+    */
+  private val dedupGridBlobsWideCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def dedupGridBlobsWideFor(s: SparkSession, dir: String): DataFrame =
+    sweepStopped(dedupGridBlobsWideCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      def lumasFor(src: Long, pert: Boolean): Array[Int] =
+        Array.tabulate(256) { c =>
+          (if (pert && c < 4) (src * 7 + c * 11 + 3) % 256
+           else (src * 7 + c * 11) % 256).toInt
+        }
+      val ids = rdPar(s, d, "documents").select(col("doc_id").cast("long"))
+      val base = ids.as[Long].map { id =>
+        (id, Multimodal.encodeCellImage(16, 16, cellPx = 2,
+          lumasFor(id, pert = false), if (id % 2 == 0) "png" else "bmp"))
+      }
+      val reenc = ids.filter(col("doc_id") % 10 === 0).as[Long].map { id =>
+        (id + 50000, Multimodal.encodeCellImage(16, 16, cellPx = 3,
+          lumasFor(id, pert = false), if (id % 2 == 0) "bmp" else "png"))
+      }
+      val near = ids.filter(col("doc_id") % 15 === 0).as[Long].map { id =>
+        (id + 60000, Multimodal.encodeCellImage(16, 16, cellPx = 2,
+          lumasFor(id, pert = true), "png"))
+      }
+      val all = base.union(reenc).union(near).toDF("doc_id", "img")
+        .select(col("doc_id"),
+          Multimodal.asBlob(col("img"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      all
+    })
+
+  /** Persisted WIDE image-fingerprint index over the BASE planted
+    * grids (doc_id < 50000 of [[dedupGridBlobsWideFor]]).
+    */
+  private val imageIndexWideCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def imageIndexWideFor(s: SparkSession, dir: String): String =
+    sweepStopped(imageIndexWideCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("imagefpw", d)
+      graft.pipeline.Multimodal.writeImageIndexWide(
+        dedupGridBlobsWideFor(s, d).filter(col("doc_id") < 50000),
+        "doc_id", "blob", path)
+      path
+    })
+
   /** Planted audio-DEDUP fixture — the WAV analog of
     * [[dedupGridBlobsFor]]: per doc a constant-window 16-bit PCM clip
     * with window amplitudes `(md5("src:w")[0:4] % 1024) * 2` (even, so
@@ -1545,6 +1639,55 @@ object Queries {
         dedupVideoBlobsFor(s, d).filter(col("doc_id") < 50000),
         "doc_id", "blob", path)
       path
+    })
+
+  /** Planted WIDE video-DEDUP fixture — [[dedupVideoBlobsFor]] at 256
+    * frames (the wide fingerprint's one-frame-per-cell point): grays
+    * `(md5("src:f")[0:2 BE] % 96) * 2` over f ∈ [0,256); every 10th doc
+    * re-arrives REMUXED + RE-ENCODED (+50000: 512 frames, gray halved,
+    * quality 0.9), every 15th NEAR-DUPLICATED (+60000: first 16 frames
+    * +60 gray). The oracle replays all 256 envelope bits from the md5
+    * arithmetic.
+    */
+  private val dedupVideoBlobsWideCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def dedupVideoBlobsWideFor(s: SparkSession, dir: String): DataFrame =
+    sweepStopped(dedupVideoBlobsWideCache).computeIfAbsent((s, dir), { case (_, d) =>
+      import s.implicits._
+      import graft.pipeline.Multimodal
+      def graysFor(src: Long, pert: Boolean, halved: Boolean): Array[Int] =
+        Array.tabulate(256) { f =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$src:$f".getBytes("UTF-8"))
+          val v = ((dg(0) & 0xff) << 8) | (dg(1) & 0xff)
+          val g = (v % 96) * 2 + (if (pert && f < 16) 60 else 0)
+          if (halved) g / 2 else g
+        }
+      def mp4(grays: Array[Int], quality: Float): Array[Byte] = {
+        val frames = grays.map(Multimodal.grayFrameJpeg(_, quality))
+        Multimodal.encodeMp4(timescale = 600,
+          durationTicks = 600L * grays.length, width = 8, height = 8,
+          nFrames = grays.length,
+          mdatPayload = frames.reduce(_ ++ _),
+          sampleSizes = frames.map(_.length))
+      }
+      val ids = rdPar(s, d, "documents").select(col("doc_id").cast("long"))
+      val base = ids.as[Long].map { id =>
+        (id, mp4(graysFor(id, pert = false, halved = false), 1.0f))
+      }
+      val remux = ids.filter(col("doc_id") % 10 === 0).as[Long].map { id =>
+        (id + 50000, mp4(graysFor(id, pert = false, halved = true)
+          .flatMap(g => Array(g, g)), 0.9f))
+      }
+      val near = ids.filter(col("doc_id") % 15 === 0).as[Long].map { id =>
+        (id + 60000, mp4(graysFor(id, pert = true, halved = false), 1.0f))
+      }
+      val all = base.union(remux).union(near).toDF("doc_id", "vid")
+        .select(col("doc_id"),
+          Multimodal.asVideoBlob(col("vid"), "unknown").as("blob"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      all
     })
 
   /** Persisted prefix-SHARDED bloom sidecar over the BUILDING-segment
@@ -1744,6 +1887,67 @@ object Queries {
                 s"Content-Length: ${payload.length}\r\n\r\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
               val rec = head ++ payload ++ "\r\n\r\n".getBytes
+              if (gz) {
+                val g = new java.util.zip.GZIPOutputStream(out)
+                g.write(rec); g.finish() // one member per record
+              } else out.write(rec)
+            } finally out.close()
+          }
+        }
+      path
+    })
+
+  /** Real raw-WARC files for `warc_response_documents` — the NON-WET
+    * crawl shape: one `response` record per document whose block is a
+    * full HTTP exchange (status line + headers + blank line + an HTML
+    * body wrapping the doc text in the `extract_text_documents` shell),
+    * alternating plain `.warc` and per-record-gzip `.warc.gz`. The
+    * query then runs the whole raw-crawl ingest path: binaryFile scan →
+    * record splitter → HTTP-header strip ([[graft.sources.WarcFiles
+    * .responseText]]) → markup strip — and the oracle replays the
+    * identical regex pipeline from the parquet truth.
+    */
+  private val warcResponseFileCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def warcResponseFilesFor(s: SparkSession, dir: String): String =
+    sweepStopped(warcResponseFileCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("warcrespfiles", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      import s.implicits._
+      rdPar(s, d, "documents")
+        .select(col("doc_id").cast("long"), col("source").cast("string"),
+          col("text").cast("string"))
+        .as[(Long, String, String)]
+        .repartition(8)
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          val rows = it.toArray
+          if (rows.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val gz = pid % 2 == 1
+            val name = f"part-$pid%05d.warc" + (if (gz) ".gz" else "")
+            val out = new java.io.FileOutputStream(
+              new java.io.File(path, name))
+            try rows.foreach { case (id, src, text) =>
+              val html = ("<html><head><style>p{color:red}</style>" +
+                "<script type=\"t\">var i = 0;</script></head>" +
+                "<body><h1>Title</h1><!-- note --><p class=\"b\">" +
+                Option(text).getOrElse("") +
+                "</p><p>&amp;co &lt;raw&gt; &#39;q&#39;&nbsp;end</p>" +
+                "</body></html>")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val http = ("HTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/html\r\n" +
+                s"Content-Length: ${html.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val head = ("WARC/1.0\r\n" +
+                "WARC-Type: response\r\n" +
+                s"WARC-Target-URI: http://docs.example/$src/$id\r\n" +
+                "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+                s"WARC-Record-ID: <urn:graft:resp:$id>\r\n" +
+                "Content-Type: application/http; msgtype=response\r\n" +
+                s"Content-Length: ${http.length + html.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val rec = head ++ http ++ html ++ "\r\n\r\n".getBytes
               if (gz) {
                 val g = new java.util.zip.GZIPOutputStream(out)
                 g.write(rec); g.finish() // one member per record
@@ -2701,6 +2905,47 @@ object Queries {
     }): Q, Some(curationOracleSqlFull("en", 40, 0.8, transitive = false,
       maxPiiHits = None, maxTokenRunPct = None,
       baseSql = "SELECT doc_id, text FROM documents"))),
+
+    // ---- the RAW-WARC response leg (non-WET crawls): response records
+    // carry the full HTTP exchange; the query strips the HTTP header
+    // section (responseText) and the HTML markup (stripMarkup) back to
+    // curate-ready prose. The fixture wraps each doc's text in the
+    // extract_text_documents shell, so the oracle is that query's
+    // regex replay over the parquet truth — proving the raw-crawl
+    // ingest path end to end (splitter + gzip members included). ----
+    ("warc_response_documents", ((s: SparkSession, dir: String) => {
+      val path = warcResponseFilesFor(s, dir)
+      val records = graft.sources.WarcFiles.read(s, path)
+      graft.sources.WarcFiles.responseText(records)
+        .select(
+          regexp_extract(col("url"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          graft.pipeline.TextAnalysis.stripMarkup(col("body"))
+            .as("clean"))
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH h AS (SELECT doc_id,
+        '<html><head><style>p{color:red}</style>' ||
+        '<script type="t">var i = 0;</script></head>' ||
+        '<body><h1>Title</h1><!-- note --><p class="b">' ||
+        COALESCE(text, '') ||
+        '</p><p>&amp;co &lt;raw&gt; &#39;q&#39;&nbsp;end</p>' ||
+        '</body></html>' AS html FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html,
+                    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+      FROM h ORDER BY doc_id""")),
 
     // ---- schema toolbox: flat-order names/types (literal oracle) ----
     ("get_names_types", ((s: SparkSession, dir: String) => {
@@ -5047,6 +5292,45 @@ object Queries {
       FROM ham WHERE hamming <= 8 AND y >= 50000
       ORDER BY id_a, id_b""")),
 
+    // ---- WIDE (256-bit) image near-dup: the scale tier — 16×16 luma
+    // grid fingerprints banded as 16×16-bit blocks (2^16 buckets/band
+    // vs the 64-bit family's 2^8, the band-saturation fix measured at
+    // sf1), pigeonhole radius 15 with NO multi-probe. The fixture
+    // plants re-encodes + near-dups exactly like image_dedup_pairs and
+    // the oracle replays all 256 bits arithmetically. ----
+    ("image_dedup_pairs_wide", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.imageDedupPairsWide(dedupGridBlobsWideFor(s, dir),
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(imageWideDedupSql(
+      """SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b"""))),
+
+    // ---- incremental WIDE image near-dup against the persisted
+    // 32-byte-per-image fingerprint index (writeImageIndexWide), same
+    // incremental contract as image_dedup_index_pairs. ----
+    ("image_dedup_index_pairs_wide", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      val path = imageIndexWideFor(s, dir)
+      val batch = dedupGridBlobsWideFor(s, dir)
+        .filter(col("doc_id") >= 50000)
+      Multimodal.imageDedupPairsWideFromIndex(s, path, batch,
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(imageWideDedupSql(
+      """SELECT CAST(CASE WHEN x >= 50000 THEN x ELSE y END AS BIGINT)
+               AS id_a,
+             CAST(CASE WHEN x >= 50000 THEN y ELSE x END AS BIGINT)
+               AS id_b,
+             CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 AND y >= 50000
+      ORDER BY id_a, id_b""", incremental = true))),
+
     // ---- AUDIO near-dup: 64-bit energy-envelope fingerprints (64 time
     // windows over decoded 16-bit PCM, bit = window mean over clip mean
     // — integer cross-multiplication) banded through the same SimHash
@@ -5771,6 +6055,35 @@ object Queries {
              CAST(hamming AS INTEGER) AS hamming
       FROM ham WHERE hamming <= 8 AND y >= 50000
       ORDER BY id_a, id_b""")),
+
+    // ---- STREAMING WIDE image near-dup: image_stream_pairs at the
+    // 256-bit operating point (imageDedupWideStreamAgainstIndex over
+    // the wide index) — the stream tier that stays selective where the
+    // 64-bit bands saturate (image_stream_pairs timed out at sf1; this
+    // is its scale replacement). One micro-batch, same rationale. ----
+    ("image_stream_pairs_wide", ((s: SparkSession, dir: String) => {
+      val idxPath = imageIndexWideFor(s, dir)
+      val inDir = streamInputFor(s, dir, "imagebatchwide", 1) {
+        dedupGridBlobsWideFor(s, dir).filter(col("doc_id") >= 50000)
+      }
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      collectStream(s) { outDir =>
+        graft.streaming.StreamOps.imageDedupWideStreamAgainstIndex(
+          stream, idxPath, "doc_id", "blob", maxHamming = 8) {
+            (res, _) => res.write.mode("append").parquet(outDir)
+          }
+      }.select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(imageWideDedupSql(
+      """SELECT CAST(CASE WHEN x >= 50000 THEN x ELSE y END AS BIGINT)
+               AS id_a,
+             CAST(CASE WHEN x >= 50000 THEN y ELSE x END AS BIGINT)
+               AS id_b,
+             CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 AND y >= 50000
+      ORDER BY id_a, id_b""", incremental = true))),
 
     // ---- STREAMING MinHash near-dup against the persisted signature
     // index, oracle-checked: the +20000 near-copy batch of
@@ -7185,6 +7498,25 @@ object Queries {
              CAST(hamming AS INTEGER) AS hamming
       FROM ham WHERE hamming <= 8 AND y >= 50000
       ORDER BY id_a, id_b""", incremental = true))),
+
+    // ---- WIDE (256-bit) video near-dup: 256 envelope cells over the
+    // frame sequence — the video member of the wide perceptual tier
+    // (see image_dedup_pairs_wide for the band-saturation rationale).
+    // 256-frame clips, remuxed copies at 512 frames / half gray
+    // (Hamming 0 by the relative rule), near-dups perturbing the first
+    // 16 frames; the oracle replays all 256 bits from the planted md5
+    // arithmetic. ----
+    ("video_dedup_pairs_wide", ((s: SparkSession, dir: String) => {
+      import graft.pipeline.Multimodal
+      Multimodal.videoDedupPairsWide(dedupVideoBlobsWideFor(s, dir),
+          "doc_id", "blob", maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }): Q, Some(videoDedupSql(
+      """SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b""",
+      cells = 256, pertCells = 16))),
 
     // ---- MARKUP-STRIPPED text extraction (the web-scrape ingest
     // stage): each document wrapped in a realistic HTML shell —

@@ -223,24 +223,46 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
-  /** The block-bucket candidate join over an ARBITRARY 64-bit
-    * fingerprint frame `(id, sh)` — SimHash text fingerprints and
-    * image perceptual hashes share this core (same pigeonhole recall
-    * bounds, same skew cap, same multi-probe trade; see
-    * [[simhashCandidatePairs]] for the derivations).
+  /** Band `q` of a WIDE fingerprint held as `array<long>` (bit `b`
+    * lives in word `b/64` at position `b%64`); `bits` must divide 64 so
+    * a band never straddles words.
     */
-  def fingerprintCandidatePairs(fpDf: DataFrame,
-      blocks: Int = 4, maxHamming: Int = 64,
-      maxBucketSize: Int = 1000, probeBits: Int = 0,
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+  private def widePartCol(bits: Int)(q: Int): Column = {
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    shiftright(element_at(col("sh"), (q * bits) / 64 + 1),
+      (q * bits) % 64).bitwiseAND(mask)
+  }
+
+  /** Hamming distance between two `array<long>` fingerprints of `words`
+    * words — a codegen'd `bit_count(xor)` sum, no higher-order lambdas.
+    */
+  private def wideHamming(words: Int)(a: Column, b: Column): Column =
+    (0 until words).map(i => bit_count(element_at(a, i + 1)
+      .bitwiseXOR(element_at(b, i + 1)))).reduce(_ + _)
+
+  private def requireWide(words: Int, blocks: Int, probeBits: Int): Int = {
+    require(words >= 1, "words must be >= 1")
+    val totalBits = 64 * words
+    require(blocks >= 2 && totalBits % blocks == 0,
+      s"blocks must divide $totalBits")
+    val bits = totalBits / blocks
+    require(bits <= 64 && 64 % bits == 0,
+      "bands must not straddle 64-bit words")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    bits
+  }
+
+  /** The all-pairs block-bucket join skeleton shared by the 64-bit and
+    * WIDE fingerprint families: band extraction and the Hamming
+    * expression are the only width-dependent pieces, injected by the
+    * public entry points.
+    */
+  private def fpCandidateCore(fpDf: DataFrame, blocks: Int, bits: Int,
+      maxHamming: Int, maxBucketSize: Int, probeBits: Int,
+      scope: CacheScope, partCol: Int => Column,
+      hammingOf: (Column, Column) => Column): DataFrame = {
     val sc = CacheScope.resolve(scope, fpDf.sparkSession)
-    val bits = 64 / blocks
-    val mask = (1L << bits) - 1
     val withSh = sc.persist(fpDf.select(col("id"), col("sh")))
-    def partCol(q: Int): Column =
-      shiftright(col("sh"), q * bits).bitwiseAND(mask)
     // j = -1 → the exact block value; j >= 0 → that value with bit j
     // SET (multi-probe expansion, probe side only). Only 0→1 flips are
     // emitted: for a pair differing in one bit of a block, exactly one
@@ -284,12 +306,51 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
     l.join(r, Seq("q", "part")).filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        hammingOf(col("sh_a"), col("sh_b")).as("hamming"))
       // codegen'd bit_count filter BEFORE the distinct: a low-bit block
       // join can emit millions of junk pairs; dropping them here keeps the
       // distinct (a shuffle) proportional to the surviving pairs only
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The block-bucket candidate join over an ARBITRARY 64-bit
+    * fingerprint frame `(id, sh)` — SimHash text fingerprints and
+    * image perceptual hashes share this core (same pigeonhole recall
+    * bounds, same skew cap, same multi-probe trade; see
+    * [[simhashCandidatePairs]] for the derivations).
+    */
+  def fingerprintCandidatePairs(fpDf: DataFrame,
+      blocks: Int = 4, maxHamming: Int = 64,
+      maxBucketSize: Int = 1000, probeBits: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0, "blocks must divide 64")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val bits = 64 / blocks
+    val mask = (1L << bits) - 1
+    fpCandidateCore(fpDf, blocks, bits, maxHamming, maxBucketSize,
+      probeBits, scope,
+      q => shiftright(col("sh"), q * bits).bitwiseAND(mask),
+      (a, b) => bit_count(a.bitwiseXOR(b)))
+  }
+
+  /** [[fingerprintCandidatePairs]] over a WIDE fingerprint frame
+    * `(id, sh array<long> of `words` words)` — the scale tier for
+    * corpora where 64-bit banding saturates: at 256 bits / 16 bands the
+    * per-band bucket space is 2^16 (vs 2^8), cutting the random-corpus
+    * candidate mass by ~256× while the pigeonhole guarantee WIDENS
+    * (radius `blocks-1` = 15 exact, no multi-probe needed for the
+    * default Hamming-8 point). Same skew cap, same orientation
+    * canonicalization, same verify expression (a per-word
+    * `bit_count(xor)` sum — codegen'd, no lambdas).
+    */
+  def fingerprintCandidatePairsWide(fpDf: DataFrame, words: Int,
+      blocks: Int = 16, maxHamming: Int = 8,
+      maxBucketSize: Int = Int.MaxValue, probeBits: Int = 0,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val bits = requireWide(words, blocks, probeBits)
+    fpCandidateCore(fpDf, blocks, bits, maxHamming, maxBucketSize,
+      probeBits, scope, widePartCol(bits), wideHamming(words))
   }
 
   /** Hamming radius the block join GUARANTEES to cover: `blocks - 1`
@@ -341,9 +402,29 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     val bits = 64 / blocks
     val mask = (1L << bits) - 1
+    fpIncrementalCore(sh0, blocks, bits, maxHamming, maxBucketSize,
+      probeBits, sc,
+      q => shiftright(col("sh"), q * bits).bitwiseAND(mask),
+      (a, b) => bit_count(a.bitwiseXOR(b)))
+  }
+
+  /** [[fingerprintIncrementalCandidates]] over WIDE `(id, sh
+    * array<long>, new)` fingerprint frames — the batch-sized-cost
+    * incremental core for the 256-bit perceptual families.
+    */
+  def fingerprintIncrementalCandidatesWide(sh0: DataFrame, words: Int,
+      blocks: Int, maxHamming: Int, maxBucketSize: Int, probeBits: Int,
+      sc: CacheScope): DataFrame = {
+    val bits = requireWide(words, blocks, probeBits)
+    fpIncrementalCore(sh0, blocks, bits, maxHamming, maxBucketSize,
+      probeBits, sc, widePartCol(bits), wideHamming(words))
+  }
+
+  private def fpIncrementalCore(sh0: DataFrame, blocks: Int, bits: Int,
+      maxHamming: Int, maxBucketSize: Int, probeBits: Int,
+      sc: CacheScope, partCol: Int => Column,
+      hammingOf: (Column, Column) => Column): DataFrame = {
     val sh = sc.persist(sh0)
-    def partCol(q: Int): Column =
-      shiftright(col("sh"), q * bits).bitwiseAND(mask)
     // j = -1 → exact block value; j >= 0 → value with bit j FLIPPED
     // (XOR — both directions, see scaladoc)
     def parts(src: DataFrame, flips: Boolean): DataFrame = {
@@ -380,7 +461,7 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
           .otherwise(col("id_y")).as("id_a"),
         when(col("new_x"), greatest(col("id_x"), col("id_y")))
           .otherwise(col("id_x")).as("id_b"),
-        bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
+        hammingOf(col("sh_x"), col("sh_y")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }

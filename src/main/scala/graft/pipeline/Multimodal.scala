@@ -531,6 +531,133 @@ object Multimodal {
       maxHamming, maxBucketSize, probeBits, sc)
   }
 
+  // --------------------------------------------- wide (256-bit) images
+
+  /** 256-bit WIDE perceptual IMAGE fingerprint: the 16×16 luminance
+    * grid with bit `c` set iff cell `c`'s luma exceeds the image's mean
+    * (`luma * 256 > total` — the same integer rule as
+    * [[imageFingerprint64]], so an arithmetic oracle replays every
+    * bit), packed little-endian into 4 longs (bit `c` → word `c/64`,
+    * position `c%64`). This is the SCALE tier of the image family: at
+    * 16×16-bit bands the per-band bucket space is 2^16, so banding
+    * stays selective past the ~10⁶-image point where the 64-bit
+    * family's 2^8 buckets saturate and candidates grow ~n²/2048
+    * (measured 41.7× wall on 10× data at sf1). Same invariances
+    * (re-encode, resize, container) — the grid still averages over
+    * full-raster fractions.
+    */
+  def imageFingerprintWide(bytes: Array[Byte]): Option[Array[Long]] =
+    imageLumaGrid(bytes, 16, 16).map { lumas =>
+      var total = 0L
+      var i = 0
+      while (i < 256) { total += lumas(i); i += 1 }
+      val fp = new Array[Long](4)
+      i = 0
+      while (i < 256) {
+        if (lumas(i).toLong * 256 > total) fp(i / 64) |= (1L << (i % 64))
+        i += 1
+      }
+      fp
+    }
+
+  /** `(id, sh array<long>)` wide-fingerprint frame over blob rows —
+    * the [[graft.pipeline.Dedup.fingerprintCandidatePairsWide]] input
+    * shape; undecodable blobs drop (quarantine is ingest's job).
+    */
+  def imageFingerprintWideDf(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getStruct(blobIdx)
+        val content = if (blob == null || blob.isNullAt(0)) null
+          else blob.getAs[Array[Byte]](0)
+        imageFingerprintWide(content)
+          .map(fp => (r.getLong(idIdx), fp.toSeq))
+      }
+    }.toDF("id", "sh")
+  }
+
+  /** [[imageDedupPairsWide]]'s radius guard, shared with the index and
+    * stream variants.
+    */
+  private def requireRadius(maxHamming: Int, blocks: Int,
+      probeBits: Int, stored: Boolean): Unit =
+    require(maxHamming <=
+      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
+      s"maxHamming $maxHamming exceeds the guaranteed radius " +
+        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
+        s"of blocks=$blocks/probeBits=$probeBits" +
+        (if (stored) " (the index's stored point) — rebuild with more " +
+          "probing or lower the threshold"
+         else " — pairs past it would be silently incomplete; raise " +
+          "blocks/probeBits or lower the threshold"))
+
+  /** Re-encode / resize-robust image near-duplicate pairs on the WIDE
+    * (256-bit) fingerprint — [[imageDedupPairs]]'s contract at the
+    * scale operating point: 16 bands of 16 bits carry the pigeonhole
+    * guarantee to Hamming 15 with NO multi-probe (half the probe rows
+    * of the 64-bit default), and the 2^16 bucket space keeps the
+    * candidate join ~linear where the 64-bit family went quadratic.
+    */
+  def imageDedupPairsWide(blobs: DataFrame, idCol: String,
+      blobCol: String, maxHamming: Int = 8, blocks: Int = 16,
+      probeBits: Int = 0, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    requireRadius(maxHamming, blocks, probeBits, stored = false)
+    graft.pipeline.Dedup.fingerprintCandidatePairsWide(
+      imageFingerprintWideDf(blobs, idCol, blobCol), 4, blocks,
+      maxHamming, maxBucketSize, probeBits, scope)
+  }
+
+  /** Persist a WIDE image-fingerprint index (32 bytes/image) — the
+    * [[writeImageIndex]] discipline at the 256-bit operating point.
+    */
+  def writeImageIndexWide(blobs: DataFrame, idCol: String,
+      blobCol: String, path: String, blocks: Int = 16,
+      probeBits: Int = 0): Unit = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(blocks >= 2 && 256 % blocks == 0, "blocks must divide 256")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    imageFingerprintWideDf(blobs, idCol, blobCol)
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    val n = spark.read.parquet(s"$path/fingerprints").count()
+    Seq((4, blocks, probeBits, n))
+      .toDF("words", "blocks", "probeBits", "nImages")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental WIDE image near-dup against a [[writeImageIndexWide]]
+    * corpus — batch decodes + fingerprints, corpus side is the
+    * 32-byte-per-image scan (tombstone-aware), probing on the batch
+    * side only.
+    */
+  def imageDedupPairsWideFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
+    val params = spark.read.json(s"$path/params").head()
+    val words = params.getAs[Long]("words").toInt
+    val blocks = params.getAs[Long]("blocks").toInt
+    val probeBits = params.getAs[Long]("probeBits").toInt
+    requireRadius(maxHamming, blocks, probeBits, stored = true)
+    val sh = imageFingerprintWideDf(batch, idCol, blobCol)
+      .withColumn("new", lit(true))
+      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/fingerprints"), "id")
+        .withColumn("new", lit(false)))
+    graft.pipeline.Dedup.fingerprintIncrementalCandidatesWide(sh, words,
+      blocks, maxHamming, maxBucketSize, probeBits, sc)
+  }
+
   /** 64-bit perceptual AUDIO fingerprint: the time-domain analog of
     * [[imageFingerprint64]] — 64 equal time windows over the decoded
     * 16-bit PCM stream, bit `w` set iff window `w`'s mean absolute
@@ -1189,49 +1316,80 @@ object Multimodal {
     * byte/frame; anything undecodable yields None (quarantine
     * downstream, never fail the batch).
     */
-  def videoFingerprint64(bytes: Array[Byte]): Option[Long] = {
+  def videoFingerprint64(bytes: Array[Byte]): Option[Long] =
+    videoFrameEnergies(bytes).filter(_.length >= 64)
+      .map(e => envelopeBitsPacked(e, 64)(0))
+
+  /** Per-frame energies of a decodable clip (DECODED luma sums where
+    * the container slices, segment byte-sums otherwise) — the shared
+    * front half of the 64-bit and WIDE video fingerprints.
+    */
+  private def videoFrameEnergies(bytes: Array[Byte])
+      : Option[Array[Long]] = {
     if (bytes == null) return None
     val nFrames = decodeVideoMeta(bytes) match {
-      case Some((_, _, _, _, _, n)) if n >= 64 && n <= Int.MaxValue => n.toInt
+      case Some((_, _, _, _, _, n)) if n >= 1 && n <= Int.MaxValue =>
+        n.toInt
       case _ => return None
     }
     findMdat(bytes).flatMap { case (mOff, mLen) =>
       if (mLen < nFrames) None
-      else {
-        val frameE = decodedFrameEnergies(bytes, nFrames, mOff, mLen)
-          .getOrElse {
-            val e = new Array[Long](nFrames)
-            var f = 0
-            while (f < nFrames) {
-              val s = mOff + (f.toLong * mLen / nFrames).toInt
-              val en = mOff + ((f + 1).toLong * mLen / nFrames).toInt
-              var i = s
-              var acc = 0L
-              while (i < en) { acc += (bytes(i) & 0xff); i += 1 }
-              e(f) = acc
-              f += 1
-            }
-            e
+      else Some(decodedFrameEnergies(bytes, nFrames, mOff, mLen)
+        .getOrElse {
+          val e = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val s = mOff + (f.toLong * mLen / nFrames).toInt
+            val en = mOff + ((f + 1).toLong * mLen / nFrames).toInt
+            var i = s
+            var acc = 0L
+            while (i < en) { acc += (bytes(i) & 0xff); i += 1 }
+            e(f) = acc
+            f += 1
           }
-        var total = 0L
-        var f = 0
-        while (f < nFrames) { total += frameE(f); f += 1 }
-        var fp = 0L
-        var c = 0
-        while (c < 64) {
-          val s = (c.toLong * nFrames / 64).toInt
-          val e = ((c + 1).toLong * nFrames / 64).toInt
-          var cellE = 0L
-          var i = s
-          while (i < e) { cellE += frameE(i); i += 1 }
-          if (BigInt(cellE) * nFrames > BigInt(total) * (e - s))
-            fp |= (1L << c)
-          c += 1
-        }
-        Some(fp)
-      }
+          e
+        })
     }
   }
+
+  /** Fold `frameE` into `cells` relative-energy bits (bit `c` set where
+    * cell `c`'s energy exceeds its frame-count share of the total —
+    * exact BigInt cross-multiplication), packed little-endian into
+    * longs. The shared back half of both video fingerprint widths.
+    */
+  private def envelopeBitsPacked(frameE: Array[Long],
+      cells: Int): Array[Long] = {
+    val n = frameE.length
+    var total = 0L
+    var f = 0
+    while (f < n) { total += frameE(f); f += 1 }
+    val fp = new Array[Long]((cells + 63) / 64)
+    var c = 0
+    while (c < cells) {
+      val s = (c.toLong * n / cells).toInt
+      val e = ((c + 1).toLong * n / cells).toInt
+      var cellE = 0L
+      var i = s
+      while (i < e) { cellE += frameE(i); i += 1 }
+      if (BigInt(cellE) * n > BigInt(total) * (e - s))
+        fp(c / 64) |= (1L << (c % 64))
+      c += 1
+    }
+    fp
+  }
+
+  /** 256-bit WIDE video fingerprint — [[videoFingerprint64]]'s
+    * relative-envelope rule at 256 cells over the frame sequence, the
+    * video member of the wide perceptual tier ([[imageFingerprintWide]]
+    * holds the scale rationale: 16-bit bands keep the candidate join
+    * selective past the 64-bit family's saturation point). Needs >= 256
+    * frames (a cell must hold at least one frame); same remux/re-encode
+    * invariances — the cells still cover fixed frame-sequence
+    * fractions.
+    */
+  def videoFingerprintWide(bytes: Array[Byte]): Option[Array[Long]] =
+    videoFrameEnergies(bytes).filter(_.length >= 256)
+      .map(e => envelopeBitsPacked(e, 256))
 
   /** `(id, sh)` video-fingerprint frame over blob rows — the banding
     * input shape; undecodable blobs drop (quarantine is ingest's job).
@@ -1319,6 +1477,85 @@ object Multimodal {
         .withColumn("new", lit(false)))
     graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
       maxHamming, maxBucketSize, probeBits, sc)
+  }
+
+  /** `(id, sh array<long>)` WIDE video-fingerprint frame over blob
+    * rows — the wide banding input shape; undecodable (or <256-frame)
+    * blobs drop.
+    */
+  def videoFingerprintWideDf(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getStruct(blobIdx)
+        val content = if (blob == null || blob.isNullAt(0)) null
+          else blob.getAs[Array[Byte]](0)
+        videoFingerprintWide(content)
+          .map(fp => (r.getLong(idIdx), fp.toSeq))
+      }
+    }.toDF("id", "sh")
+  }
+
+  /** Remux-robust video near-duplicate pairs on the WIDE (256-bit)
+    * fingerprint — [[imageDedupPairsWide]]'s contract for the video
+    * family.
+    */
+  def videoDedupPairsWide(blobs: DataFrame, idCol: String,
+      blobCol: String, maxHamming: Int = 8, blocks: Int = 16,
+      probeBits: Int = 0, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    requireRadius(maxHamming, blocks, probeBits, stored = false)
+    graft.pipeline.Dedup.fingerprintCandidatePairsWide(
+      videoFingerprintWideDf(blobs, idCol, blobCol), 4, blocks,
+      maxHamming, maxBucketSize, probeBits, scope)
+  }
+
+  /** Persist a WIDE video-fingerprint index (32 bytes/clip) — the
+    * [[writeImageIndexWide]] discipline for the video family.
+    */
+  def writeVideoIndexWide(blobs: DataFrame, idCol: String,
+      blobCol: String, path: String, blocks: Int = 16,
+      probeBits: Int = 0): Unit = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(blocks >= 2 && 256 % blocks == 0, "blocks must divide 256")
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    videoFingerprintWideDf(blobs, idCol, blobCol)
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    val n = spark.read.parquet(s"$path/fingerprints").count()
+    Seq((4, blocks, probeBits, n))
+      .toDF("words", "blocks", "probeBits", "nClips")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params")
+  }
+
+  /** Incremental WIDE video near-dup against a [[writeVideoIndexWide]]
+    * corpus — the [[imageDedupPairsWideFromIndex]] contract for the
+    * video family.
+    */
+  def videoDedupPairsWideFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame = {
+    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
+    val params = spark.read.json(s"$path/params").head()
+    val words = params.getAs[Long]("words").toInt
+    val blocks = params.getAs[Long]("blocks").toInt
+    val probeBits = params.getAs[Long]("probeBits").toInt
+    requireRadius(maxHamming, blocks, probeBits, stored = true)
+    val sh = videoFingerprintWideDf(batch, idCol, blobCol)
+      .withColumn("new", lit(true))
+      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
+          spark.read.parquet(s"$path/fingerprints"), "id")
+        .withColumn("new", lit(false)))
+    graft.pipeline.Dedup.fingerprintIncrementalCandidatesWide(sh, words,
+      blocks, maxHamming, maxBucketSize, probeBits, sc)
   }
 
   /** Fixture mdat payload whose per-frame byte-sums are EXACTLY

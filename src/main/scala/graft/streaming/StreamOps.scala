@@ -241,6 +241,24 @@ object StreamOps {
         maxHamming, scope = scope)
     }
 
+  /** [[imageDedupStreamAgainstIndex]] at the WIDE (256-bit) operating
+    * point ([[graft.pipeline.Multimodal.writeImageIndexWide]]): 16-bit
+    * bands keep each micro-batch's candidate probe selective on corpora
+    * where the 64-bit bands saturate — the stream tier that survives
+    * the 10⁶+-image envelope.
+    */
+  def imageDedupWideStreamAgainstIndex(stream: DataFrame,
+      indexPath: String, idCol: String, blobCol: String,
+      maxHamming: Int = 8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    probeIndexPerBatch(stream)(sink) { (batch, scope) =>
+      graft.pipeline.Multimodal.imageDedupPairsWideFromIndex(
+        batch.sparkSession, indexPath, batch, idCol, blobCol,
+        maxHamming, scope = scope)
+    }
+
   /** Per-micro-batch AUDIO near-dup against a persisted
     * [[graft.pipeline.Multimodal.writeAudioIndex]] — the image stream
     * member's contract for the audio family.
