@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-JVM stdout passes through UNPREFIXED (no "[info] " from sbt's
+// logger): the driver parses graft.Bench's one stdout JSON line, and
+// five rounds of BENCH parsed:null traced to the log-prefixed capture.
+outputStrategy := Some(StdoutOutput)
+// ... and no trailing "[success] Total time" line after the JSON.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

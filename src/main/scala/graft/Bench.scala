@@ -512,21 +512,31 @@ object Bench {
     // stamped partial:false, so a consumer had no signal the heavy tier
     // was absent)
     //
-    // The FULL line first, then a COMPACT terminal line with no queries
-    // dict (< 300 bytes): at 182 entries the queries dict alone
-    // overflows a ~2 KB line-capture window (BENCH_r15.json parsed:null
-    // with the line cut mid-dict), so a consumer that keeps only the
-    // last parseable JSON line always gets the totals; BENCH_RESULT.json
-    // carries the per-query data either way.
+    // STDOUT gets EXACTLY ONE JSON line (r17; sixth attempt at a
+    // non-null driver parse). History: the full 190-entry queries dict
+    // overflows the driver's line-capture window (r14/r15 tails cut
+    // mid-dict), and r16's compact line APPENDED after the full line
+    // still parsed null — the captured tail ended inside the FIRST
+    // line, so the driver evidently keeps the first `{"metric"…` match,
+    // truncated. Hence: one line only, with a BOUNDED queries dict (the
+    // 8 most expensive medians — the contract shape, window-safe at
+    // <~700 bytes). The full per-query data lives in BENCH_RESULT.json
+    // and on stderr.
+    val topQ = (medians.filter(_._2 >= 0).sortBy(-_._2).take(8)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+        Seq("\"person_rows\":" + personRows.toDouble))
+      .mkString("{", ",", "}")
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$topQ,""" +
         s""""planned":$planned,"completed":${results.size},""" +
         s""""partial":$partial,"failures":$failures,""" +
         s""""elapsed_sec":${(System.nanoTime() - processStartNanos) / 1000000000L},""" +
         s""""sf":"$sfDir"}"""
     if (emit) {
-      println(contractLine); System.err.println(contractLine)
-      println(compactLine); System.err.println(compactLine)
+      println(compactLine)
+      System.err.println(contractLine)
+      System.err.println(compactLine)
     }
     Files.writeString(Paths.get("BENCH_RESULT.json"), fullJson + "\n")
   }

@@ -1290,6 +1290,91 @@ object Queries {
       path
     })
 
+  /** Span index built over the EVEN-doc half and rolled FORWARD with
+    * the odd half in TWO appended delta batches (the second one
+    * replayed — the overwrite-by-id exactly-once no-op under test);
+    * readers must see the full corpus's window set, i.e. the appended
+    * index ≡ a rebuild over all documents, which is what the verbatim
+    * span_index_documents oracle then checks.
+    */
+  private val spanIndexAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def spanIndexAppendFor(s: SparkSession, dir: String): String =
+    sweepStopped(spanIndexAppendCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("span_append", d)
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.pipeline.SpanDedup.writeSpanIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+        windowTokens = 20)
+      graft.pipeline.SpanDedup.appendToSpanIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text",
+        batchId = 1L)
+      graft.pipeline.SpanDedup.appendToSpanIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+        batchId = 2L)
+      // replayed batch id: overwrite-by-id, reader union unchanged
+      graft.pipeline.SpanDedup.appendToSpanIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+        batchId = 2L)
+      path
+    })
+
+  /** Line-frequency index over the even lined docs, rolled forward
+    * with the odd half in two appended ADDITIVE batches (+ a replay):
+    * per-hash doc_freq must SUM across base and deltas — a boilerplate
+    * line crossing the threshold only via the merged mass is the
+    * property under test (the verbatim line_index_documents oracle
+    * computes frequencies over the full corpus).
+    */
+  private val lineIndexAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def lineIndexAppendFor(s: SparkSession, dir: String): String =
+    sweepStopped(lineIndexAppendCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("line_append", d)
+      val docs = linedDocs(rd(s, d, "documents"))
+      graft.pipeline.LineDedup.writeLineIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.pipeline.LineDedup.appendToLineIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text",
+        batchId = 1L)
+      graft.pipeline.LineDedup.appendToLineIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+        batchId = 2L)
+      // replayed batch id: identical rows rewritten, nothing
+      // double-counts
+      graft.pipeline.LineDedup.appendToLineIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+        batchId = 2L)
+      path
+    })
+
+  /** Exact index over the even docs, rolled forward with the odd half
+    * in two appended batches (+ a replay — the case the old
+    * mode("append") spelling double-inserted). Keeper semantics are
+    * FIRST-ARRIVAL (base wave, then batch 1, then batch 2), which the
+    * append-row oracle replays via a min-wave rule.
+    */
+  private val exactIndexAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  def exactIndexAppendFor(s: SparkSession, dir: String): String =
+    sweepStopped(exactIndexAppendCache).computeIfAbsent((s, dir), { case (_, d) =>
+      val path = indexTmpPath("exact_append", d)
+      val docs = rd(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.writeExactIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      Dedup.appendToExactIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text",
+        batchId = 1L)
+      Dedup.appendToExactIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+        batchId = 2L)
+      // replayed batch id: overwrite-by-id — no duplicate hash rows
+      Dedup.appendToExactIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+        batchId = 2L)
+      path
+    })
+
   /** Persisted SimHash index (fingerprints + shingle sets), same
     * once-per-(session, dir) offline-build pattern as [[minhashIndexFor]].
     */
@@ -3413,6 +3498,39 @@ object Queries {
                AS n_dropped
       FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- line index BATCH APPEND (IndexDeltas, ADDITIVE): built over
+    // the even lined docs, rolled forward with the odd half in two
+    // appended frequency batches (the second replayed — identical rows
+    // rewritten, nothing double-counts); per-hash doc_freq must SUM
+    // across base + deltas, so a boilerplate line crossing maxDocFreq
+    // only via the merged mass is correctly dropped. The
+    // line_index_documents oracle (full-corpus frequencies) applies
+    // verbatim — a green row IS the append ≡ rebuild proof. ----
+    ("line_index_append_documents", ((s: SparkSession, dir: String) => {
+      val path = lineIndexAppendFor(s, dir)
+      LineDedup.dropBoilerplateFromIndex(s, path,
+          linedDocs(rd(s, dir, "documents")), "doc_id", "text",
+          maxDocFreq = 10)
+        .orderBy("doc_id")
+    }): Q, Some(s"""
+      WITH lined AS ($linedDocsSql),
+      ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1)
+                      AS pos
+             FROM lined),
+      boiler AS (SELECT line FROM ex WHERE length(line) > 0
+                 GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+      j AS (SELECT e.doc_id, e.pos, e.line,
+                   (b.line IS NOT NULL) AS is_boiler
+            FROM ex e LEFT JOIN boiler b ON e.line = b.line)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+               chr(10) ORDER BY pos), '') AS text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- exact duplicated-SPAN detection (Lee et al. 2022 exact-
     // substring dedup shape): 20-token windows, keep-first by corpus
     // (doc, start) order via skew-safe min-aggregation (no rank window
@@ -3468,6 +3586,74 @@ object Queries {
     // clean, so each batch doc gets exactly the span [1, n_own+1). ----
     ("span_index_documents", ((s: SparkSession, dir: String) => {
       val path = spanIndexFor(s, dir)
+      val batch = rd(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("bq"), col("doc_id"), lit(" "), col("text"))
+            .as("text"))
+      graft.pipeline.SpanDedup.duplicateSpansFromIndex(s, path, batch,
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    }): Q, Some("""
+      WITH bfx AS (SELECT doc_id + 10000 AS doc_id,
+                     'bq' || doc_id || ' ' || text AS text
+                   FROM documents WHERE doc_id % 7 = 0),
+      ctk AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS t
+              FROM documents),
+      cst AS (SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 20)) AS s
+              FROM ctk WHERE len(t) >= 20),
+      cwin AS (SELECT DISTINCT md5(array_to_string(t[s+1:s+20], ' '))
+                 AS h
+               FROM cst),
+      btk AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS t
+              FROM bfx),
+      bst AS (SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 20)) AS s
+              FROM btk WHERE len(t) >= 20),
+      bwin AS (SELECT doc_id, s,
+                 md5(array_to_string(t[s+1:s+20], ' ')) AS h
+               FROM bst),
+      bfirsts AS (SELECT h, count(*) AS n,
+                    min(doc_id * 1000000 + s) AS firstk
+                  FROM bwin GROUP BY h),
+      fl AS (SELECT b.doc_id, b.s FROM bwin b
+             LEFT JOIN cwin c ON b.h = c.h
+             LEFT JOIN bfirsts f ON b.h = f.h
+             WHERE c.h IS NOT NULL
+                OR (f.n >= 2 AND b.doc_id * 1000000 + b.s <> f.firstk)),
+      brks AS (SELECT doc_id, s,
+                 CASE WHEN max(s + 20) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) IS NULL
+                   OR s > max(s + 20) OVER (PARTITION BY doc_id
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+               FROM fl),
+      isl AS (SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY s) AS island
+              FROM brks)
+      SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+             CAST(max(s) + 20 AS INTEGER) AS span_end
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""")),
+
+    // ---- span index BATCH APPEND (IndexDeltas): the index was built
+    // over the even docs and rolled forward with the odd half in two
+    // appended delta batches (the second REPLAYED — overwrite-by-id is
+    // the exactly-once argument); the probe must see the full corpus's
+    // window set, so the span_index_documents oracle applies verbatim
+    // — a green row IS the append ≡ rebuild proof at the gate. ----
+    ("span_index_append_documents", ((s: SparkSession, dir: String) => {
+      val path = spanIndexAppendFor(s, dir)
       val batch = rd(s, dir, "documents")
         .filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
@@ -4009,6 +4195,54 @@ object Queries {
         FROM documents WHERE doc_id % 15 = 0),
       idx AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
               FROM documents GROUP BY 1),
+      bh AS (SELECT doc_id, md5(text) AS h FROM batch),
+      bmin AS (SELECT h, min(doc_id) AS bkeep FROM bh GROUP BY h)
+      SELECT b.doc_id,
+             CASE WHEN i.h IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN b.doc_id <> m.bkeep THEN 'dup_in_batch'
+                  ELSE 'new' END AS status,
+             CAST(CASE WHEN i.h IS NOT NULL THEN i.keep_id
+                  ELSE m.bkeep END AS BIGINT) AS keep_id
+      FROM bh b LEFT JOIN idx i ON b.h = i.h
+                JOIN bmin m ON b.h = m.h
+      ORDER BY b.doc_id""")),
+
+    // ---- exact index BATCH APPEND (IndexDeltas): built over the even
+    // docs, rolled forward with the odd half in two appended batches
+    // (the second REPLAYED — the case the old mode("append") spelling
+    // double-inserted, duplicating every later probe row). Keeper
+    // semantics are FIRST-ARRIVAL (base wave, then batch 1, then
+    // batch 2), replayed by the oracle's min-wave rule; batch decisions
+    // otherwise match dedup_exact_index_documents. ----
+    ("dedup_exact_index_append", ((s: SparkSession, dir: String) => {
+      val path = exactIndexAppendFor(s, dir)
+      val d = rd(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" xq novel tail")).as("text")))
+        .union(d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" xq novel tail")).as("text")))
+      Dedup.exactKeepFromIndex(s, path, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }): Q, Some("""
+      WITH batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 40000, text || ' xq novel tail'
+        FROM documents WHERE doc_id % 15 = 0
+        UNION ALL SELECT doc_id + 50000, text || ' xq novel tail'
+        FROM documents WHERE doc_id % 15 = 0),
+      hw AS (SELECT md5(text) AS h, doc_id,
+                    CASE WHEN doc_id % 2 = 0 THEN 0
+                         WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS w
+             FROM documents),
+      firstw AS (SELECT h, min(w) AS w FROM hw GROUP BY h),
+      idx AS (SELECT hw.h, min(hw.doc_id) AS keep_id
+              FROM hw JOIN firstw f ON hw.h = f.h AND hw.w = f.w
+              GROUP BY hw.h),
       bh AS (SELECT doc_id, md5(text) AS h FROM batch),
       bmin AS (SELECT h, min(doc_id) AS bkeep FROM bh GROUP BY h)
       SELECT b.doc_id,

@@ -89,6 +89,9 @@ private[pipeline] trait ExactDedupOps extends Serializable { this: Dedup.type =>
     bloom.writeTo(bos)
     Seq(Tuple1(bos.toByteArray)).toDF("bloom").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/bloom")
+    // a rebuild replaces the whole index — stale delta batches from a
+    // previous build must not union into the new one
+    IndexDeltas.clearDeltas(spark, s"$path/hashes")
     Seq((n, fpp)).toDF("distinctContents", "fpp").coalesce(1)
       .write.mode("overwrite").json(s"$path/params")
   }
@@ -128,7 +131,7 @@ private[pipeline] trait ExactDedupOps extends Serializable { this: Dedup.type =>
           .select(lit("").as("h"), lit(0L).as("keep_id")).limit(0)
       else
         dropTombstoned(spark, path,
-            spark.read.parquet(s"$path/hashes")
+            IndexDeltas.rows(spark, s"$path/hashes")
               .filter(col("hp").isin(prefixes: _*)), "h")
           .join(positive.select(col("h")).distinct(), "h")
           .select(col("h"), col("keep_id"))
@@ -155,24 +158,33 @@ private[pipeline] trait ExactDedupOps extends Serializable { this: Dedup.type =>
     * bloom contract forbids (stale-positive after tombstones is safe;
     * stale-negative after appends is not).
     *
+    * The new rows land through the shared [[IndexDeltas]] layer as a
+    * batch-stamped `hashes.delta/batch=<id>` directory — EXACTLY-ONCE
+    * by overwrite-by-id (the previous `mode("append")` spelling
+    * double-inserted hashes on a replay, duplicating every later probe
+    * row for that content), crash-safe folded by
+    * [[compactExactIndex]]. The bloom rebuild from the merged rows is
+    * idempotent by construction.
+    *
     * Pass one row per content (e.g. a refresh delta's `kept` docs);
     * duplicate contents within `docs` collapse to their min id here.
-    * Appends accumulate small files per hash prefix — compact with
-    * [[graft.sinks.Compaction]] on the index's maintenance cadence.
     */
   def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, docs: DataFrame, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val existing = spark.read.parquet(s"$path/hashes").select("h")
-    docs.select(col(idCol).cast("long").as("id"),
+    val id = if (batchId >= 0) batchId
+      else IndexDeltas.nextAppendId(spark, s"$path/hashes")
+    val existing = IndexDeltas.rows(spark, s"$path/hashes",
+      excludeBatchId = id).select("h")
+    val delta = docs.select(col(idCol).cast("long").as("id"),
         md5(col(textCol)).as("h"))
       .groupBy("h")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_copies"))
       .join(existing, Seq("h"), "left_anti")
       .withColumn("hp", substring(col("h"), 1, 2))
-      .write.mode("append").partitionBy("hp").parquet(s"$path/hashes")
-    val idx = spark.read.parquet(s"$path/hashes")
+    IndexDeltas.writeDelta(delta, s"$path/hashes", id, Seq("hp"))
+    val idx = IndexDeltas.rows(spark, s"$path/hashes")
     val fpp = spark.read.json(s"$path/params").head().getAs[Double]("fpp")
     val n = math.max(1L, idx.count())
     val bloom = idx.select(xxhash64(col("h")).as("hx"))
@@ -185,4 +197,14 @@ private[pipeline] trait ExactDedupOps extends Serializable { this: Dedup.type =>
     Seq((n, fpp)).toDF("distinctContents", "fpp").coalesce(1)
       .write.mode("overwrite").json(s"$path/params")
   }
+
+  /** Fold live exact-index deltas into a fresh base generation
+    * (crash-safe, [[IndexDeltas.compact]]); rows are distinct across
+    * generations by the append-time anti-join, so the fold is the
+    * identity union. The bloom sidecar needs no rewrite — folding
+    * moves rows, it adds none.
+    */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    IndexDeltas.compact(spark, s"$path/hashes", Seq("hp"))
 }

@@ -95,13 +95,35 @@ private[pipeline] object IndexDeltas {
     ()
   }
 
+  /** Whether any delta batch past the floor is live — readers whose
+    * row semantics need a merge (e.g. additive frequency rows) use this
+    * to skip the merge aggregation on a compacted/clean index.
+    */
+  def hasLiveDeltas(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val livePath =
+      if (!f.exists(new Path(path)) && f.exists(new Path(path + "_prev")))
+        path + "_prev"
+      else path
+    deltaIds(f, new Path(s"$path.delta")).exists(_ > readFloor(f, livePath))
+  }
+
   /** The stored rows: base build (falling back to the `_prev`
     * generation across compaction's swap crash window) plus live delta
     * batches past the floor, one frame. Partition columns stay
     * partition columns on BOTH sides of the union, so a partition-
     * pruning filter prunes base and delta scans alike.
+    *
+    * `excludeBatchId` drops one delta from the union — the frame an
+    * APPEND must anti-join against when computing batch `id`'s delta:
+    * joining against the full rows() would see the batch's OWN earlier
+    * write on a replay, compute an empty delta, and overwrite the data
+    * away. The delta scan carries the base's schema explicitly, so a
+    * legitimately-empty delta directory (a batch with nothing new)
+    * reads as zero rows instead of failing schema inference.
     */
-  def rows(spark: SparkSession, path: String): DataFrame = {
+  def rows(spark: SparkSession, path: String,
+      excludeBatchId: Long = -1L): DataFrame = {
     val f = fs(spark, path)
     val livePath =
       if (!f.exists(new Path(path)) && f.exists(new Path(path + "_prev")))
@@ -109,11 +131,16 @@ private[pipeline] object IndexDeltas {
       else path
     val base = spark.read.parquet(livePath)
     val floor = readFloor(f, livePath)
-    val live = deltaIds(f, new Path(s"$path.delta")).filter(_ > floor)
+    val live = deltaIds(f, new Path(s"$path.delta"))
+      .filter(id => id > floor && id != excludeBatchId)
       .sorted
     if (live.isEmpty) base
     else {
+      val withBatch = org.apache.spark.sql.types.StructType(
+        base.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "batch", org.apache.spark.sql.types.LongType))
       val delta = spark.read.option("basePath", s"$path.delta")
+        .schema(withBatch)
         .parquet(live.map(id => s"$path.delta/batch=$id"): _*)
       base.unionByName(delta.drop("batch"))
     }
@@ -121,9 +148,14 @@ private[pipeline] object IndexDeltas {
 
   /** Fold the live deltas into a fresh base generation (see class doc
     * for the crash-safety argument). No-op when nothing is unfolded.
+    * `fold` reshapes the union before it lands — identity for
+    * distinct-row indexes, a merge aggregation for additive ones (the
+    * line index sums per-hash frequencies here, so the folded base
+    * equals a rebuild, not a pile of split rows).
     */
   def compact(spark: SparkSession, path: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String],
+      fold: DataFrame => DataFrame = identity): Unit = {
     val f = fs(spark, path)
     val deltaRoot = new Path(s"$path.delta")
     val oldFloor = readFloor(f, path)
@@ -134,7 +166,7 @@ private[pipeline] object IndexDeltas {
     val prev = new Path(path + "_prev")
     f.delete(tmp, true)
     // materialize the union while the live layout is still intact
-    val all = rows(spark, path)
+    val all = fold(rows(spark, path))
     val shaped =
       if (partitionCols.nonEmpty)
         all.repartition(partitionCols.map(col): _*)

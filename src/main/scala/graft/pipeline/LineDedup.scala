@@ -119,6 +119,9 @@ object LineDedup {
         col("doc_freq"), col("occurrences"))
       .withColumn("hp", substring(col("h"), 1, 2))
       .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
+    // a rebuild replaces the whole index — stale delta batches from a
+    // previous build must not merge into the new one
+    IndexDeltas.clearDeltas(spark, s"$path/hashes")
     // row count, not a distinct-id shuffle: ids are unique by contract
     // and a second full corpus pass per index build is the kind of cost
     // this module exists to avoid
@@ -126,6 +129,54 @@ object LineDedup {
     Seq((delim, nDocs)).toDF("delim", "corpusDocs").coalesce(1)
       .write.mode("overwrite").json(s"$path/params")
   }
+
+  /** Roll the line-frequency index FORWARD with a batch's line stats —
+    * an ADDITIVE delta through the shared [[IndexDeltas]] layer: the
+    * batch's own `(h, doc_freq, occurrences)` rows land as
+    * `hashes.delta/batch=<id>` and [[lineIndexRows]] merges per-hash
+    * sums at read, so a line crossing `maxDocFreq` only via
+    * base+batch mass is correctly boilerplate. Exactly-once by
+    * overwrite-by-id — a replayed batch rewrites the identical rows,
+    * nothing double-counts. `params/corpusDocs` keeps recording the
+    * BASE build size; the stored delimiter governs the batch split.
+    */
+  def appendToLineIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = -1L): Unit = {
+    val delim = spark.read.json(s"$path/params")
+      .head().getAs[String]("delim")
+    val id = if (batchId >= 0) batchId
+      else IndexDeltas.nextAppendId(spark, s"$path/hashes")
+    val delta = lineStats(batch, idCol, textCol, delim)
+      .select(md5(col("line").cast("binary")).as("h"),
+        col("doc_freq"), col("occurrences"))
+      .withColumn("hp", substring(col("h"), 1, 2))
+    IndexDeltas.writeDelta(delta, s"$path/hashes", id, Seq("hp"))
+  }
+
+  /** The merged index rows: per-hash frequency SUMS over base + live
+    * deltas (clean indexes skip the merge — base rows are already
+    * one-per-hash).
+    */
+  private def lineIndexRows(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = IndexDeltas.rows(spark, s"$path/hashes")
+    if (!IndexDeltas.hasLiveDeltas(spark, s"$path/hashes")) raw
+    else raw.groupBy("h", "hp")
+      .agg(sum("doc_freq").as("doc_freq"),
+        sum("occurrences").as("occurrences"))
+  }
+
+  /** Fold live line-index deltas into a fresh base generation — the
+    * fold IS the per-hash frequency merge, so the folded base equals a
+    * rebuild over corpus ∪ appended batches.
+    */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    IndexDeltas.compact(spark, s"$path/hashes", Seq("hp"),
+      _.groupBy("h", "hp")
+        .agg(sum("doc_freq").as("doc_freq"),
+          sum("occurrences").as("occurrences")))
 
   /** Per-batch boilerplate removal against a [[writeLineIndex]] corpus:
     * the batch pays its own explode + md5, joins hashes against the
@@ -142,7 +193,7 @@ object LineDedup {
     require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq must be >= 1")
     val delim = spark.read.json(s"$path/params")
       .head().getAs[String]("delim")
-    val boiler = spark.read.parquet(s"$path/hashes")
+    val boiler = lineIndexRows(spark, path)
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("h"), lit(true).as("_boiler"))
     val ex = explodedLines(batch, idCol, textCol, delim)

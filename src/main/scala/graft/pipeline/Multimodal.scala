@@ -522,7 +522,8 @@ object Multimodal {
         s"of the index's stored point (blocks=$blocks/" +
         s"probeBits=$probeBits) — rebuild with more probing or lower " +
         "the threshold")
-    val sh = imageFingerprintDf(batch, idCol, blobCol)
+    val sh = graft.pipeline.Dedup.spread(
+        imageFingerprintDf(batch, idCol, blobCol))
       .withColumn("new", lit(true))
       .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
           spark.read.parquet(s"$path/fingerprints"), "id")
@@ -649,7 +650,8 @@ object Multimodal {
     val blocks = params.getAs[Long]("blocks").toInt
     val probeBits = params.getAs[Long]("probeBits").toInt
     requireRadius(maxHamming, blocks, probeBits, stored = true)
-    val sh = imageFingerprintWideDf(batch, idCol, blobCol)
+    val sh = graft.pipeline.Dedup.spread(
+        imageFingerprintWideDf(batch, idCol, blobCol))
       .withColumn("new", lit(true))
       .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
           spark.read.parquet(s"$path/fingerprints"), "id")
@@ -816,7 +818,8 @@ object Multimodal {
         s"of the index's stored point (blocks=$blocks/" +
         s"probeBits=$probeBits) — rebuild with more probing or lower " +
         "the threshold")
-    val sh = audioFingerprintDf(batch, idCol, blobCol)
+    val sh = graft.pipeline.Dedup.spread(
+        audioFingerprintDf(batch, idCol, blobCol))
       .withColumn("new", lit(true))
       .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
           spark.read.parquet(s"$path/fingerprints"), "id")
@@ -1470,7 +1473,8 @@ object Multimodal {
         s"of the index's stored point (blocks=$blocks/" +
         s"probeBits=$probeBits) — rebuild with more probing or lower " +
         "the threshold")
-    val sh = videoFingerprintDf(batch, idCol, blobCol)
+    val sh = graft.pipeline.Dedup.spread(
+        videoFingerprintDf(batch, idCol, blobCol))
       .withColumn("new", lit(true))
       .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
           spark.read.parquet(s"$path/fingerprints"), "id")
@@ -1549,7 +1553,8 @@ object Multimodal {
     val blocks = params.getAs[Long]("blocks").toInt
     val probeBits = params.getAs[Long]("probeBits").toInt
     requireRadius(maxHamming, blocks, probeBits, stored = true)
-    val sh = videoFingerprintWideDf(batch, idCol, blobCol)
+    val sh = graft.pipeline.Dedup.spread(
+        videoFingerprintWideDf(batch, idCol, blobCol))
       .withColumn("new", lit(true))
       .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
           spark.read.parquet(s"$path/fingerprints"), "id")

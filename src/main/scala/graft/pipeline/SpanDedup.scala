@@ -126,11 +126,49 @@ object SpanDedup {
       .select(col("h")).distinct()
       .withColumn("hp", substring(col("h"), 1, 2))
       .write.mode("overwrite").partitionBy("hp").parquet(s"$path/hashes")
+    // a rebuild replaces the whole index — stale delta batches from a
+    // previous build must not union into the new one
+    IndexDeltas.clearDeltas(spark, s"$path/hashes")
     // row count, not a distinct-id shuffle (see writeLineIndex)
     val nDocs = corpus.count()
     Seq((windowTokens, nDocs)).toDF("windowTokens", "corpusDocs")
       .coalesce(1).write.mode("overwrite").json(s"$path/params")
   }
+
+  /** Roll the span index FORWARD with a batch's window hashes — the
+    * daily-arrival path that previously forced a rebuild. The delta is
+    * the batch's distinct window hashes MINUS those the index already
+    * holds (an index-sized anti-join, never a corpus rescan), landed
+    * through the shared [[IndexDeltas]] layer: batch-stamped
+    * `hashes.delta/batch=<id>` directories, exactly-once by
+    * overwrite-by-id (the anti-join excludes the batch's OWN delta, so
+    * a replay recomputes the identical rows), folded by
+    * [[compactSpanIndex]].
+    * `params/corpusDocs` keeps recording the BASE build size.
+    */
+  def appendToSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = -1L): Unit = {
+    val w0 = spark.read.json(s"$path/params")
+      .head().getAs[Long]("windowTokens").toInt
+    val id = if (batchId >= 0) batchId
+      else IndexDeltas.nextAppendId(spark, s"$path/hashes")
+    val fresh = windowHashes(batch, idCol, textCol, w0)
+      .select(col("h")).distinct()
+      .join(IndexDeltas.rows(spark, s"$path/hashes", excludeBatchId = id)
+        .select("h"), Seq("h"), "left_anti")
+      .withColumn("hp", substring(col("h"), 1, 2))
+    IndexDeltas.writeDelta(fresh, s"$path/hashes", id, Seq("hp"))
+  }
+
+  /** Fold live span-index deltas into a fresh base generation
+    * (crash-safe, [[IndexDeltas.compact]]); rows are distinct across
+    * generations by the append-time anti-join, so the fold is the
+    * identity union.
+    */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    IndexDeltas.compact(spark, s"$path/hashes", Seq("hp"))
 
   /** Per-batch duplicated spans against a [[writeSpanIndex]] corpus:
     * the batch pays its own window pass, a semi-join against the index
@@ -145,7 +183,9 @@ object SpanDedup {
     val w0 = spark.read.json(s"$path/params")
       .head().getAs[Long]("windowTokens").toInt
     val w = sc.persist(windowHashes(batch, idCol, textCol, w0))
-    val corpusHit = spark.read.parquet(s"$path/hashes")
+    // base + live delta batches (appendToSpanIndex); distinct across
+    // generations by the append-time anti-join
+    val corpusHit = IndexDeltas.rows(spark, s"$path/hashes")
       .select(col("h"), lit(true).as("_corpus"))
     val probed = w.join(corpusHit, Seq("h"), "left")
     val batchFirsts = w.groupBy("h")
