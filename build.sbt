@@ -17,6 +17,7 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 // ... and no trailing "[success] Total time" line after the JSON.
 Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
