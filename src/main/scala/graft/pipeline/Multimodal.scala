@@ -623,7 +623,10 @@ object Multimodal {
       probeBits: Int = 0): Unit = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    require(blocks >= 2 && 256 % blocks == 0, "blocks must divide 256")
+    require(blocks >= 2 && 256 % blocks == 0 && 256 / blocks <= 64 &&
+      64 % (256 / blocks) == 0,
+      "blocks must divide 256 with bands of at most 64 bits that do " +
+        "not straddle words (blocks >= 4, power-of-two band widths)")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     imageFingerprintWideDf(blobs, idCol, blobCol)
       .write.mode("overwrite").parquet(s"$path/fingerprints")
@@ -1527,7 +1530,10 @@ object Multimodal {
       probeBits: Int = 0): Unit = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    require(blocks >= 2 && 256 % blocks == 0, "blocks must divide 256")
+    require(blocks >= 2 && 256 % blocks == 0 && 256 / blocks <= 64 &&
+      64 % (256 / blocks) == 0,
+      "blocks must divide 256 with bands of at most 64 bits that do " +
+        "not straddle words (blocks >= 4, power-of-two band widths)")
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
     videoFingerprintWideDf(blobs, idCol, blobCol)
       .write.mode("overwrite").parquet(s"$path/fingerprints")
