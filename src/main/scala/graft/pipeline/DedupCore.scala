@@ -290,14 +290,23 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
     // emit f² join rows. Oversized buckets are measured on the EXACT
     // (corpus-distribution) side and anti-joined off both sides.
     // Broadcast anti-join on the (tiny) oversized list — no shuffle of
-    // the bucket rows themselves.
-    val oversized = exact.groupBy("q", "part").count()
-      .filter(col("count") > maxBucketSize).select("q", "part")
-    val l = exact.join(broadcast(oversized), Seq("q", "part"), "left_anti")
+    // the bucket rows themselves. A cap of Int.MaxValue (the perceptual
+    // families' recall-unconditional default) can never flag a bucket,
+    // so the count aggregate + both anti-joins are skipped outright —
+    // one fewer full pass over the exploded frame per evaluation,
+    // plan-identical output (anti-join against an empty list is the
+    // identity).
+    val bounded: DataFrame => DataFrame =
+      if (maxBucketSize == Int.MaxValue) identity
+      else {
+        val oversized = exact.groupBy("q", "part").count()
+          .filter(col("count") > maxBucketSize).select("q", "part")
+        df => df.join(broadcast(oversized), Seq("q", "part"), "left_anti")
+      }
+    val l = bounded(exact)
       .select(col("q"), col("part"), col("id").as("id_a"),
         col("sh").as("sh_a"))
-    val r = (if (probeBits == 0) exact else explodedParts(flips = true))
-      .join(broadcast(oversized), Seq("q", "part"), "left_anti")
+    val r = bounded(if (probeBits == 0) exact else explodedParts(flips = true))
       .select(col("q"), col("part"), col("id").as("id_b"),
         col("sh").as("sh_b"))
     // `=!=` + least/greatest (not `<`): under probing a pair collides in
@@ -442,10 +451,15 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
           col("bb.part"))
     }
     val exactAll = parts(sh, flips = false)
-    val oversized = exactAll.groupBy("q", "part").count()
-      .filter(col("count") > maxBucketSize).select("q", "part")
-    def bounded(df: DataFrame): DataFrame =
-      df.join(broadcast(oversized), Seq("q", "part"), "left_anti")
+    // Int.MaxValue cap = guard provably empty: skip the count pass and
+    // both anti-joins (see fpCandidateCore) — plan-identical output
+    val bounded: DataFrame => DataFrame =
+      if (maxBucketSize == Int.MaxValue) identity
+      else {
+        val oversized = exactAll.groupBy("q", "part").count()
+          .filter(col("count") > maxBucketSize).select("q", "part")
+        df => df.join(broadcast(oversized), Seq("q", "part"), "left_anti")
+      }
     val l = bounded(exactAll)
       .select(col("q"), col("part"), col("id").as("id_x"),
         col("sh").as("sh_x"), col("new").as("new_x"))

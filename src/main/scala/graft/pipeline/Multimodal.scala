@@ -43,24 +43,109 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height")).as("meta"))
   }
 
+  // ------------------------------------------- shared decode fast path
+
+  /** Thread-cached ImageIO readers keyed by sniffed container format.
+    * The registry path (`ImageIO.read` / `getImageReaders`) scans the
+    * provider registry AND instantiates a fresh reader — with its
+    * decode buffers — per call; on the video fingerprint hot path
+    * (millions of tiny MJPEG frames per corpus pass) that constant
+    * cost plus its allocation churn measured ~1.6-2× of the whole
+    * decode under 32 concurrent tasks. Readers are NOT thread-safe, so
+    * the cache is per thread (executor task threads are pooled and
+    * reused, so each reader amortizes over every image the thread ever
+    * decodes). A reader that throws is disposed and evicted — decoder
+    * state after a failed decode is not trustworthy for reuse.
+    */
+  private val readerCache = ThreadLocal.withInitial(
+    () => new java.util.HashMap[String, javax.imageio.ImageReader]())
+
+  /** Container sniff by magic bytes for the four formats this module
+    * documents (png/jpeg/gif/bmp) — exactly the containers the JDK
+    * registry would route these bytes to, so the cached-reader path
+    * decodes byte-identically to the registry path. Anything else
+    * (including too-short buffers) returns null and takes the registry
+    * fallback.
+    */
+  private def sniffFormat(bytes: Array[Byte], off: Int, len: Int): String = {
+    if (len >= 2 && (bytes(off) & 0xff) == 0xff &&
+      (bytes(off + 1) & 0xff) == 0xd8) "jpeg"
+    else if (len >= 8 && (bytes(off) & 0xff) == 0x89 &&
+      bytes(off + 1) == 'P' && bytes(off + 2) == 'N' &&
+      bytes(off + 3) == 'G') "png"
+    else if (len >= 2 && bytes(off) == 'B' && bytes(off + 1) == 'M') "bmp"
+    else if (len >= 6 && bytes(off) == 'G' && bytes(off + 1) == 'I' &&
+      bytes(off + 2) == 'F' && bytes(off + 3) == '8') "gif"
+    else null
+  }
+
+  /** The cached reader for a sniffed format (instantiated once per
+    * thread per format via the same SPI the registry path uses). None
+    * when no reader is installed — the caller falls back to the
+    * registry path.
+    */
+  private def cachedReader(fmt: String)
+      : Option[javax.imageio.ImageReader] = {
+    val cache = readerCache.get()
+    val hit = cache.get(fmt)
+    if (hit != null) Some(hit)
+    else {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) None
+      else { val r = it.next(); cache.put(fmt, r); Some(r) }
+    }
+  }
+
+  private def evictReader(fmt: String,
+      r: javax.imageio.ImageReader): Unit = {
+    readerCache.get().remove(fmt)
+    try r.dispose() catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Full-raster decode of `bytes[off, off+len)` through the cached
+    * reader when the container sniffs as png/jpeg/gif/bmp, the plain
+    * registry path otherwise — the shared front end of
+    * [[imageLumaGrid]] and [[imageLumaSum]]. Returns null for bytes no
+    * reader can decode; decode EXCEPTIONS propagate (callers' quarantine
+    * catch turns them into None, exactly as the registry path did).
+    */
+  private def readImage(bytes: Array[Byte], off: Int,
+      len: Int): java.awt.image.BufferedImage = {
+    val fmt = sniffFormat(bytes, off, len)
+    val fallback = () => javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes, off, len)))
+    if (fmt == null) fallback()
+    else cachedReader(fmt) match {
+      case None => fallback()
+      case Some(r) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        try r.setInput(iis, true, true)
+        catch { case e: Throwable => iis.close(); evictReader(fmt, r); throw e }
+        try r.read(0)
+        catch { case e: Throwable => evictReader(fmt, r); throw e }
+        finally iis.close()
+    }
+  }
+
   /** REAL image header decode via the JDK's ImageIO: sniffs the container
     * (png/jpeg/gif/bmp), reads width/height from the header WITHOUT
     * decoding the raster — the right cost profile for a metadata pass
     * over 100 TB of blobs. Returns None for bytes no installed reader
-    * recognizes (corrupt, truncated, or non-image).
+    * recognizes (corrupt, truncated, or non-image). The four documented
+    * containers take the cached-reader fast path (same SPI, same
+    * header parse — identical results); anything else pays the registry
+    * scan it always did.
     */
   def decodeImageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     if (bytes == null || bytes.isEmpty) return None
-    // explicit memory-cache stream: ImageIO.createImageInputStream
-    // defaults to a DISK-backed cache file per image — a silent temp-file
-    // write per blob, ruinous at scale for bytes already in memory
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
+    val sniffed = sniffFormat(bytes, 0, bytes.length)
+    val cached = if (sniffed == null) None else cachedReader(sniffed)
+    cached match {
+      case Some(r) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
         try {
           r.setInput(iis, true, true)
           // Locale.ROOT: under a Turkish default locale "GIF" lowercases
@@ -68,14 +153,35 @@ object Multimodal {
           Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             r.getWidth(0), r.getHeight(0)))
         } catch {
-          // ImageIO readers throw unchecked exceptions on crafted headers
-          // (IllegalArgument, IndexOutOfBounds) — the contract is
-          // "quarantine downstream, never fail the batch", so any
-          // non-fatal decode failure is a None
-          case scala.util.control.NonFatal(_) => None
-        } finally r.dispose()
-      }
-    } finally iis.close()
+          case scala.util.control.NonFatal(_) =>
+            evictReader(sniffed, r); None
+        } finally iis.close()
+      case None =>
+        // explicit memory-cache stream: ImageIO.createImageInputStream
+        // defaults to a DISK-backed cache file per image — a silent
+        // temp-file write per blob, ruinous at scale for bytes already
+        // in memory
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                r.getWidth(0), r.getHeight(0)))
+            } catch {
+              // ImageIO readers throw unchecked exceptions on crafted
+              // headers (IllegalArgument, IndexOutOfBounds) — the
+              // contract is "quarantine downstream, never fail the
+              // batch", so any non-fatal decode failure is a None
+              case scala.util.control.NonFatal(_) => None
+            } finally r.dispose()
+          }
+        } finally iis.close()
+    }
   }
 
   /** Decode stage: fills each blob's meta (format, width, height) from
@@ -331,16 +437,14 @@ object Multimodal {
     require(gridW > 0 && gridH > 0, "grid dims must be positive")
     if (bytes == null || bytes.isEmpty) return None
     try {
-      // memory-cached stream, like the header decode above: the
-      // plain-InputStream ImageIO.read overload wraps its input in a
-      // FileCacheImageInputStream by default — a temp file CREATED AND
-      // DELETED PER IMAGE on the decode hot path, which couples decode
-      // throughput to tmpdir writeback pressure (measured 3× swings on
-      // a loaded disk); executors decoding millions of blobs must stay
-      // off the filesystem entirely
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
+      // memory-cached stream + thread-cached reader ([[readImage]]):
+      // the plain-InputStream ImageIO.read overload wraps its input in
+      // a FileCacheImageInputStream by default — a temp file CREATED
+      // AND DELETED PER IMAGE on the decode hot path, which couples
+      // decode throughput to tmpdir writeback pressure (measured 3×
+      // swings on a loaded disk); executors decoding millions of blobs
+      // must stay off the filesystem entirely
+      val img = readImage(bytes, 0, bytes.length)
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       // one bulk getRGB per cell: identical ARGB conversion to a
@@ -1203,12 +1307,18 @@ object Multimodal {
     * envelope's halved-amplitude invariance. Color decodes take the
     * BT.601 integer rule over `getRGB` ([[imageLumaGrid]]'s).
     */
-  def imageLumaSum(bytes: Array[Byte]): Option[Long] = {
-    if (bytes == null || bytes.isEmpty) return None
+  def imageLumaSum(bytes: Array[Byte]): Option[Long] =
+    imageLumaSum(bytes, 0, if (bytes == null) 0 else bytes.length)
+
+  /** [[imageLumaSum]] over the byte range `[off, off+len)` — the
+    * video-frame hot path decodes `stsz`-sliced frames in place instead
+    * of copying each frame out of the `mdat` first.
+    */
+  private[pipeline] def imageLumaSum(bytes: Array[Byte], off: Int,
+      len: Int): Option[Long] = {
+    if (bytes == null || len <= 0) return None
     try {
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
+      val img = readImage(bytes, off, len)
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       val buf = new Array[Int](w)
@@ -1292,9 +1402,9 @@ object Multimodal {
         var f = 0
         var ok = true
         while (ok && f < nFrames) {
-          val frame = java.util.Arrays.copyOfRange(bytes, off,
-            off + sizes(f))
-          imageLumaSum(frame) match {
+          // in-place frame decode (no per-frame copyOfRange; the stsz
+          // filter above already proved the slices tile the mdat)
+          imageLumaSum(bytes, off, sizes(f)) match {
             case Some(e) => out(f) = e
             case None => ok = false
           }

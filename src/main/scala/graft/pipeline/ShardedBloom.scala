@@ -35,6 +35,24 @@ import org.apache.spark.sql.functions._
   */
 object ShardedBloom {
 
+  /** Canonical schema of the `words` sidecar (shard = the partitionBy
+    * directory key). Reads pass it explicitly: a filter legitimately
+    * seeded from an EMPTY key set writes zero data files (partitionBy
+    * of an empty frame commits only `_SUCCESS`), and schema inference
+    * over that dir throws where an explicit schema reads the empty
+    * all-zeros filter it represents.
+    */
+  private val wordsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("word_idx",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bits",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def readWords(spark: SparkSession, path: String): DataFrame =
+    SidecarIO.readWithFallback(spark, s"$path/words", Some(wordsSchema))
+
   private def shardOf(key: Column, numShards: Int): Column =
     pmod(xxhash64(lit(-1), key), lit(numShards.toLong)).cast("int")
 
@@ -149,7 +167,7 @@ object ShardedBloom {
   /** The stored filter as a resident handle (the broadcastable tier). */
   def readFilter(spark: SparkSession, path: String): ShardedBloomFilter = {
     val (numShards, bitsPerShard, numHashes) = readParams(spark, path)
-    densify(SidecarIO.readWithFallback(spark, s"$path/words")
+    densify(readWords(spark, path)
         .select(col("shard").cast("int").as("shard"), col("word_idx"),
           col("bits")),
       numShards, bitsPerShard, numHashes)
@@ -172,7 +190,7 @@ object ShardedBloom {
   def updateFilter(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String): Unit = {
     val (numShards, bitsPerShard, numHashes) = readParams(spark, path)
-    val merged = SidecarIO.readWithFallback(spark, s"$path/words")
+    val merged = readWords(spark, path)
       .select(col("shard").cast("int").as("shard"), col("word_idx"),
         col("bits"))
       .unionAll(sketch(batch, keyCol, numShards, bitsPerShard,
@@ -207,7 +225,7 @@ object ShardedBloom {
       fact: DataFrame, factKey: String,
       keepMatches: Boolean): DataFrame = {
     val (numShards, bitsPerShard, numHashes) = readParams(spark, path)
-    val words = SidecarIO.readWithFallback(spark, s"$path/words")
+    val words = readWords(spark, path)
       .select(col("shard").cast("int").as("shard"), col("word_idx"),
         col("bits"))
 

@@ -72,12 +72,19 @@ object SidecarIO {
   }
 
   /** Read `dest`, falling back to the `_prev` generation if a crashed
-    * swap left the live dir missing.
+    * swap left the live dir missing. Pass `schema` for sidecars whose
+    * live dir can legitimately hold ZERO data files (a partitionBy
+    * write of an empty frame — e.g. a sharded bloom seeded from an
+    * empty key set — commits only `_SUCCESS`): schema inference has
+    * nothing to read there and throws, while an explicit schema reads
+    * the empty generation as the empty frame it is.
     */
-  def readWithFallback(spark: SparkSession, dest: String): DataFrame = {
+  def readWithFallback(spark: SparkSession, dest: String,
+      schema: Option[StructType] = None): DataFrame = {
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(destPath)) spark.read.parquet(dest)
-    else spark.read.parquet(dest + "_prev")
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    if (fs.exists(destPath)) reader.parquet(dest)
+    else reader.parquet(dest + "_prev")
   }
 }
