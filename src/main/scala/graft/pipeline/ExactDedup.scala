@@ -112,10 +112,31 @@ private[pipeline] trait ExactDedupOps extends Serializable { this: Dedup.type =>
     */
   def exactKeepFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    exactKeepFromLoaded(loadExactIndex(spark, path), batch, idCol,
+      textCol)
+
+  /** Fixed per-index state of the exact-dedup probe: the bloom sidecar
+    * BYTES (a driver head() per call otherwise — one full sidecar read
+    * per micro-batch in a serving stream) plus the tombstone-reduced
+    * hash frame. Load once per stream; fold the index → reload.
+    */
+  final case class LoadedExactIndex(path: String,
+    bloomBytes: Array[Byte], hashes: DataFrame)
+
+  def loadExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedExactIndex =
+    LoadedExactIndex(path,
+      spark.read.parquet(s"$path/bloom")
+        .head().getAs[Array[Byte]]("bloom"),
+      dropTombstoned(spark, path,
+        IndexDeltas.rows(spark, s"$path/hashes"), "h"))
+
+  /** [[exactKeepFromIndex]] against a pre-loaded handle. */
+  def exactKeepFromLoaded(ix: LoadedExactIndex,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim
-    val bloomBytes = spark.read.parquet(s"$path/bloom")
-      .head().getAs[Array[Byte]]("bloom")
+    val bloomBytes = ix.bloomBytes
     val bh = batch.select(col(idCol).cast("long").as("id"),
       md5(col(textCol)).as("h"))
     val mightContain = graftshim.column(
@@ -125,14 +146,13 @@ private[pipeline] trait ExactDedupOps extends Serializable { this: Dedup.type =>
     val positive = bh.filter(mightContain)
     val prefixes = positive.select(substring(col("h"), 1, 2).as("hp"))
       .distinct().collect().map(_.getString(0)).toSeq
+    val spark = batch.sparkSession
     val idxMatches =
       if (prefixes.isEmpty)
         spark.emptyDataFrame
           .select(lit("").as("h"), lit(0L).as("keep_id")).limit(0)
       else
-        dropTombstoned(spark, path,
-            IndexDeltas.rows(spark, s"$path/hashes")
-              .filter(col("hp").isin(prefixes: _*)), "h")
+        ix.hashes.filter(col("hp").isin(prefixes: _*))
           .join(positive.select(col("h")).distinct(), "h")
           .select(col("h"), col("keep_id"))
     val bmin = bh.groupBy("h").agg(min("id").as("bkeep"))

@@ -189,16 +189,33 @@ object LineDedup {
     */
   def dropBoilerplateFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
-      maxDocFreq: Int): DataFrame = {
+      maxDocFreq: Int): DataFrame =
+    dropBoilerplateFromLoaded(loadLineIndex(spark, path), batch,
+      idCol, textCol, maxDocFreq)
+
+  /** Fixed per-index state of the boilerplate-line probe (stored
+    * delimiter + the base∪delta frequency frame): load once per serving
+    * stream instead of re-reading the params sidecar and re-listing
+    * deltas every micro-batch. Fold the index → reload.
+    */
+  final case class LoadedLineIndex(delim: String, rows: DataFrame)
+
+  def loadLineIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedLineIndex =
+    LoadedLineIndex(
+      spark.read.json(s"$path/params").head().getAs[String]("delim"),
+      lineIndexRows(spark, path))
+
+  /** [[dropBoilerplateFromIndex]] against a pre-loaded handle. */
+  def dropBoilerplateFromLoaded(ix: LoadedLineIndex, batch: DataFrame,
+      idCol: String, textCol: String, maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq must be >= 1")
-    val delim = spark.read.json(s"$path/params")
-      .head().getAs[String]("delim")
-    val boiler = lineIndexRows(spark, path)
+    val boiler = ix.rows
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("h"), lit(true).as("_boiler"))
-    val ex = explodedLines(batch, idCol, textCol, delim)
+    val ex = explodedLines(batch, idCol, textCol, ix.delim)
       .withColumn("h", md5(col("line").cast("binary")))
     reassemble(ex.join(boiler, Seq("h"), "left").drop("h"),
-      idCol, delim)
+      idCol, ix.delim)
   }
 }

@@ -228,21 +228,47 @@ private[pipeline] trait MinhashDedupOps extends Serializable { this: Dedup.type 
   def minhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    val sc = CacheScope.resolve(scope, spark)
+      scope: CacheScope = CacheScope.session): DataFrame =
+    minhashPairsFromLoaded(loadMinhashIndex(spark, path), batch,
+      idCol, textCol, threshold, maxBucketSize, scope)
+
+  /** The fixed per-index state [[minhashPairsFromIndex]] re-derives on
+    * every call: params sidecar plus the tombstone-reduced corpus
+    * bucket/shingle frames. A continuously probing stream loads this
+    * ONCE at stream construction (the [[graft.streaming.StreamOps]]
+    * kmeans-model discipline) instead of paying the params read + index
+    * frame setup per micro-batch; the index is fixed for the handle's
+    * lifetime — fold the index, reload the handle.
+    */
+  final case class LoadedMinhashIndex(numHashes: Int, bands: Int,
+    shingleSize: Int, cBuckets: DataFrame, cShingles: DataFrame)
+
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedMinhashIndex = {
     val p = spark.read.json(s"$path/params").head()
-    val (numHashes, bands, shingleSize) = (
+    LoadedMinhashIndex(
       p.getAs[Long]("numHashes").toInt, p.getAs[Long]("bands").toInt,
-      p.getAs[Long]("shingleSize").toInt)
-    val bBuckets = minhashBuckets(batch, idCol, textCol, numHashes, bands,
-      shingleSize)
-    val cBuckets = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/buckets"), "id")
-    val texts = shingleSets(batch.select(col(idCol), col(textCol)),
-        idCol, textCol, shingleSize)
-      .union(dropTombstoned(spark, path,
+      p.getAs[Long]("shingleSize").toInt,
+      dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/buckets"), "id"),
+      dropTombstoned(spark, path,
         spark.read.parquet(s"$path/shingles"), "id"))
-    incrementalBucketPairs(bBuckets, cBuckets, texts, threshold,
+  }
+
+  /** [[minhashPairsFromIndex]] against a pre-loaded handle — identical
+    * output, no per-call index reads.
+    */
+  def minhashPairsFromLoaded(ix: LoadedMinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
+    val bBuckets = minhashBuckets(batch, idCol, textCol, ix.numHashes,
+      ix.bands, ix.shingleSize)
+    val texts = shingleSets(batch.select(col(idCol), col(textCol)),
+        idCol, textCol, ix.shingleSize)
+      .union(ix.cShingles)
+    incrementalBucketPairs(bBuckets, ix.cBuckets, texts, threshold,
       maxBucketSize, sc)
   }
 }

@@ -614,27 +614,82 @@ object Multimodal {
       path: String, batch: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
       scope: graft.pipeline.CacheScope =
-        graft.pipeline.CacheScope.session): DataFrame = {
-    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
+        graft.pipeline.CacheScope.session): DataFrame =
+    imageDedupPairsFromLoaded(loadFingerprintIndex(spark, path), batch,
+      idCol, blobCol, maxHamming, maxBucketSize, scope)
+
+  /** Fixed per-index state of a 64-bit fingerprint probe: the stored
+    * banding point plus the tombstone-reduced corpus fingerprint frame.
+    * A serving stream loads this ONCE at stream construction instead of
+    * paying the params read + index frame setup per micro-batch
+    * (the kmeans-model discipline); fold/rebuild the index → reload.
+    * Shared by the image/audio/video families ([[LoadedFpIndexWide]]
+    * is the 256-bit analog).
+    */
+  final case class LoadedFpIndex(blocks: Int, probeBits: Int,
+    corpus: DataFrame)
+
+  /** 256-bit analog of [[LoadedFpIndex]]. */
+  final case class LoadedFpIndexWide(words: Int, blocks: Int,
+    probeBits: Int, corpus: DataFrame)
+
+  def loadFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedFpIndex = {
     val params = spark.read.json(s"$path/params").head()
-    val blocks = params.getAs[Long]("blocks").toInt
-    val probeBits = params.getAs[Long]("probeBits").toInt
-    require(maxHamming <=
-      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
-      s"maxHamming $maxHamming exceeds the guaranteed radius " +
-        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
-        s"of the index's stored point (blocks=$blocks/" +
-        s"probeBits=$probeBits) — rebuild with more probing or lower " +
-        "the threshold")
-    val sh = graft.pipeline.Dedup.spread(
-        imageFingerprintDf(batch, idCol, blobCol))
-      .withColumn("new", lit(true))
-      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
-          spark.read.parquet(s"$path/fingerprints"), "id")
-        .withColumn("new", lit(false)))
-    graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
-      maxHamming, maxBucketSize, probeBits, sc)
+    LoadedFpIndex(params.getAs[Long]("blocks").toInt,
+      params.getAs[Long]("probeBits").toInt,
+      graft.pipeline.Dedup.dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/fingerprints"), "id"))
   }
+
+  def loadFingerprintIndexWide(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedFpIndexWide = {
+    val params = spark.read.json(s"$path/params").head()
+    LoadedFpIndexWide(params.getAs[Long]("words").toInt,
+      params.getAs[Long]("blocks").toInt,
+      params.getAs[Long]("probeBits").toInt,
+      graft.pipeline.Dedup.dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/fingerprints"), "id"))
+  }
+
+  /** The incremental probe shared by every loaded-handle member: batch
+    * fingerprints vs the handle's corpus frame at the stored banding
+    * point — identical output to the path-taking `*FromIndex` variants.
+    */
+  private def pairsFromLoadedCore(ix: LoadedFpIndex, batchFp: DataFrame,
+      maxHamming: Int, maxBucketSize: Int,
+      scope: graft.pipeline.CacheScope): DataFrame = {
+    val sc = graft.pipeline.CacheScope.resolve(scope,
+      batchFp.sparkSession)
+    requireRadius(maxHamming, ix.blocks, ix.probeBits, stored = true)
+    val sh = graft.pipeline.Dedup.spread(batchFp)
+      .withColumn("new", lit(true))
+      .union(ix.corpus.withColumn("new", lit(false)))
+    graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, ix.blocks,
+      maxHamming, maxBucketSize, ix.probeBits, sc)
+  }
+
+  private def pairsFromLoadedCoreWide(ix: LoadedFpIndexWide,
+      batchFp: DataFrame, maxHamming: Int, maxBucketSize: Int,
+      scope: graft.pipeline.CacheScope): DataFrame = {
+    val sc = graft.pipeline.CacheScope.resolve(scope,
+      batchFp.sparkSession)
+    requireRadius(maxHamming, ix.blocks, ix.probeBits, stored = true)
+    val sh = graft.pipeline.Dedup.spread(batchFp)
+      .withColumn("new", lit(true))
+      .union(ix.corpus.withColumn("new", lit(false)))
+    graft.pipeline.Dedup.fingerprintIncrementalCandidatesWide(sh,
+      ix.words, ix.blocks, maxHamming, maxBucketSize, ix.probeBits, sc)
+  }
+
+  /** [[imageDedupPairsFromIndex]] against a pre-loaded handle. */
+  def imageDedupPairsFromLoaded(ix: LoadedFpIndex, batch: DataFrame,
+      idCol: String, blobCol: String, maxHamming: Int = 8,
+      maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame =
+    pairsFromLoadedCore(ix, imageFingerprintDf(batch, idCol, blobCol),
+      maxHamming, maxBucketSize, scope)
 
   // --------------------------------------------- wide (256-bit) images
 
@@ -750,22 +805,19 @@ object Multimodal {
       batch: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
       scope: graft.pipeline.CacheScope =
-        graft.pipeline.CacheScope.session): DataFrame = {
-    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
-    val params = spark.read.json(s"$path/params").head()
-    val words = params.getAs[Long]("words").toInt
-    val blocks = params.getAs[Long]("blocks").toInt
-    val probeBits = params.getAs[Long]("probeBits").toInt
-    requireRadius(maxHamming, blocks, probeBits, stored = true)
-    val sh = graft.pipeline.Dedup.spread(
-        imageFingerprintWideDf(batch, idCol, blobCol))
-      .withColumn("new", lit(true))
-      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
-          spark.read.parquet(s"$path/fingerprints"), "id")
-        .withColumn("new", lit(false)))
-    graft.pipeline.Dedup.fingerprintIncrementalCandidatesWide(sh, words,
-      blocks, maxHamming, maxBucketSize, probeBits, sc)
-  }
+        graft.pipeline.CacheScope.session): DataFrame =
+    imageDedupPairsWideFromLoaded(loadFingerprintIndexWide(spark, path),
+      batch, idCol, blobCol, maxHamming, maxBucketSize, scope)
+
+  /** [[imageDedupPairsWideFromIndex]] against a pre-loaded handle. */
+  def imageDedupPairsWideFromLoaded(ix: LoadedFpIndexWide,
+      batch: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame =
+    pairsFromLoadedCoreWide(ix,
+      imageFingerprintWideDf(batch, idCol, blobCol), maxHamming,
+      maxBucketSize, scope)
 
   /** 64-bit perceptual AUDIO fingerprint: the time-domain analog of
     * [[imageFingerprint64]] — 64 equal time windows over the decoded
@@ -913,27 +965,18 @@ object Multimodal {
       path: String, batch: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
       scope: graft.pipeline.CacheScope =
-        graft.pipeline.CacheScope.session): DataFrame = {
-    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
-    val params = spark.read.json(s"$path/params").head()
-    val blocks = params.getAs[Long]("blocks").toInt
-    val probeBits = params.getAs[Long]("probeBits").toInt
-    require(maxHamming <=
-      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
-      s"maxHamming $maxHamming exceeds the guaranteed radius " +
-        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
-        s"of the index's stored point (blocks=$blocks/" +
-        s"probeBits=$probeBits) — rebuild with more probing or lower " +
-        "the threshold")
-    val sh = graft.pipeline.Dedup.spread(
-        audioFingerprintDf(batch, idCol, blobCol))
-      .withColumn("new", lit(true))
-      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
-          spark.read.parquet(s"$path/fingerprints"), "id")
-        .withColumn("new", lit(false)))
-    graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
-      maxHamming, maxBucketSize, probeBits, sc)
-  }
+        graft.pipeline.CacheScope.session): DataFrame =
+    audioDedupPairsFromLoaded(loadFingerprintIndex(spark, path), batch,
+      idCol, blobCol, maxHamming, maxBucketSize, scope)
+
+  /** [[audioDedupPairsFromIndex]] against a pre-loaded handle. */
+  def audioDedupPairsFromLoaded(ix: LoadedFpIndex, batch: DataFrame,
+      idCol: String, blobCol: String, maxHamming: Int = 8,
+      maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame =
+    pairsFromLoadedCore(ix, audioFingerprintDf(batch, idCol, blobCol),
+      maxHamming, maxBucketSize, scope)
 
   /** Deterministic constant-cell image fixture: a `gridW`×`gridH` grid
     * of `cellPx`×`cellPx` gray cells, cell `c` at luma `lumas(c)` —
@@ -1574,27 +1617,18 @@ object Multimodal {
       path: String, batch: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
       scope: graft.pipeline.CacheScope =
-        graft.pipeline.CacheScope.session): DataFrame = {
-    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
-    val params = spark.read.json(s"$path/params").head()
-    val blocks = params.getAs[Long]("blocks").toInt
-    val probeBits = params.getAs[Long]("probeBits").toInt
-    require(maxHamming <=
-      graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits),
-      s"maxHamming $maxHamming exceeds the guaranteed radius " +
-        s"${graft.pipeline.Dedup.guaranteedRadius(blocks, probeBits)} " +
-        s"of the index's stored point (blocks=$blocks/" +
-        s"probeBits=$probeBits) — rebuild with more probing or lower " +
-        "the threshold")
-    val sh = graft.pipeline.Dedup.spread(
-        videoFingerprintDf(batch, idCol, blobCol))
-      .withColumn("new", lit(true))
-      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
-          spark.read.parquet(s"$path/fingerprints"), "id")
-        .withColumn("new", lit(false)))
-    graft.pipeline.Dedup.fingerprintIncrementalCandidates(sh, blocks,
-      maxHamming, maxBucketSize, probeBits, sc)
-  }
+        graft.pipeline.CacheScope.session): DataFrame =
+    videoDedupPairsFromLoaded(loadFingerprintIndex(spark, path), batch,
+      idCol, blobCol, maxHamming, maxBucketSize, scope)
+
+  /** [[videoDedupPairsFromIndex]] against a pre-loaded handle. */
+  def videoDedupPairsFromLoaded(ix: LoadedFpIndex, batch: DataFrame,
+      idCol: String, blobCol: String, maxHamming: Int = 8,
+      maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame =
+    pairsFromLoadedCore(ix, videoFingerprintDf(batch, idCol, blobCol),
+      maxHamming, maxBucketSize, scope)
 
   /** `(id, sh array<long>)` WIDE video-fingerprint frame over blob
     * rows — the wide banding input shape; undecodable (or <256-frame)
@@ -1662,22 +1696,19 @@ object Multimodal {
       batch: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
       scope: graft.pipeline.CacheScope =
-        graft.pipeline.CacheScope.session): DataFrame = {
-    val sc = graft.pipeline.CacheScope.resolve(scope, spark)
-    val params = spark.read.json(s"$path/params").head()
-    val words = params.getAs[Long]("words").toInt
-    val blocks = params.getAs[Long]("blocks").toInt
-    val probeBits = params.getAs[Long]("probeBits").toInt
-    requireRadius(maxHamming, blocks, probeBits, stored = true)
-    val sh = graft.pipeline.Dedup.spread(
-        videoFingerprintWideDf(batch, idCol, blobCol))
-      .withColumn("new", lit(true))
-      .union(graft.pipeline.Dedup.dropTombstoned(spark, path,
-          spark.read.parquet(s"$path/fingerprints"), "id")
-        .withColumn("new", lit(false)))
-    graft.pipeline.Dedup.fingerprintIncrementalCandidatesWide(sh, words,
-      blocks, maxHamming, maxBucketSize, probeBits, sc)
-  }
+        graft.pipeline.CacheScope.session): DataFrame =
+    videoDedupPairsWideFromLoaded(loadFingerprintIndexWide(spark, path),
+      batch, idCol, blobCol, maxHamming, maxBucketSize, scope)
+
+  /** [[videoDedupPairsWideFromIndex]] against a pre-loaded handle. */
+  def videoDedupPairsWideFromLoaded(ix: LoadedFpIndexWide,
+      batch: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue,
+      scope: graft.pipeline.CacheScope =
+        graft.pipeline.CacheScope.session): DataFrame =
+    pairsFromLoadedCoreWide(ix,
+      videoFingerprintWideDf(batch, idCol, blobCol), maxHamming,
+      maxBucketSize, scope)
 
   /** Fixture mdat payload whose per-frame byte-sums are EXACTLY
     * `amps` — `amps(f)` written as ⌊amp/255⌋ 0xFF bytes plus the

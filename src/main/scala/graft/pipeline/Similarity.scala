@@ -614,20 +614,53 @@ object Similarity {
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nProbe: Int = -1): DataFrame = {
-    import spark.implicits._
+      k: Int, nProbe: Int = -1): DataFrame =
+    ivfTopKFromLoaded(loadIvfIndex(spark, path), queries, qIdCol,
+      qVecCol, k, nProbe)
+
+  /** Fixed per-index state of the IVF probe: sidecar fields, the
+    * broadcast coarse centroids, and the base∪delta row frame. A
+    * streaming ANN server loads this ONCE at stream construction (the
+    * kmeans-model discipline) instead of re-reading the centroid
+    * sidecar and re-listing deltas every micro-batch; append to the
+    * index → reload the handle.
+    */
+  final case class LoadedIvfIndex(path: String, nProbeDefault: Int,
+    storedDim: Option[Int], quantized: Boolean,
+    centroidsBc: org.apache.spark.broadcast.Broadcast[
+      Array[Array[Float]]], rows: DataFrame)
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedIvfIndex = {
     val side = spark.read.json(s"$path.centroids")
-    // ONE driver job over the sidecar per call (this runs per
-    // micro-batch in streaming ANN): every field probe reads this row
+    // ONE driver job over the sidecar per load: every field probe
+    // reads this row
     val sideRow = side.head()
-    val nProbeResolved =
-      if (nProbe > 0) nProbe
-      else if (side.schema.fieldNames.contains("nProbe") &&
+    val nProbeDefault =
+      if (side.schema.fieldNames.contains("nProbe") &&
           sideRow.getAs[Long]("nProbe") > 0)
         sideRow.getAs[Long]("nProbe").toInt
       else 2
-    if (side.schema.fieldNames.contains("dim")) {
-      val storedDim = sideRow.getAs[Long]("dim").toInt
+    val storedDim =
+      if (side.schema.fieldNames.contains("dim"))
+        Some(sideRow.getAs[Long]("dim").toInt)
+      else None
+    val quantized = side.schema.fieldNames.contains("quantized") &&
+      sideRow.getAs[Boolean]("quantized")
+    LoadedIvfIndex(path, nProbeDefault, storedDim, quantized,
+      spark.sparkContext.broadcast(readIvfCentroids(spark, path)),
+      IndexDeltas.rows(spark, path))
+  }
+
+  /** [[ivfTopKFromIndex]] against a pre-loaded handle. */
+  def ivfTopKFromLoaded(ix: LoadedIvfIndex, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val path = ix.path
+    val nProbeResolved = if (nProbe > 0) nProbe else ix.nProbeDefault
+    ix.storedDim.foreach { storedDim =>
       // validate against the first NON-NULL query vector; an empty
       // micro-batch (stream start, recovery replay) or an all-null one
       // has nothing to validate and must flow through as an empty
@@ -641,8 +674,7 @@ object Similarity {
               "query embedding")
         }
     }
-    val centroids = readIvfCentroids(spark, path)
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = ix.centroidsBc
     val qProbes = queries
       .select(col(qIdCol).cast("long"),
         col(qVecCol).cast("array<float>").as("_qv"))
@@ -657,13 +689,12 @@ object Similarity {
     // empty batch -> no probes: keep the plan shape (and result schema)
     // with an always-false filter instead of an empty isin; base plus
     // appended deltas, cid pruning on both scans
-    val pruned = IndexDeltas.rows(spark, path)
+    val pruned = ix.rows
       .filter(if (probedCells.isEmpty) lit(false)
         else col("cid").isin(probedCells: _*)) // partition pruning
     // a quantized index dequantizes AFTER the partition filter, so the
     // kernel touches only probed-cell bytes
-    val quantizedIdx = side.schema.fieldNames.contains("quantized") &&
-      sideRow.getAs[Boolean]("quantized")
+    val quantizedIdx = ix.quantized
     val cells =
       if (!quantizedIdx) pruned
       else pruned.select(col("id"), col("mn"), col("mx"), col("qv"),

@@ -178,16 +178,36 @@ object SpanDedup {
     */
   def duplicateSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    duplicateSpansFromLoaded(loadSpanIndex(spark, path), batch,
+      idCol, textCol, scope)
+
+  /** Fixed per-index state of the span probe (stored window width +
+    * the base∪delta corpus window frame): load once per serving stream,
+    * probe per batch — the per-call params read and delta listing
+    * otherwise repeat every micro-batch. Fold the index → reload.
+    */
+  final case class LoadedSpanIndex(windowTokens: Int,
+    corpusHit: DataFrame)
+
+  def loadSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedSpanIndex =
+    LoadedSpanIndex(
+      spark.read.json(s"$path/params")
+        .head().getAs[Long]("windowTokens").toInt,
+      // base + live delta batches (appendToSpanIndex); distinct across
+      // generations by the append-time anti-join
+      IndexDeltas.rows(spark, s"$path/hashes")
+        .select(col("h"), lit(true).as("_corpus")))
+
+  /** [[duplicateSpansFromIndex]] against a pre-loaded handle. */
+  def duplicateSpansFromLoaded(ix: LoadedSpanIndex, batch: DataFrame,
+      idCol: String, textCol: String,
       scope: CacheScope = CacheScope.session): DataFrame = {
-    val sc = CacheScope.resolve(scope, spark)
-    val w0 = spark.read.json(s"$path/params")
-      .head().getAs[Long]("windowTokens").toInt
+    val sc = CacheScope.resolve(scope, batch.sparkSession)
+    val w0 = ix.windowTokens
     val w = sc.persist(windowHashes(batch, idCol, textCol, w0))
-    // base + live delta batches (appendToSpanIndex); distinct across
-    // generations by the append-time anti-join
-    val corpusHit = IndexDeltas.rows(spark, s"$path/hashes")
-      .select(col("h"), lit(true).as("_corpus"))
-    val probed = w.join(corpusHit, Seq("h"), "left")
+    val probed = w.join(ix.corpusHit, Seq("h"), "left")
     val batchFirsts = w.groupBy("h")
       .agg(count(lit(1)).as("n"),
         min(struct(col("id"), col("s"))).as("first"))

@@ -74,11 +74,19 @@ object StreamOps {
       queryIdCol: String, queryTextCol: String, k: Int)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    // index handle loads ONCE, lazily at the first batch (the
+    // kmeans-model / drift-reference discipline): the sidecar stats
+    // collect + file listing otherwise repeat every micro-batch. The
+    // index is fixed for the stream's lifetime — fold it offline and
+    // restart the stream to serve the new generation.
+    lazy val ix = graft.pipeline.Search.readIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, _) =>
-      graft.pipeline.Search.searchFromIndex(batch.sparkSession,
-        indexPath, batch, queryIdCol, queryTextCol, k)
+      graft.pipeline.Search.search(ix, batch, queryIdCol,
+        queryTextCol, k)
     }
+  }
 
   /** HYBRID serving loop: every micro-batch of queries (text + vector
     * per query id) probes the persisted BM25 sidecar AND the vector
@@ -98,18 +106,25 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    // both fixed corpora load once per stream (see bm25SearchStream):
+    // the BM25 sidecar handle and the vector frame's schema/file
+    // listing otherwise repeat every micro-batch
+    lazy val ix = graft.pipeline.Search.readIndex(
+      stream.sparkSession, bm25IndexPath)
+    lazy val vecs = stream.sparkSession.read.parquet(vecPath)
     probeIndexPerBatch(stream)(sink) { (batch, _) =>
-      val s = batch.sparkSession
-      val bm = graft.pipeline.Search.searchFromIndex(s, bm25IndexPath,
-          batch, queryIdCol, queryTextCol, kEach)
+      val bm = graft.pipeline.Search.search(ix, batch, queryIdCol,
+          queryTextCol, kEach)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
       val ann = graft.pipeline.Similarity.bruteForceTopK(
-          s.read.parquet(vecPath), vecIdCol, vecCol,
+          vecs, vecIdCol, vecCol,
           batch.select(col(queryIdCol), col(queryVecCol)),
           queryIdCol, queryVecCol, kEach)
         .select(col("query_id"), col("id"), col("rank"))
       graft.pipeline.Hybrid.rrfFuse(Seq(bm, ann), "query_id", "id",
         "rank", k0, topK)
+    }
     }
 
   /** Windowed per-key event counts + value sums with a watermark — the
@@ -155,9 +170,14 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    // handle loads once per stream (see bm25SearchStream)
+    lazy val ix = graft.pipeline.Dedup.loadMinhashIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      graft.pipeline.Dedup.minhashPairsFromIndex(batch.sparkSession,
-        indexPath, batch, idCol, textCol, threshold, scope = scope)
+      graft.pipeline.Dedup.minhashPairsFromLoaded(ix, batch, idCol,
+        textCol, threshold, scope = scope)
+    }
     }
 
   /** [[probeIndexPerBatch]] against a persisted SIMHASH index
@@ -219,9 +239,15 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    // handle (sidecar fields + broadcast centroids + delta listing)
+    // loads once per stream (see bm25SearchStream)
+    lazy val ix = graft.pipeline.Similarity.loadIvfIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, _) =>
-      graft.pipeline.Similarity.ivfTopKFromIndex(batch.sparkSession,
-        indexPath, batch, qIdCol, qVecCol, k, nProbe)
+      graft.pipeline.Similarity.ivfTopKFromLoaded(ix, batch, qIdCol,
+        qVecCol, k, nProbe)
+    }
     }
 
   /** [[probeIndexPerBatch]] against a persisted IMAGE-fingerprint index
@@ -235,10 +261,13 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    lazy val ix = graft.pipeline.Multimodal.loadFingerprintIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      graft.pipeline.Multimodal.imageDedupPairsFromIndex(
-        batch.sparkSession, indexPath, batch, idCol, blobCol,
-        maxHamming, scope = scope)
+      graft.pipeline.Multimodal.imageDedupPairsFromLoaded(ix, batch,
+        idCol, blobCol, maxHamming, scope = scope)
+    }
     }
 
   /** [[imageDedupStreamAgainstIndex]] at the WIDE (256-bit) operating
@@ -253,10 +282,13 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    lazy val ix = graft.pipeline.Multimodal.loadFingerprintIndexWide(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      graft.pipeline.Multimodal.imageDedupPairsWideFromIndex(
-        batch.sparkSession, indexPath, batch, idCol, blobCol,
-        maxHamming, scope = scope)
+      graft.pipeline.Multimodal.imageDedupPairsWideFromLoaded(ix, batch,
+        idCol, blobCol, maxHamming, scope = scope)
+    }
     }
 
   /** Per-micro-batch AUDIO near-dup against a persisted
@@ -268,10 +300,13 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    lazy val ix = graft.pipeline.Multimodal.loadFingerprintIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      graft.pipeline.Multimodal.audioDedupPairsFromIndex(
-        batch.sparkSession, indexPath, batch, idCol, blobCol,
-        maxHamming, scope = scope)
+      graft.pipeline.Multimodal.audioDedupPairsFromLoaded(ix, batch,
+        idCol, blobCol, maxHamming, scope = scope)
+    }
     }
 
   /** [[probeIndexPerBatch]] against a persisted VIDEO-fingerprint
@@ -284,10 +319,13 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    lazy val ix = graft.pipeline.Multimodal.loadFingerprintIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      graft.pipeline.Multimodal.videoDedupPairsFromIndex(
-        batch.sparkSession, indexPath, batch, idCol, blobCol,
-        maxHamming, scope = scope)
+      graft.pipeline.Multimodal.videoDedupPairsFromLoaded(ix, batch,
+        idCol, blobCol, maxHamming, scope = scope)
+    }
     }
 
   /** Per-micro-batch corpus CURATION — the composed daily-driver on a
@@ -319,9 +357,14 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    // bloom bytes + tombstone-reduced hash frame load once per stream
+    lazy val ix = graft.pipeline.Dedup.loadExactIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, _) =>
-      graft.pipeline.Dedup.exactKeepFromIndex(batch.sparkSession,
-        indexPath, batch, idCol, textCol)
+      graft.pipeline.Dedup.exactKeepFromLoaded(ix, batch, idCol,
+        textCol)
+    }
     }
 
   /** Per-micro-batch BOILERPLATE LINE REMOVAL against a persisted
@@ -337,9 +380,13 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    lazy val ix = graft.pipeline.LineDedup.loadLineIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, _) =>
-      graft.pipeline.LineDedup.dropBoilerplateFromIndex(
-        batch.sparkSession, indexPath, batch, idCol, textCol, maxDocFreq)
+      graft.pipeline.LineDedup.dropBoilerplateFromLoaded(ix, batch,
+        idCol, textCol, maxDocFreq)
+    }
     }
 
   /** Per-micro-batch duplicated-SPAN detection against a persisted
@@ -354,9 +401,13 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    lazy val ix = graft.pipeline.SpanDedup.loadSpanIndex(
+      stream.sparkSession, indexPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      graft.pipeline.SpanDedup.duplicateSpansFromIndex(
-        batch.sparkSession, indexPath, batch, idCol, textCol, scope)
+      graft.pipeline.SpanDedup.duplicateSpansFromLoaded(ix, batch,
+        idCol, textCol, scope)
+    }
     }
 
   /** Per-micro-batch benchmark DECONTAMINATION: each arriving batch is
@@ -636,11 +687,14 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    {
+    // model loads once per stream (the kmeans-model discipline)
+    lazy val m = graft.pipeline.LanguageModel.readLm(
+      stream.sparkSession, modelPath)
     probeIndexPerBatch(stream)(sink) { (batch, scope) =>
-      val m = graft.pipeline.LanguageModel.readLm(
-        batch.sparkSession, modelPath)
       graft.pipeline.LanguageModel.score(batch, idCol, textCol, m,
         scope = scope)
+    }
     }
 
   /** Native gap-session aggregation over an event-time stream:
