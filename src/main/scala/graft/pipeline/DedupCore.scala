@@ -150,10 +150,34 @@ private[pipeline] trait DedupCoreOps extends Serializable { this: Dedup.type =>
     * exchange, including bucket-join collision production — on 1-4
     * cores. No-op when the input already has enough splits (the 100 TB
     * case: never shuffle a corpus for parallelism it already has).
+    *
+    * The few-split hazard this guards against is a LEAF-SCAN property,
+    * and the check must stay driver-side-cheap: `df.rdd` under AQE
+    * MATERIALIZES every upstream shuffle stage just to expose a
+    * partition count — a whole extra execution of the subtree per
+    * spread() call (measured as duplicated kernel stages in the curate
+    * profile). So plans that already contain an exchange-introducing
+    * node (join/aggregate/window/sort/repartition) or a cached relation
+    * are left alone — their parallelism was set by the planner/AQE, and
+    * probing it would run the plan — and only exchange-free plans
+    * (scan → filter/project/kernel chains, where building the RDD plans
+    * a single stage and runs NO job) get the partition count + optional
+    * repartition, exactly the case the helper exists for.
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
     val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+    // shuffle-introducing nodes only: a cached relation (IMR) hides its
+    // build plan behind the cache boundary, so `.rdd` over an IMR-rooted
+    // shuffle-free plan just wraps the cached RDD — cheap, and the
+    // partition count is real (a cache AQE-coalesced to few partitions
+    // still needs the spread for the kernel downstream)
+    val hasExchange = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: lp.Join | _: lp.Aggregate | _: lp.Window |
+        _: lp.Sort | _: lp.RepartitionOperation | _: lp.Distinct) => p
+    }.isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }
 
   private[pipeline] def hashBytes(b: Array[Byte], seed: Long): Long =
