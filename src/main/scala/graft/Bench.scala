@@ -135,8 +135,14 @@ object Bench {
     if (!Files.exists(p)) Map.empty
     else {
       val txt = Files.readString(p)
-      val re = ("\"([A-Za-z0-9_]+)\":\\{\"min\":(-?[0-9.]+)," +
-        "\"med\":(-?[0-9.]+),\"max\":(-?[0-9.]+)\\}").r
+      // whitespace-tolerant: Bench writes the spread compactly, but a
+      // merged/pretty-printed priors file (e.g. the r17 closing-session
+      // merge) carries ": " — the strict regex silently parsed ZERO
+      // priors from it and degraded the whole bin plan to no-prior
+      // estimates
+      val re = ("\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"min\"\\s*:\\s*" +
+        "(-?[0-9.]+)\\s*,\\s*\"med\"\\s*:\\s*(-?[0-9.]+)\\s*,\\s*" +
+        "\"max\"\\s*:\\s*(-?[0-9.]+)\\s*\\}").r
       re.findAllMatchIn(txt).map(m => m.group(1) ->
         ((m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble)))
         .toMap
